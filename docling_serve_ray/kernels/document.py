@@ -1,0 +1,104 @@
+"""Per-document conversion kernel — the shared core of the distributed
+pipeline and the sequential oracle.
+
+``convert_document`` runs the whole conversion for ONE document: format
+routing (S3), PDF quality analysis → OCR-mode decision (M1/M3), format
+parse (M4/M5 + A1-A3 analogs), export serialization (K2), BiDi
+post-processing (M9). The Ray pipeline calls it per row inside
+map_batches / actor stages; the oracle calls it in a plain loop. Errors are
+captured per document (status/errors columns), mirroring the reference's
+``abort_on_error=False`` default (convert.py:247-255): a failing document
+yields a failure row, never a failing job.
+"""
+
+from __future__ import annotations
+
+import traceback
+
+from ..options import JobOptions
+from .bidi import apply_bidi_if_changed
+from .html import extract_html
+from .office import parse_docx, parse_markdown_doc
+from .pdfmodel import page_embedded_texts, parse_payload, parse_pdf
+from .quality import analyze_page_texts
+from .serialize import spans_to_doctags, spans_to_markdown, spans_to_text
+
+
+def analyze_document(fmt: str, payload: bytes, options: JobOptions) -> str:
+    """Quality-analysis gate (M1/M2): only PDFs are analyzed (reference
+    pdf_analysis.py:214-217); returns the recommended OCR mode, or "" for
+    non-PDF formats. force_ocr option override mirrors worker.py:150-156."""
+    if fmt != "pdf":
+        return ""
+    if options.force_ocr:
+        return "force"
+    if not options.auto_ocr_mode:
+        return "skip" if not options.do_ocr else "redo"
+    try:
+        doc = parse_payload(payload)
+        return analyze_page_texts(page_embedded_texts(doc), doc.get("tagged", False))[
+            "recommended_mode"
+        ]
+    except Exception:
+        return "force"  # reference defaults to force on analysis error
+
+
+def convert_document(
+    doc_id: str,
+    fmt: str,
+    payload: bytes,
+    lang: str,
+    options: JobOptions,
+    reverse_codebook,
+    ocr_mode: str | None = None,
+) -> dict:
+    """Convert one document → output-row dict (spans + exports + status)."""
+    errors: list[str] = []
+    spans: list[dict] = []
+    mode = ocr_mode if ocr_mode is not None else analyze_document(fmt, payload, options)
+    try:
+        if fmt not in options.from_formats:
+            raise ValueError(f"format {fmt!r} not in from_formats")
+        if len(payload) > options.max_file_size:
+            raise ValueError("max_file_size exceeded")
+        if fmt == "html":
+            spans = extract_html(payload.decode("utf-8"), doc_id)
+        elif fmt == "pdf":
+            spans = parse_pdf(
+                payload, doc_id, mode or "skip", reverse_codebook,
+                page_range=options.page_range,
+            )
+        elif fmt == "docx":
+            spans = parse_docx(payload, doc_id)
+        elif fmt == "md":
+            spans = parse_markdown_doc(payload, doc_id)
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+        status = "success"
+    except Exception as exc:  # continue-on-error semantics
+        errors.append(f"{type(exc).__name__}: {exc}")
+        if options.abort_on_error:
+            # surfaced by the pipeline driver after execution; still emit a row
+            errors.append(traceback.format_exc(limit=3))
+        spans = []
+        status = "failure"
+
+    md = spans_to_markdown(spans, options.md_page_break_placeholder) if "md" in options.to_formats else ""
+    if md and options.enable_bidi_processing:
+        md, _ = apply_bidi_if_changed(md)
+    text = spans_to_text(spans) if "text" in options.to_formats else ""
+    doctags = spans_to_doctags(spans) if "doctags" in options.to_formats else ""
+
+    return {
+        "doc_id": doc_id,
+        "spans": spans,
+        "format": fmt,
+        "lang": lang,
+        "ocr_mode": mode,
+        "status": status,
+        "errors": errors,
+        "md_content": md,
+        "text_content": text,
+        "doctags_content": doctags,
+        "num_spans": len(spans),
+    }

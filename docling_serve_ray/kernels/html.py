@@ -1,0 +1,322 @@
+"""HTML main-content extraction (M4 in SURVEY.md §2.2) + the matching renderer.
+
+The extractor is a from-scratch Readability-style kernel: it parses HTML with
+a lightweight DOM built on the stdlib ``html.parser``, scores each top-level
+candidate container with tag / class-id keyword scores, link density and
+text density, drops boilerplate containers (nav, ads, footers, sidebars) and
+emits the surviving content as an ordered span sequence. In the reference
+the equivalent behavior lives inside the pinned docling HTML backend
+(surface: docling_serve/datamodel/convert.py:115-125 format routing); the
+north-star pins the heuristic family (text-density, link-density, tag/class
+scoring).
+
+``render_html`` is the corpus generator's inverse: it serializes a span
+sequence (including boilerplate spans) into a realistic page so the
+extractor's output can be compared span-for-span with the original content
+spans.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from html.parser import HTMLParser
+
+NEGATIVE_RE = re.compile(
+    r"nav|menu|advert|\bads?\b|banner|sponsor|footer|sidebar|promo|comment"
+    r"|social|share|breadcrumb|cookie|popup|related",
+    re.I,
+)
+POSITIVE_RE = re.compile(
+    r"content|article|main|post|body|text|entry|story|section",
+    re.I,
+)
+
+VOID_TAGS = frozenset(
+    {"img", "br", "hr", "meta", "link", "input", "area", "base", "col", "embed",
+     "source", "track", "wbr"}
+)
+
+# Thresholds of the container classifier.
+LINK_DENSITY_DROP = 0.5
+LINK_DENSITY_GOOD = 0.2
+TEXT_LEN_GOOD = 80
+KEEP_SCORE_MIN = 0
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict, parent=None):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # Node or str (text)
+        self.parent = parent
+
+    def class_id(self) -> str:
+        return (self.attrs.get("class", "") + " " + self.attrs.get("id", "")).strip()
+
+    def iter_text(self, out: list):
+        for ch in self.children:
+            if isinstance(ch, str):
+                out.append(ch)
+            else:
+                ch.iter_text(out)
+
+    def text(self) -> str:
+        out: list = []
+        self.iter_text(out)
+        return "".join(out)
+
+    def find_all(self, tag: str, acc: list):
+        for ch in self.children:
+            if isinstance(ch, Node):
+                if ch.tag == tag:
+                    acc.append(ch)
+                ch.find_all(tag, acc)
+        return acc
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs), self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        # pop to the matching open tag if present (tolerates malformed nesting)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_dom(html_text: str) -> Node:
+    b = _DomBuilder()
+    b.feed(html_text)
+    b.close()
+    return b.root
+
+
+def link_density(node: Node) -> float:
+    total = len(node.text().strip())
+    if total == 0:
+        return 0.0
+    linked = sum(len(a.text().strip()) for a in node.find_all("a", []))
+    return min(1.0, linked / total)
+
+
+def container_score(node: Node) -> int:
+    """Tag + class/id keyword + link-density + text-length score. Containers
+    with score <= KEEP_SCORE_MIN are boilerplate and dropped whole."""
+    score = 0
+    if node.tag in ("nav", "aside"):
+        score -= 3
+    elif node.tag == "footer":
+        score -= 3
+    elif node.tag in ("main", "article", "section"):
+        score += 2
+    cid = node.class_id()
+    if cid:
+        if NEGATIVE_RE.search(cid):
+            score -= 3
+        if POSITIVE_RE.search(cid):
+            score += 2
+    ld = link_density(node)
+    if ld > LINK_DENSITY_DROP:
+        score -= 2
+    elif ld < LINK_DENSITY_GOOD:
+        score += 1
+    if len(node.text().strip()) >= TEXT_LEN_GOOD:
+        score += 1
+    return score
+
+
+def _table_text(node: Node) -> str:
+    rows = []
+    for tr in node.find_all("tr", []):
+        cells = []
+        for ch in tr.children:
+            if isinstance(ch, Node) and ch.tag in ("td", "th"):
+                cells.append(ch.text().strip())
+        if cells:
+            rows.append(" | ".join(cells))
+    return "\n".join(rows)
+
+
+_HEADING_TAGS = {"h1": "title", "h2": "section_header", "h3": "section_header",
+                 "h4": "section_header", "h5": "section_header", "h6": "section_header"}
+
+
+def _emit_spans(node: Node, spans: list):
+    """Walk a kept container in document order, mapping elements to span
+    kinds. Nested elements whose class/id matches the negative keyword set
+    are dropped (inline boilerplate)."""
+    for ch in node.children:
+        if not isinstance(ch, Node):
+            continue
+        cid = ch.class_id()
+        if cid and NEGATIVE_RE.search(cid) and not POSITIVE_RE.search(cid):
+            continue
+        tag = ch.tag
+        if tag in _HEADING_TAGS:
+            kind = _HEADING_TAGS[tag]
+            if kind == "title" and any(s["kind"] == "title" for s in spans):
+                kind = "section_header"  # only the first h1 is the title
+            spans.append({"kind": kind, "text": ch.text().strip()})
+        elif tag == "p":
+            txt = ch.text().strip()
+            if txt:
+                spans.append({"kind": "paragraph", "text": txt})
+        elif tag == "li":
+            spans.append({"kind": "list_item", "text": ch.text().strip()})
+        elif tag == "table":
+            spans.append({"kind": "table", "text": _table_text(ch)})
+        elif tag == "img":
+            spans.append({"kind": "picture", "text": ch.attrs.get("alt", "").strip()})
+        elif tag == "pre":
+            code_nodes = ch.find_all("code", [])
+            txt = code_nodes[0].text() if code_nodes else ch.text()
+            spans.append({"kind": "code", "text": txt.strip("\n")})
+        elif tag == "figcaption":
+            spans.append({"kind": "caption", "text": ch.text().strip()})
+        elif tag == "div" and "formula" in cid:
+            spans.append({"kind": "formula", "text": ch.text().strip()})
+        elif tag in ("ul", "ol", "figure", "div", "span", "section", "article", "main"):
+            _emit_spans(ch, spans)
+        # other tags (script/style/etc.) are ignored
+
+
+def extract_html(html_text: str, doc_id: str) -> list[dict]:
+    """Readability-style extraction → ordered span dicts
+    (kind, text, media_ref, offset). Media refs are assigned deterministic
+    artifact keys ``media-{doc_id}-{k}`` in reading order, k counting
+    picture/table spans (the engine's artifact-key rule; the reference keys
+    media by ImageRef in the DoclingDocument tree)."""
+    root = parse_dom(html_text)
+    bodies = root.find_all("body", [])
+    body = bodies[0] if bodies else root
+
+    spans: list[dict] = []
+    for ch in body.children:
+        if not isinstance(ch, Node):
+            continue
+        if container_score(ch) > KEEP_SCORE_MIN:
+            _emit_spans(ch, spans)
+
+    out = []
+    media_k = 0
+    for i, s in enumerate(spans):
+        if s["kind"] in ("picture", "table"):
+            media_ref = f"media-{doc_id}-{media_k}"
+            media_k += 1
+        else:
+            media_ref = ""
+        out.append(
+            {"kind": s["kind"], "text": s["text"], "media_ref": media_ref,
+             "offset": i}
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Renderer (corpus-generator side)
+# ---------------------------------------------------------------------------
+
+def _esc(t: str) -> str:
+    return _html.escape(t, quote=False)
+
+
+def _render_content_span(span: dict, parts: list):
+    kind, text = span["kind"], span["text"]
+    if kind == "title":
+        parts.append(f"<h1>{_esc(text)}</h1>")
+    elif kind == "section_header":
+        parts.append(f"<h2>{_esc(text)}</h2>")
+    elif kind == "paragraph":
+        parts.append(f"<p>{_esc(text)}</p>")
+    elif kind == "list_item":
+        parts.append(f"<li>{_esc(text)}</li>")  # wrapped in <ul> by caller
+    elif kind == "table":
+        rows = text.split("\n")
+        tr = "".join(
+            "<tr>" + "".join(f"<td>{_esc(c)}</td>" for c in row.split(" | ")) + "</tr>"
+            for row in rows
+        )
+        parts.append(f"<table>{tr}</table>")
+    elif kind == "picture":
+        parts.append(f'<figure><img src="assets/{span["media_ref"]}.png" alt="{_html.escape(text)}"/></figure>')
+    elif kind == "code":
+        parts.append(f"<pre><code>{_esc(text)}</code></pre>")
+    elif kind == "formula":
+        parts.append(f'<div class="formula">{_esc(text)}</div>')
+    elif kind == "caption":
+        parts.append(f"<figcaption>{_esc(text)}</figcaption>")
+
+
+def render_html(spans: list[dict], doc_id: str, title_hint: str = "") -> str:
+    """Serialize a raw span sequence (content + boilerplate kinds) to a full
+    HTML page. Maximal runs of content spans become <section
+    class="content-block"> containers; boilerplate spans become nav / ad /
+    footer elements between them."""
+    parts = [
+        "<!DOCTYPE html>",
+        "<html><head><meta charset=\"utf-8\"/>",
+        f"<title>{_esc(title_hint or doc_id)}</title>",
+        "</head><body>",
+    ]
+    section: list[str] = []
+    in_list = False
+
+    def flush_section():
+        nonlocal in_list
+        if in_list:
+            section.append("</ul>")
+            in_list = False
+        if section:
+            parts.append('<section class="content-block">' + "".join(section) + "</section>")
+            section.clear()
+
+    for span in spans:
+        kind = span["kind"]
+        if kind == "boilerplate_nav":
+            flush_section()
+            links = "".join(
+                f'<a href="/{w.lower()}">{_esc(w)}</a> ' for w in span["text"].split()
+            )
+            parts.append(f'<nav class="nav menu">{links}</nav>')
+        elif kind == "boilerplate_ad":
+            flush_section()
+            parts.append(
+                f'<div class="ad banner sponsored"><a href="#offer">{_esc(span["text"])}</a></div>'
+            )
+        elif kind == "boilerplate_footer":
+            flush_section()
+            links = "".join(
+                f'<a href="/{w.lower()}">{_esc(w)}</a> ' for w in span["text"].split()
+            )
+            parts.append(f'<footer class="footer site-footer">{links}</footer>')
+        else:
+            if kind == "list_item" and not in_list:
+                section.append("<ul>")
+                in_list = True
+            elif kind != "list_item" and in_list:
+                section.append("</ul>")
+                in_list = False
+            _render_content_span(span, section)
+    flush_section()
+    parts.append("</body></html>")
+    return "\n".join(parts)

@@ -1,0 +1,89 @@
+"""Span-sequence → export-format serializers (K2 in SURVEY.md §2.5).
+
+Pure serializers deriving the reference's export columns from the span
+model: markdown (reference export_to_markdown surface,
+response_preparation.py:87-105; heading shape pinned by the golden assertion
+``## DocLayNet:`` in reference tests/test_1-file-all-outputs.py:74-79),
+strict text (markdown-stripped, response_preparation.py:94-98), and doctags
+(shape pinned by ``<doctag><page_header><loc`` at
+tests/test_1-file-all-outputs.py:118-122).
+
+Page furniture (page_header / page_footer / page_break) is excluded from
+markdown and text exports — docling's default export labels — but kept in
+doctags, which is the lossless serialization.
+"""
+
+from __future__ import annotations
+
+from ..schema import FURNITURE_KINDS
+
+
+def _md_table(text: str) -> str:
+    rows = [r.split(" | ") for r in text.split("\n")]
+    if not rows:
+        return ""
+    out = ["| " + " | ".join(rows[0]) + " |"]
+    out.append("|" + "---|" * len(rows[0]))
+    for row in rows[1:]:
+        out.append("| " + " | ".join(row) + " |")
+    return "\n".join(out)
+
+
+def spans_to_markdown(spans: list[dict], page_break_placeholder: str = "") -> str:
+    """Markdown export. ``page_break_placeholder`` mirrors the reference's
+    md_page_break_placeholder option (convert.py:299-305): empty string =
+    page breaks dropped."""
+    parts = []
+    for s in spans:
+        kind, text = s["kind"], s["text"]
+        if kind == "page_break":
+            if page_break_placeholder:
+                parts.append(page_break_placeholder)
+            continue
+        if kind in FURNITURE_KINDS:
+            continue
+        if kind == "title":
+            parts.append(f"# {text}")
+        elif kind == "section_header":
+            parts.append(f"## {text}")
+        elif kind == "list_item":
+            parts.append(f"- {text}")
+        elif kind == "code":
+            parts.append("```\n" + text + "\n```")
+        elif kind == "formula":
+            parts.append(f"$${text}$$")
+        elif kind == "table":
+            parts.append(_md_table(text))
+        elif kind == "picture":
+            parts.append(f"![{text}]({s['media_ref']})")
+        elif kind == "caption":
+            parts.append(f"*{text}*")
+        else:
+            parts.append(text)
+    return "\n\n".join(parts)
+
+
+def spans_to_text(spans: list[dict]) -> str:
+    """Strict plain text: prose content only, markdown syntax stripped
+    (reference strict_text export, response_preparation.py:94-98)."""
+    parts = []
+    for s in spans:
+        if s["kind"] in FURNITURE_KINDS or s["kind"] == "picture":
+            continue
+        if s["text"]:
+            parts.append(s["text"])
+    return "\n\n".join(parts)
+
+
+def spans_to_doctags(spans: list[dict]) -> str:
+    """Lossless doctags serialization: ``<doctag>`` wrapper, one
+    ``<{kind}><loc_{offset}>{text}</{kind}>`` element per span in reading
+    order (shape per the reference's golden assertion)."""
+    parts = ["<doctag>"]
+    for s in spans:
+        kind = s["kind"]
+        loc = f"<loc_{s['offset']}>"
+        ref = f"<ref_{s['media_ref']}>" if s["media_ref"] else ""
+        parts.append(f"<{kind}>{loc}{ref}{s['text']}</{kind}>")
+    parts.append("</doctag>")
+    return "".join(parts)

@@ -1,0 +1,64 @@
+"""Job options — the engine's analog of the reference's ConvertDocumentsOptions.
+
+The reference configures a whole conversion job with one Pydantic model of
+~30 knobs (reference: docling_serve/datamodel/convert.py:114-479). Here the
+same role is played by a frozen dataclass: ONE options object per job,
+captured in UDF closures / actor constructor args (never a per-row column),
+hash-identified like the reference's converter cache key
+(docling_conversion.py:44-64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class JobOptions:
+    # --- format routing (reference convert.py:115-137) ---
+    from_formats: tuple = ("html", "pdf", "docx", "md")
+    to_formats: tuple = ("md", "text", "doctags")
+
+    # --- OCR (reference convert.py:153-198, ocrmypdf middleware) ---
+    do_ocr: bool = True
+    force_ocr: bool = False  # user override; analyzer may set per-doc mode
+    ocr_lang: tuple = ("en",)
+    auto_ocr_mode: bool = True  # run the PDF quality analyzer (M1)
+
+    # --- PDF pipeline (reference convert.py:200-305) ---
+    do_table_structure: bool = True
+    table_mode: str = "fast"  # fast | accurate (TableFormerMode analog)
+    page_range: tuple = (1, 2**31 - 1)
+    max_num_pages: int = 2**31 - 1
+    max_file_size: int = 2**63 - 1
+    md_page_break_placeholder: str = ""
+
+    # --- enrichment (reference convert.py:307-381) ---
+    do_picture_description: bool = True
+    picture_area_threshold: float = 0.0
+
+    # --- post-processing (reference convert.py:456-466, worker.py:238-257) ---
+    enable_bidi_processing: bool = True
+    enable_arabic_correction: bool = False
+
+    # --- error semantics (reference convert.py:247-255) ---
+    abort_on_error: bool = False
+
+    # --- execution tuning (ours; no reference analog — Ray-side knobs) ---
+    batch_size: int = 64  # docs per batch for stateless stages
+    actor_batch_size: int = 32  # docs per batch for actor-pool stages
+    cpu_concurrency: tuple = (1, 8)  # actor pool min/max
+    page_fanout_threshold: int = 0  # 0 = disabled; else PDFs with more pages fan out per-page
+    target_partition_bytes: int = 64 * 1024 * 1024  # byte-balanced partitioning budget
+
+    def options_hash(self) -> str:
+        """SHA-1 of canonical JSON — mirrors the reference's converter cache
+        key semantics (docling_conversion.py:44-64): distinct options must
+        hash differently."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha1(payload.encode("utf-8")).hexdigest()
+
+
+DEFAULT_OPTIONS = JobOptions()

@@ -1,0 +1,114 @@
+"""Checkpoint / resume / lineage tests (north_rule: resumable from
+checkpoint with per-partition lineage + metrics)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from docling_serve_ray.pipelines.convert import build_convert_pipeline, read_input
+from docling_serve_ray.state.checkpoint import (
+    completed_partitions,
+    plan_partitions,
+    run_partitioned,
+)
+
+
+def _input_files(corpus_dir):
+    return sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+
+
+def _pipeline_fn(files):
+    return build_convert_pipeline(read_input(files))
+
+
+class TestPlanPartitions:
+    def test_byte_balance(self, small_corpus):
+        parts = plan_partitions(_input_files(small_corpus), 4)
+        sizes = [p.bytes for p in parts]
+        assert len(parts) == 4
+        # greedy binning keeps the max/min byte ratio modest even with skew
+        assert max(sizes) <= 2.5 * min(sizes)
+
+    def test_fingerprint_stable(self, small_corpus):
+        a = plan_partitions(_input_files(small_corpus), 4)
+        b = plan_partitions(_input_files(small_corpus), 4)
+        assert [p.fingerprint for p in a] == [p.fingerprint for p in b]
+
+
+class TestRunResume:
+    def test_full_run_then_resume_skips_everything(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        out = str(tmp_path / "out")
+        files = _input_files(small_corpus)
+        r1 = run_partitioned(files, out, _pipeline_fn, num_partitions=4)
+        assert r1["skipped"] == []
+        assert len(r1["processed"]) == 4
+        assert r1["total_rows"] == 200
+
+        r2 = run_partitioned(files, out, _pipeline_fn, num_partitions=4)
+        assert sorted(r2["skipped"]) == sorted(r1["processed"])
+        assert r2["processed"] == []
+        assert r2["total_rows"] == 200
+
+    def test_partial_failure_resumes_only_missing(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        out = str(tmp_path / "out")
+        files = _input_files(small_corpus)
+        run_partitioned(files, out, _pipeline_fn, num_partitions=4)
+
+        # simulate a killed run: one partition fully lost, one torn (tmp)
+        shutil.rmtree(os.path.join(out, "part=2"))
+        os.rename(os.path.join(out, "part=3"), os.path.join(out, "part=3.tmp"))
+        os.remove(os.path.join(out, "part=3.tmp", "_SUCCESS.json"))
+
+        r = run_partitioned(files, out, _pipeline_fn, num_partitions=4)
+        assert sorted(r["skipped"]) == [0, 1]
+        assert sorted(r["processed"]) == [2, 3]
+        # final table complete and identical row count
+        ds = pads.dataset(
+            [p for p in glob.glob(os.path.join(out, "part=*", "*.parquet"))]
+        )
+        assert ds.count_rows() == 200
+
+    def test_fingerprint_invalidation(self, ray_session, small_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        corpus_copy = str(tmp_path / "input")
+        shutil.copytree(small_corpus, corpus_copy)
+        files = sorted(glob.glob(os.path.join(corpus_copy, "*.parquet")))
+        run_partitioned(files, out, _pipeline_fn, num_partitions=2)
+
+        # change one input file's size → its partition must recompute
+        victim = files[0]
+        with open(victim, "ab") as fh:
+            fh.write(b"\0")
+        # note: appending junk breaks parquet; regenerate content instead
+        shutil.copyfile(files[1], victim)
+
+        r = run_partitioned(files, out, _pipeline_fn, num_partitions=2)
+        assert len(r["processed"]) >= 1  # the touched partition reran
+        assert len(r["skipped"]) <= 1
+
+    def test_lineage_and_metrics_recorded(self, ray_session, small_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        files = _input_files(small_corpus)
+        run_partitioned(files, out, _pipeline_fn, num_partitions=4)
+
+        done = completed_partitions(out)
+        assert sorted(done) == [0, 1, 2, 3]
+        for rec in done.values():
+            assert rec["input_files"]
+            assert rec["input_fingerprint"]
+            assert rec["row_count"] > 0
+            assert rec["wall_s"] > 0
+            assert rec["docs_per_s"] > 0
+
+        manifest_path = os.path.join(out, "_manifest.jsonl")
+        rows = [json.loads(l) for l in open(manifest_path)]
+        assert [r["partition_id"] for r in rows] == [0, 1, 2, 3]
+        assert sum(r["row_count"] for r in rows) == 200
