@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship conversion pipeline over sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2 + the large-scale ops suite in docling_serve_ray/ops/).
+``oracle_sql()`` — DuckDB twins; every SQL string implements the same
+deterministic rule as the Ray pipeline, so row-count + schema +
+order-insensitive value-hash all match.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,175 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents table → interleaved HTML wrap → Readability
+    extraction pipeline (actor pool) → exploded ordered span rows."""
+    from docling_serve_ray.ops.wrap import convert_documents_table
+
+    return convert_documents_table(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from docling_serve_ray.ops import dedup, relational, similarity, text, wrap
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- conversion / extraction (flagship family) ---
+        "convert_spans": wrap.convert_documents_table,
+        "convert_markdown": wrap.convert_documents_markdown,
+        # --- text analysis ---
+        "token_count": text.token_count,
+        "text_quality": text.text_quality,
+        "lang_id": text.lang_id,
+        "fingerprint": text.fingerprint,
+        # --- dedup suite ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "simhash_dedup": dedup.simhash_dedup,  # no SQL twin (bit-sketch)
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        "embedding_neardup": similarity.embedding_neardup,
+        "label_centroids": similarity.label_centroids,
+        # --- relational / aggregation family ---
+        "agg_pricing": relational.agg_pricing,
+        "join_revenue": relational.join_revenue,
+        "top_orders": relational.top_orders,
+        "events_window": relational.events_window,
+        "distinct_brand_types": relational.distinct_brand_types,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — each mirrors its Ray twin's deterministic rule exactly.
+# ---------------------------------------------------------------------------
+
+_CONVERT_SPANS_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+titles AS (
+  SELECT doc_id, 'title' AS kind,
+         'Document ' || doc_id || ' from ' || source AS text,
+         '' AS media_ref, 0 AS "offset"
+  FROM w
+),
+paras AS (
+  SELECT doc_id, 'paragraph' AS kind,
+         array_to_string(words[i*20+1 : (i+1)*20], ' ') AS text,
+         '' AS media_ref, CAST(i + 1 AS INTEGER) AS "offset"
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+)
+SELECT doc_id, kind, text, media_ref, CAST("offset" AS INTEGER) AS "offset"
+FROM (SELECT * FROM titles UNION ALL SELECT * FROM paras)
+"""
+
+_CONVERT_MD_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         string_agg(array_to_string(words[i*20+1 : (i+1)*20], ' '), chr(10) || chr(10) ORDER BY i) AS body
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       '# Document ' || w.doc_id || ' from ' || w.source || chr(10) || chr(10) || p.body
+         AS md_content
+FROM w JOIN paras p USING (doc_id)
+"""
+
+_LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+    len(list_filter(words, w -> w IN ('the','a','of','and','to','is'))) AS c_en,
+    len(list_filter(words, w -> w IN ('der','die','das','und','nicht','ist'))) AS c_de,
+    len(list_filter(words, w -> w IN ('le','la','les','et','est','dans'))) AS c_fr,
+    len(list_filter(words, w -> w IN ('el','los','las','es','en','y'))) AS c_es
+  FROM t
+)
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+    WHEN regexp_matches(text, '[Ͱ-Ͽ]') THEN 'el'
+    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unknown'
+    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+    WHEN c_fr >= c_es THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang
+FROM c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docling_serve_ray.ops.dedup import (
+        EXACT_DEDUP_SQL,
+        JACCARD_PAIRS_SQL,
+        MINHASH_PAIRS_SQL,
+    )
+    from docling_serve_ray.ops.relational import (
+        AGG_PRICING_SQL,
+        DISTINCT_BRAND_TYPES_SQL,
+        EVENTS_WINDOW_SQL,
+        JOIN_REVENUE_SQL,
+        TOP_ORDERS_SQL,
+    )
+    from docling_serve_ray.ops.similarity import (
+        ANN_TOPK_SQL,
+        EMBEDDING_NEARDUP_SQL,
+        LABEL_CENTROIDS_SQL,
+    )
+
+    return {
+        "convert_spans": _CONVERT_SPANS_SQL,
+        "convert_markdown": _CONVERT_MD_SQL,
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+            " FROM documents"
+        ),
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars_calc,
+                     string_split(text, ' ') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+                   CAST(len(words) AS BIGINT) AS n_tokens,
+                   CAST((n_chars_calc - (len(words) - 1)) * 1000000 // len(words) AS BIGINT)
+                     AS avg_token_len_micro,
+                   CAST(len(list_filter(words, w -> w IN ('the','a','and','of','to'))) * 1000000 // len(words) AS BIGINT)
+                     AS stop_ratio_micro
+            FROM t
+        """,
+        "lang_id": _LANG_ID_SQL,
+        "fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
+        "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
+        # simhash_dedup: no SQL twin (64-bit sketch; rows-only check)
+        "ann_topk": ANN_TOPK_SQL,
+        "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
+        "agg_pricing": AGG_PRICING_SQL,
+        "join_revenue": JOIN_REVENUE_SQL,
+        "top_orders": TOP_ORDERS_SQL,
+        "events_window": EVENTS_WINDOW_SQL,
+        "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
+    }

@@ -1,0 +1,260 @@
+"""Relational operator family: grouped aggregates (with map-side partial
+aggregation), broadcast joins, global top-k, tumbling windows, distinct
+counting. These are the wide-operation building blocks a training-data
+pipeline composes around the conversion core.
+
+Scale patterns used:
+- **Partial aggregation (combiner)**: every grouped aggregate first reduces
+  inside map_batches (one row per key per batch), so the groupby shuffle
+  carries ~keys×batches rows instead of the full table.
+- **Broadcast join**: the small side (customer, 150×SF rows) is ray.put once
+  and mapped per batch — no shuffle at all.
+- **Top-k**: per-batch k-selection → tiny global sort of batches×k rows.
+
+Money columns are emitted as integer cents — rounded PER ROW with
+floor(x*100+0.5), then summed as exact integers — so the DuckDB oracle
+compares bit-exactly regardless of floating summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+# Money is rounded to integer cents PER ROW with floor(x*100 + 0.5) — the
+# same IEEE double ops on both engines — then summed exactly as integers.
+# Rounding a float *sum* instead is not reproducible across engines
+# (summation order differs), and round() itself differs (half-even in
+# numpy/pandas vs half-away in DuckDB).
+AGG_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_disc_c,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+JOIN_REVENUE_SQL = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+TOP_ORDERS_SQL = """
+SELECT o.o_orderkey, c.c_name,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 10
+"""
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+DISTINCT_BRAND_TYPES_SQL = """
+SELECT p_brand, CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part GROUP BY p_brand
+"""
+
+
+def agg_pricing(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-style pricing summary. Partial aggregation inside
+    map_batches (vectorized pandas groupby per batch) → small groupby."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") <= pa.scalar(pd.Timestamp("1998-09-02"))),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["qty_c"] = np.floor(batch["l_quantity"] * 100 + 0.5).astype("int64")
+        batch["base_c"] = np.floor(batch["l_extendedprice"] * 100 + 0.5).astype("int64")
+        batch["disc_c"] = np.floor(
+            batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("qty_c", "sum"),
+            p_base=("base_c", "sum"),
+            p_disc=("disc_c", "sum"),
+            p_cnt=("qty_c", "size"),
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base"),
+            Sum("p_disc", alias_name="sum_disc"),
+            Sum("p_cnt", alias_name="count_order"),
+        )
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty_c": batch["sum_qty"].astype("int64"),
+                "sum_base_c": batch["sum_base"].astype("int64"),
+                "sum_disc_c": batch["sum_disc"].astype("int64"),
+                "count_order": batch["count_order"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def _customer_map(sf_dir: str, value_col: str) -> dict:
+    """Small-side lookup: c_custkey → value_col, broadcast via ray.put."""
+    t = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", value_col]
+        )
+        .take_all()
+    )
+    return {r["c_custkey"]: r[value_col] for r in t}
+
+
+def join_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer (broadcast) → revenue by market segment."""
+    ref = ray.put(_customer_map(sf_dir, "c_mktsegment"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = batch["o_custkey"].map(ray.get(ref))
+        cents = np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame({"c_mktsegment": seg, "price_c": cents})
+            .groupby("c_mktsegment", as_index=False)
+            .agg(p_rev=("price_c", "sum"), p_cnt=("price_c", "size"))
+        )
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_cnt", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "revenue_c": b["rev"].astype("int64"),
+                "n_orders": b["n_orders"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Global top-10 orders by totalprice with customer name: per-batch
+    k-selection → global sort of the tiny candidate set → limit."""
+    ref = ray.put(_customer_map(sf_dir, "c_name"))
+    K = 10
+
+    def per_batch_top(batch: pd.DataFrame) -> pd.DataFrame:
+        top = batch.nlargest(K, "o_totalprice")
+        return top[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cands = ds.map_batches(per_batch_top, batch_format="pandas")
+    top = cands.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(K)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "c_name": batch["o_custkey"].map(ray.get(ref)),
+                "totalprice_c": np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
+def events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window aggregate per event_type. Ray Data has no
+    event-time windows (neither does the reference — SURVEY.md §2.4); the
+    window key is computed per batch (ts floor) and the aggregation is the
+    standard partial → groupby pattern."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["ts"].dt.floor("h")
+        cents = np.floor(batch["value"] * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "window_start": w, "value_c": cents})
+            .groupby(["event_type", "window_start"], as_index=False)
+            .agg(p_cnt=("value_c", "size"), p_sum=("value_c", "sum"))
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("p_cnt", "sum"), sum_value_c=("p_sum", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value_c"] = out["sum_value_c"].astype("int64")
+        return out
+
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    # window count scales with data span → bucketed grouped reduce
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "window_start"],
+        final,
+    )
+
+
+def distinct_brand_types(sf_dir: str) -> ray.data.Dataset:
+    """count(DISTINCT p_type) per brand: per-batch distinct pairs → groupby
+    brand → unique count (exact distinct via pair dedup, not a sketch)."""
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["p_brand", "p_type"]].drop_duplicates()
+
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]],
+                "n_types": pd.Series([g["p_type"].nunique()], dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_type"])
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(count_unique, batch_format="pandas")
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: brute-force cosine top-k — the distributed baseline. The
+  query matrix is broadcast once (ray.put) and every batch computes a
+  vectorized numpy matmul against it, emitting per-batch top-k candidates;
+  a tiny groupby merges candidates into the final top-k. At 10^12-vector
+  scale the per-batch step is unchanged and the merge stays k×queries-sized
+  — this is the scale path (an IVF variant would only prune batches).
+- ``embedding_neardup``: all-pairs cosine ≥ τ via broadcast matrix —
+  valid for small-side ≤ ~1e6 vectors (64-dim float32 = 256 MB); beyond
+  that, LSH-bucket by random hyperplanes first (same verify step).
+- ``label_centroids``: per-label mean vector via per-batch partial sums →
+  small groupby merge (combiner pattern: the shuffle carries one partial
+  row per (label, batch), never the vectors).
+
+Outputs avoid raw float columns (DuckDB's list_cosine_similarity runs in
+float32, ~3.5e-8 off from float64): top-k emits ranks, neardup emits pairs,
+centroids emit micro-rounded ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+TOPK_K = 5
+TOPK_NUM_QUERIES = 10
+NEARDUP_TAU = 0.99
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT)
+         AS rank
+FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= 5
+"""
+
+EMBEDDING_NEARDUP_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(i AS BIGINT) AS pos,
+       CAST(floor(avg(CAST(embedding[i+1] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS centroid_micro
+FROM embeddings, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
+GROUP BY label, i
+"""
+
+
+def _emb(sf_dir: str, columns=("vec_id", "embedding")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=list(columns))
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    flat = batch["embedding"].combine_chunks()
+    dim = len(flat[0])
+    X = np.asarray(flat.flatten(), dtype=np.float64).reshape(len(ids), dim)
+    return ids, X
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def ann_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 cosine neighbors for query vectors vec_id < 10 → (qid, vec_id,
+    rank). Broadcast queries, per-batch matmul + partial top-k, final merge."""
+    import pyarrow.compute as pc
+
+    q_rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < TOPK_NUM_QUERIES),  # row-group pushdown
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in q_rows])
+    Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    ref = ray.put((qids, Q))
+
+    def per_batch_topk(batch: pa.Table) -> pd.DataFrame:
+        qids_, Q_ = ray.get(ref)
+        ids, X = _batch_matrix(batch)
+        sims = Q_ @ _normalize(X).T  # (nq, nb)
+        out = []
+        k = min(TOPK_K + 1, sims.shape[1])  # +1 headroom for self-match
+        for qi, qid in enumerate(qids_):
+            row = sims[qi]
+            idx = np.argpartition(-row, k - 1)[:k]
+            for j in idx:
+                if ids[j] != qid:
+                    out.append((int(qid), int(ids[j]), float(row[j])))
+        return pd.DataFrame(out, columns=["qid", "vec_id", "sim"])
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOPK_K)
+        return pd.DataFrame(
+            {
+                "qid": top["qid"].astype("int64"),
+                "vec_id": top["vec_id"].astype("int64"),
+                "rank": pd.Series(range(1, len(top) + 1), index=top.index, dtype="int64"),
+            }
+        )
+
+    cands = _emb(sf_dir).map_batches(per_batch_topk, batch_format="pyarrow")
+    return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
+
+
+def embedding_neardup(sf_dir: str) -> ray.data.Dataset:
+    """All pairs with cosine ≥ 0.99 over the copy-augmented table →
+    (vec_a, vec_b). The full (small-side) matrix is broadcast once."""
+    all_rows = _emb(sf_dir).take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    X = _normalize(np.array([r["embedding"] for r in all_rows], dtype=np.float64))
+    # augmentation: exact copies for vec_id % 10 == 0
+    copy_mask = ids % 10 == 0
+    ids_aug = np.concatenate([ids, ids[copy_mask] + 1_000_000])
+    X_aug = np.vstack([X, X[copy_mask]])
+    ref = ray.put((ids_aug, X_aug))
+
+    def pairs_of_batch(batch: pa.Table) -> pd.DataFrame:
+        ids_all, X_all = ray.get(ref)
+        bids, BX = _batch_matrix(batch)
+        # each batch contributes its originals AND their augmented copies
+        bmask = bids % 10 == 0
+        bids_aug = np.concatenate([bids, bids[bmask] + 1_000_000])
+        BXn = _normalize(BX)
+        BX_aug = np.vstack([BXn, BXn[bmask]])
+        sims = BX_aug @ X_all.T
+        bi, aj = np.nonzero(sims >= NEARDUP_TAU)
+        a = bids_aug[bi]
+        b = ids_all[aj]
+        keep = a < b
+        return pd.DataFrame(
+            {"vec_a": a[keep].astype("int64"), "vec_b": b[keep].astype("int64")}
+        ).drop_duplicates()
+
+    return _emb(sf_dir).map_batches(pairs_of_batch, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label mean embedding, exploded to (label, pos, centroid_micro).
+    Combiner pattern: per-batch partial (sum, count) rows → tiny groupby."""
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        _, X = _batch_matrix(batch)
+        rows = []
+        for lab in np.unique(labels):
+            sel = X[labels == lab]
+            rows.append(
+                {
+                    "label": int(lab),
+                    "sum_vec": sel.sum(axis=0).tolist(),
+                    "cnt": int(sel.shape[0]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(np.stack(g["sum_vec"].to_list()), axis=0)
+        n = g["cnt"].sum()
+        mean = total / n
+        return pd.DataFrame(
+            {
+                "label": pd.Series([int(g["label"].iloc[0])] * len(mean), dtype="int32"),
+                "pos": pd.Series(range(len(mean)), dtype="int64"),
+                "centroid_micro": pd.Series(
+                    np.floor(mean * 1_000_000 + 0.5), dtype="int64"
+                ),
+            }
+        )
+
+    ds = _emb(sf_dir, columns=("vec_id", "embedding", "label"))
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+    )

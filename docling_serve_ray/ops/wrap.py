@@ -1,0 +1,113 @@
+"""Adapter: flat (doc_id, text, source) documents → interleaved HTML
+documents → flagship conversion pipeline → exploded span rows.
+
+This is how the engine's flagship extraction pipeline is exercised against
+the driver's test tables: each document row is deterministically rendered
+into a *realistic boilerplate-wrapped HTML page* (nav + ads + footer around
+the content — the same renderer the synthetic corpus uses), pushed through
+the full conversion pipeline (Readability-style extraction, actor pool),
+and the resulting ordered spans are exploded to one row per span.
+
+The construction rule is simple enough to have an exact SQL twin:
+title = 'Document {doc_id} from {source}', paragraphs = consecutive
+20-word chunks of the text — so the whole extraction round-trip has a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..kernels.html import render_html
+from ..options import JobOptions
+from ..pipelines.convert import build_convert_pipeline
+from ..schema import SPANS_TYPE
+
+CHUNK_WORDS = 20
+
+_BOILER_NAV = "Home About Contact Products"
+_BOILER_AD = "Limited offer discount today"
+_BOILER_FOOTER = "Privacy Terms Copyright"
+
+
+def wrap_row_to_html(doc_id: str, text: str, source: str) -> bytes:
+    """Deterministic interleaved HTML page for one flat document row."""
+    words = text.split(" ")
+    spans = [
+        {"kind": "boilerplate_nav", "text": _BOILER_NAV, "media_ref": ""},
+        {
+            "kind": "title",
+            "text": f"Document {doc_id} from {source}",
+            "media_ref": "",
+        },
+    ]
+    for i in range(0, len(words), CHUNK_WORDS):
+        spans.append(
+            {"kind": "paragraph", "text": " ".join(words[i : i + CHUNK_WORDS]), "media_ref": ""}
+        )
+        if i == 0:
+            spans.append({"kind": "boilerplate_ad", "text": _BOILER_AD, "media_ref": ""})
+    spans.append({"kind": "boilerplate_footer", "text": _BOILER_FOOTER, "media_ref": ""})
+    return render_html(spans, doc_id).encode("utf-8")
+
+
+def _wrap_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = [str(d) for d in batch["doc_id"].to_pylist()]
+    texts = batch["text"].to_pylist()
+    sources = batch["source"].to_pylist()
+    payloads = [wrap_row_to_html(d, t, s) for d, t, s in zip(doc_ids, texts, sources)]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "format": pa.array(["html"] * len(doc_ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "lang": pa.array(["en"] * len(doc_ids), pa.string()),
+        }
+    )
+
+
+def _explode_spans(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) → one row per span, flattened struct fields."""
+    doc_ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    out_doc, out_kind, out_text, out_ref, out_off = [], [], [], [], []
+    for d, spans in zip(doc_ids, spans_col):
+        for s in spans:
+            out_doc.append(d)
+            out_kind.append(s["kind"])
+            out_text.append(s["text"])
+            out_ref.append(s["media_ref"])
+            out_off.append(s["offset"])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.string()),
+            "kind": pa.array(out_kind, pa.string()),
+            "text": pa.array(out_text, pa.string()),
+            "media_ref": pa.array(out_ref, pa.string()),
+            "offset": pa.array(out_off, pa.int32()),
+        }
+    )
+
+
+def convert_documents_table(
+    sf_dir: str, options: JobOptions = JobOptions()
+) -> ray.data.Dataset:
+    """Flagship: wrap → convert → explode. Returns span rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    ds = build_convert_pipeline(ds, options)
+    ds = ds.select_columns(["doc_id", "spans"])
+    return ds.map_batches(_explode_spans, batch_format="pyarrow")
+
+
+def convert_documents_markdown(sf_dir: str) -> ray.data.Dataset:
+    """Same pipeline, markdown export column instead of span rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    ds = build_convert_pipeline(ds, JobOptions(to_formats=("md",)))
+    return ds.select_columns(["doc_id", "md_content"])

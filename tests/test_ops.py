@@ -1,0 +1,86 @@
+"""Ops suite vs DuckDB oracles at sf0.001 — the in-repo replica of the
+driver's correctness gate for a representative subset (the full suite runs
+via scripts/check_correctness.py)."""
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+SUBSET = [
+    "convert_spans",
+    "token_count",
+    "lang_id",
+    "exact_dedup",
+    "minhash_dedup",
+    "ann_topk",
+    "label_centroids",
+    "agg_pricing",
+    "join_revenue",
+    "top_orders",
+    "events_window",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _hash(df: pd.DataFrame) -> str:
+    return hashlib.sha1(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    res = fn(SF)
+    ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    ray_df = _canon(ray_df)
+    ora_df = _canon(duck.sql(sql).df())
+    assert len(ray_df) == len(ora_df)
+    assert list(ray_df.columns) == list(ora_df.columns)
+    assert _hash(ray_df) == _hash(ora_df)
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as entrymod
+
+    ds = entrymod.entry()
+    assert ds.count() > 0
+    names = [f.name for f in ds.schema().base_schema]
+    assert names == ["doc_id", "kind", "text", "media_ref", "offset"]
+
+
+def test_simhash_rows_only(ray_session):
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["simhash_dedup"](SF).to_pandas()
+    assert {"doc_a", "doc_b", "hamming"} <= set(df.columns)
+    assert (df["doc_a"] < df["doc_b"]).all()
+    assert (df["hamming"] <= 3).all()
+    # engineered near-dup copies must be found
+    assert ((df["doc_b"] - df["doc_a"]) == 2_000_000).any()
