@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default: converts the cached deterministic synthetic interleaved corpus
+(flagship end-to-end pipeline, BASELINE.md headline metric) and times the
+headline ops-suite queries over $GRAFT_SF_DIR.
+
+--scaling: runs the flagship conversion at two parallelism levels (default
+4 and 16 CPUs, fresh processes — the sandbox stand-in for N and 4N nodes)
+on the same corpus and reports throughput at both plus scaling efficiency.
+
+Env knobs:
+  RAY_GRAFT_CPUS     num_cpus for ray.init (default 32)
+  GRAFT_SF_DIR       testdata dir for ops queries (default /root/testdata/sf0.1)
+  GRAFT_BENCH_DOCS   synthetic corpus size (default 100000)
+  GRAFT_BENCH_QUERIES  "0" to skip the ops-suite query timings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+CORPUS_DIR = f"/tmp/graft_bench_corpus_{N_DOCS}"
+
+BENCH_QUERIES = [
+    "convert_spans",
+    "token_count",
+    "exact_dedup",
+    "minhash_dedup",
+    "ngram_jaccard_dedup",
+    "ann_topk",
+    "label_centroids",
+    "agg_pricing",
+    "join_revenue",
+    "events_window",
+]
+
+
+def _consume(ds) -> int:
+    """Consume a Dataset with a cheap projection (keeps payload-sized
+    columns out of the driver)."""
+    import ray.data
+
+    if not isinstance(ds, ray.data.Dataset):
+        return len(ds)
+    cols = ds.columns()
+    small = [c for c in cols if c in ("doc_id", "num_spans", "status")] or cols[:1]
+    return ds.select_columns(small).count()
+
+
+def ensure_corpus() -> str:
+    from docling_serve_ray.pipelines.gen import generate_corpus
+
+    marker = os.path.join(CORPUS_DIR, "input", "_DONE")
+    if not os.path.exists(marker):
+        generate_corpus(CORPUS_DIR, N_DOCS, num_files=128)
+        open(marker, "w").write("ok")
+    return os.path.join(CORPUS_DIR, "input")
+
+
+def run_flagship(input_dir: str, repeats: int = 2) -> dict:
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from docling_serve_ray.pipelines.convert import convert_dataset
+
+    files = pads.dataset(input_dir, format="parquet").files
+    files = [f for f in files if f.endswith(".parquet")]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+
+    # warm-up (untimed): page-cache the whole input + spin up Ray workers
+    ray.data.read_parquet(files).count()
+    convert_dataset(files[:4]).select_columns(["doc_id"]).count()
+
+    walls = []
+    n = 0
+    for _ in range(repeats):
+        t0 = time.time()
+        n = _consume(convert_dataset(files))
+        walls.append(time.time() - t0)
+    wall = min(walls)  # best-of-N: the box is shared, noise is one-sided
+    return {
+        "docs": n,
+        "wall_s": round(wall, 2),
+        "walls_all": [round(w, 2) for w in walls],
+        "docs_per_sec": round(n / wall, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 1),
+    }
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    input_dir = ensure_corpus()
+    flagship = run_flagship(input_dir)
+
+    queries: dict[str, float] = {}
+    if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(qs[name](SF_DIR))
+            queries[name] = round(time.time() - t0, 2)
+
+    out = {
+        "metric": "flagship end-to-end conversion wall time (synthetic interleaved corpus)",
+        "value": flagship["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "num_cpus": NUM_CPUS,
+        "flagship": flagship,
+        "bench_docs": N_DOCS,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    """Same flagship job at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_QUERIES="0",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # N and 4N CPUs in fresh processes — the sandbox stand-in for N / 4N
+    # nodes. Default 4→16: both levels sit below this box's saturation
+    # ceiling (~6-8k docs/s, memory-bandwidth/turbo-bound above ~16 active
+    # cores — see BASELINE.md calibration), so the ratio measures the
+    # engine's scaling, not the host's thermal envelope. Override with
+    # GRAFT_SCALE_LO / GRAFT_SCALE_HI.
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    result = {
+        "metric": f"scaling efficiency (flagship conversion, {lo_cpus} vs {hi_cpus} CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": lo["flagship"]["docs_per_sec"],
+        "docs_per_sec_hi": hi["flagship"]["docs_per_sec"],
+        "num_cpus": [lo_cpus, hi_cpus],
+        "bench_docs": lo["bench_docs"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        main()

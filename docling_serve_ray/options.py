@@ -19,7 +19,9 @@ from dataclasses import asdict, dataclass, field
 class JobOptions:
     # --- format routing (reference convert.py:115-137) ---
     from_formats: tuple = ("html", "pdf", "docx", "md")
-    to_formats: tuple = ("md", "text", "doctags")
+    # reference default is Markdown only (convert.py:127-137 "defaults to
+    # Markdown"); text/doctags are opt-in export columns
+    to_formats: tuple = ("md",)
 
     # --- OCR (reference convert.py:153-198, ocrmypdf middleware) ---
     do_ocr: bool = True
@@ -48,8 +50,10 @@ class JobOptions:
 
     # --- execution tuning (ours; no reference analog — Ray-side knobs) ---
     batch_size: int = 64  # docs per batch for stateless stages
-    actor_batch_size: int = 32  # docs per batch for actor-pool stages
-    cpu_concurrency: tuple = (1, 8)  # actor pool min/max
+    actor_batch_size: int = 64  # docs per batch for actor-pool stages
+    # actor pool sizing is cluster-derived by default (pipelines.convert.
+    # safe_concurrency(None) → (2, cluster_cpus-1)); set a concurrency
+    # explicitly on the pipeline call to pin it
     page_fanout_threshold: int = 0  # 0 = disabled; else PDFs with more pages fan out per-page
     target_partition_bytes: int = 64 * 1024 * 1024  # byte-balanced partitioning budget
 

@@ -17,9 +17,12 @@ def _spans_of(rows):
     return {r["doc_id"]: [dict(s) for s in r["spans"]] for r in rows}
 
 
+ALL_FORMATS = JobOptions(to_formats=("md", "text", "doctags"))
+
+
 @pytest.fixture(scope="module")
 def converted(ray_session, small_corpus):
-    ds = build_convert_pipeline(read_input(small_corpus))
+    ds = build_convert_pipeline(read_input(small_corpus), options=ALL_FORMATS)
     return ds.take_all()
 
 
