@@ -28,7 +28,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from docling_serve_ray.ops import dedup, relational, similarity, text, wrap
+    from docling_serve_ray.ops import dedup, media_ops, relational, similarity, text, wrap
 
     return {
         # --- conversion / extraction (flagship family) ---
@@ -50,10 +50,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
+        "join_priority_revenue": relational.join_priority_revenue,
         "join_revenue": relational.join_revenue,
         "top_orders": relational.top_orders,
         "events_window": relational.events_window,
         "distinct_brand_types": relational.distinct_brand_types,
+        # --- multimodal (stub decoder, real plumbing) ---
+        "media_meta": media_ops.media_meta,
     }
 
 
@@ -138,8 +141,10 @@ def oracle_sql() -> dict[str, str]:
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
     )
+    from docling_serve_ray.ops.media_ops import MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
+        JOIN_PRIORITY_REVENUE_SQL,
         DISTINCT_BRAND_TYPES_SQL,
         EVENTS_WINDOW_SQL,
         JOIN_REVENUE_SQL,
@@ -183,8 +188,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "agg_pricing": AGG_PRICING_SQL,
+        "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
+        "media_meta": MEDIA_META_SQL,
     }

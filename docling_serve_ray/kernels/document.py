@@ -19,7 +19,7 @@ from ..options import JobOptions
 from .bidi import apply_bidi_if_changed
 from .html import extract_html
 from .office import parse_docx, parse_markdown_doc
-from .pdfmodel import page_embedded_texts, parse_payload, parse_pdf
+from .pdfmodel import page_embedded_texts, parse_payload, parse_pdf_doc
 from .quality import analyze_page_texts
 from .serialize import spans_to_doctags, spans_to_markdown, spans_to_text
 
@@ -30,6 +30,10 @@ def analyze_document(fmt: str, payload: bytes, options: JobOptions) -> str:
     non-PDF formats. force_ocr option override mirrors worker.py:150-156."""
     if fmt != "pdf":
         return ""
+    if options.pipeline == "vlm":
+        # VLM pipeline: the whole-page vision model re-reads every page
+        # from pixels — equivalent to force for the text-layer decision
+        return "force"
     if options.force_ocr:
         return "force"
     if not options.auto_ocr_mode:
@@ -64,8 +68,12 @@ def convert_document(
         if fmt == "html":
             spans = extract_html(payload.decode("utf-8"), doc_id)
         elif fmt == "pdf":
-            spans = parse_pdf(
-                payload, doc_id, mode or "skip", reverse_codebook,
+            doc = parse_payload(payload)
+            if len(doc.get("pages", [])) > options.max_num_pages:
+                # reference guard: docling_conversion.py:252-254
+                raise ValueError("max_num_pages exceeded")
+            spans = parse_pdf_doc(
+                doc, doc_id, mode or "skip", reverse_codebook,
                 page_range=options.page_range,
             )
         elif fmt == "docx":
@@ -83,13 +91,10 @@ def convert_document(
         spans = []
         status = "failure"
 
-    md = spans_to_markdown(spans, options.md_page_break_placeholder) if "md" in options.to_formats else ""
-    if md and options.enable_bidi_processing:
-        md, _ = apply_bidi_if_changed(md)
-    text = spans_to_text(spans) if "text" in options.to_formats else ""
-    doctags = spans_to_doctags(spans) if "doctags" in options.to_formats else ""
+    exports = make_exports(spans, options)
 
     return {
+        **exports,
         "doc_id": doc_id,
         "spans": spans,
         "format": fmt,
@@ -97,8 +102,31 @@ def convert_document(
         "ocr_mode": mode,
         "status": status,
         "errors": errors,
+        "num_spans": len(spans),
+    }
+
+
+def make_exports(spans: list[dict], options: JobOptions) -> dict:
+    """Export serialization (K2) + BiDi post-processing (M9) — shared by
+    the whole-doc path and the page fan-in reassembly."""
+    md = (
+        spans_to_markdown(spans, options.md_page_break_placeholder)
+        if "md" in options.to_formats
+        else ""
+    )
+    if md and options.enable_bidi_processing:
+        md, _ = apply_bidi_if_changed(md)
+    text = spans_to_text(spans) if "text" in options.to_formats else ""
+    if options.enable_arabic_correction:
+        from .arabic import DeterministicArabicCorrector, correct_content
+
+        client = DeterministicArabicCorrector()
+        md, _ = correct_content(md, client)
+        text, _ = correct_content(text, client)
+    return {
         "md_content": md,
         "text_content": text,
-        "doctags_content": doctags,
-        "num_spans": len(spans),
+        "doctags_content": (
+            spans_to_doctags(spans) if "doctags" in options.to_formats else ""
+        ),
     }

@@ -168,6 +168,83 @@ def recover_tables(table_cells: list[dict]) -> list[dict]:
     return tables
 
 
+def parse_page(page: dict, ocr_mode: str, reverse_codebook) -> list[dict]:
+    """Convert ONE page dict → span dicts (kind, text) in reading order —
+    no offsets, media refs or page breaks (those are document-level,
+    assigned by finalize_document_spans). This is the unit of work for the
+    page fan-out path (G2 in SURVEY.md §2.4)."""
+    width, height = page.get("width", 612), page.get("height", 792)
+    spans: list[dict] = []
+
+    regular, tablecells = [], []
+    for cell in page["cells"]:
+        c = dict(cell)
+        c["_etext"] = _cell_effective_text(c, ocr_mode, reverse_codebook)
+        (tablecells if c["font"] == "table" else regular).append(c)
+
+    tables = recover_tables(tablecells)
+    # tables join the stream as synthetic full-cells at their anchor pos
+    for t in tables:
+        regular.append(
+            {"x0": t["x0"], "y0": t["y0"], "x1": t["x0"] + 1, "y1": t["y0"] + 1,
+             "font": "table-block", "text": t["text"], "_etext": t["text"],
+             "is_bitmap": False, "from_ocr": False}
+        )
+
+    ordered = reading_order(regular, width, height)
+    # substitute effective text before merge so joins use OCR-corrected text
+    for c in ordered:
+        c["text"] = c["_etext"]
+    blocks = merge_blocks(ordered)
+
+    for blk in blocks:
+        font = blk["font"]
+        if blk["y1"] <= HEADER_BAND:
+            kind = "page_header"
+        elif blk["y0"] >= height - FOOTER_BAND:
+            kind = "page_footer"
+        elif font == "table-block":
+            kind = "table"
+        elif font == "image":
+            kind = "picture"
+        elif font in FONT_KIND:
+            kind = FONT_KIND[font]
+        elif blk["text"].startswith("• "):
+            kind = "list_item"
+            blk["text"] = blk["text"][2:]
+        else:
+            kind = "paragraph"
+        spans.append({"kind": kind, "text": blk["text"], "media_ref": ""})
+    return spans
+
+
+def finalize_document_spans(page_spans: list[list[dict]], doc_id: str) -> list[dict]:
+    """Page span lists (page order) → final document span sequence:
+    page_break between pages, deterministic media_ref assignment in reading
+    order, dense offset ranking. Shared by the whole-doc path and the page
+    fan-in reassembly — identical output by construction."""
+    spans: list[dict] = []
+    for pi, pspans in enumerate(page_spans):
+        if pi > 0:
+            spans.append({"kind": "page_break", "text": "", "media_ref": ""})
+        spans.extend(dict(s) for s in pspans)
+    out = []
+    media_k = 0
+    for i, s in enumerate(spans):
+        if s["kind"] in ("picture", "table"):
+            s["media_ref"] = f"media-{doc_id}-{media_k}"
+            media_k += 1
+        else:
+            s["media_ref"] = ""
+        s["offset"] = i
+        out.append(s)
+    return out
+
+
+def select_pages(doc: dict, page_range: tuple = (1, 2**31 - 1)) -> list[dict]:
+    return [p for p in doc["pages"] if page_range[0] <= p["page_no"] <= page_range[1]]
+
+
 def parse_pdf(
     payload: bytes,
     doc_id: str,
@@ -175,69 +252,21 @@ def parse_pdf(
     reverse_codebook,
     page_range: tuple = (1, 2**31 - 1),
 ) -> list[dict]:
-    """Full PDF conversion for one document → ordered span dicts.
-
-    Stages fused here (each is a separately-testable function above):
+    """Full PDF conversion for one document → ordered span dicts:
     per-page OCR-mode text resolution → table recovery → geometric reading
-    order → block merge → kind classification → page_break insertion →
-    dense offset ranking.
-    """
-    doc = parse_payload(payload)
-    spans: list[dict] = []
-    pages = [
-        p for p in doc["pages"] if page_range[0] <= p["page_no"] <= page_range[1]
-    ]
-    for pi, page in enumerate(pages):
-        if pi > 0:
-            spans.append({"kind": "page_break", "text": "", "media_ref": ""})
-        width, height = page.get("width", 612), page.get("height", 792)
+    order → block merge → kind classification (parse_page), then
+    page_break insertion + media-ref assignment + dense offset ranking
+    (finalize_document_spans)."""
+    return parse_pdf_doc(parse_payload(payload), doc_id, ocr_mode, reverse_codebook, page_range)
 
-        regular, tablecells = [], []
-        for cell in page["cells"]:
-            c = dict(cell)
-            c["_etext"] = _cell_effective_text(c, ocr_mode, reverse_codebook)
-            (tablecells if c["font"] == "table" else regular).append(c)
 
-        tables = recover_tables(tablecells)
-        # tables join the stream as synthetic full-cells at their anchor pos
-        for t in tables:
-            regular.append(
-                {"x0": t["x0"], "y0": t["y0"], "x1": t["x0"] + 1, "y1": t["y0"] + 1,
-                 "font": "table-block", "text": t["text"], "_etext": t["text"],
-                 "is_bitmap": False, "from_ocr": False}
-            )
-
-        ordered = reading_order(regular, width, height)
-        # substitute effective text before merge so joins use OCR-corrected text
-        for c in ordered:
-            c["text"] = c["_etext"]
-        blocks = merge_blocks(ordered)
-
-        for blk in blocks:
-            font = blk["font"]
-            if blk["y1"] <= HEADER_BAND:
-                kind = "page_header"
-            elif blk["y0"] >= height - FOOTER_BAND:
-                kind = "page_footer"
-            elif font == "table-block":
-                kind = "table"
-            elif font == "image":
-                kind = "picture"
-            elif font in FONT_KIND:
-                kind = FONT_KIND[font]
-            elif blk["text"].startswith("• "):
-                kind = "list_item"
-                blk["text"] = blk["text"][2:]
-            else:
-                kind = "paragraph"
-            spans.append({"kind": kind, "text": blk["text"], "media_ref": ""})
-
-    out = []
-    media_k = 0
-    for i, s in enumerate(spans):
-        if s["kind"] in ("picture", "table"):
-            s["media_ref"] = f"media-{doc_id}-{media_k}"
-            media_k += 1
-        s["offset"] = i
-        out.append(s)
-    return out
+def parse_pdf_doc(
+    doc: dict,
+    doc_id: str,
+    ocr_mode: str,
+    reverse_codebook,
+    page_range: tuple = (1, 2**31 - 1),
+) -> list[dict]:
+    pages = select_pages(doc, page_range)
+    page_spans = [parse_page(p, ocr_mode, reverse_codebook) for p in pages]
+    return finalize_document_spans(page_spans, doc_id)

@@ -258,3 +258,54 @@ def distinct_brand_types(sf_dir: str) -> ray.data.Dataset:
         .groupby("p_brand")
         .map_groups(count_unique, batch_format="pandas")
     )
+
+
+JOIN_PRIORITY_REVENUE_SQL = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def join_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Big-big hash join: lineitem ⋈ orders on orderkey (both sides scale
+    with the corpus — no broadcast; Ray's hash-partitioned Dataset.join),
+    then the standard partial→small-groupby aggregate."""
+    l = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = l.join(o, "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"o_orderpriority": batch["o_orderpriority"], "c": cents})
+            .groupby("o_orderpriority", as_index=False)
+            .agg(p_rev=("c", "sum"), p_n=("c", "size"))
+        )
+        return g
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n_lines"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue_c": b["rev"].astype("int64"),
+                "n_lines": b["n_lines"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -30,6 +30,10 @@ class JobOptions:
     auto_ocr_mode: bool = True  # run the PDF quality analyzer (M1)
 
     # --- PDF pipeline (reference convert.py:200-305) ---
+    pipeline: str = "standard"  # standard | vlm (reference convert.py:225-228):
+                                # vlm = whole-page vision model replaces
+                                # layout+OCR -> every PDF page is re-read
+                                # from the rasterized form (mode force)
     do_table_structure: bool = True
     table_mode: str = "fast"  # fast | accurate (TableFormerMode analog)
     page_range: tuple = (1, 2**31 - 1)

@@ -1,0 +1,129 @@
+"""Multimodal sidecar stages: decode → feature-extract → thumbnail over the
+media table (media_ref, doc_id, bytes, mime) — T4 in FIXTURES.md.
+
+Image/audio decode libraries are not in this container, so the DECODERS are
+deterministic fakes behind injectable factories (clearly marked; swap in a
+PIL/ffmpeg-backed decoder in production — same callable signature). The
+Ray-side plumbing is real and tested: actor pools with the decoder pinned
+in actor state, small batches for large binary rows (SURVEY.md §4 memory
+pressure), Arrow binary columns end-to-end, deterministic output layout.
+
+Reference analogs: the image handling inside the AI-vision path — pdf→image
+at dpi 200, LANCZOS downscale to ≤2048 px, JPEG re-encode
+(ai_vision_middleware.py:84-153) — and ImageRefMode embedded/referenced
+artifacts (convert.py:139-151).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MAX_DIM_DEFAULT = 2048  # reference cap: ai_vision_middleware.py:101-105
+
+
+class StubImageDecoder:
+    """DETERMINISTIC FAKE decoder (no image libs in this sandbox): derives
+    plausible dimensions from the byte length. A real decoder returns the
+    same dict from actual pixel data."""
+
+    def decode(self, data: bytes, mime: str) -> dict:
+        n = len(data)
+        return {
+            "width": 64 + n % 997,
+            "height": 64 + (n * 31) % 997,
+            "channels": 3,
+            "n_bytes": n,
+        }
+
+
+def resize_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving downscale cap (reference LANCZOS ≤2048 rule):
+    scale = min(1, max_dim / max(w, h)), floor, at least 1 px."""
+    scale = min(1.0, max_dim / max(width, height))
+    return max(1, int(width * scale)), max(1, int(height * scale))
+
+
+class MediaDecodeActor:
+    """Actor-pool stage: bytes → metadata columns. Decoder built once per
+    actor (the model-load slot)."""
+
+    def __init__(self, decoder_factory=StubImageDecoder):
+        self.decoder = decoder_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [
+            self.decoder.decode(b, m)
+            for b, m in zip(batch["bytes"].to_pylist(), batch["mime"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "doc_id": batch["doc_id"],
+                "mime": batch["mime"],
+                "width": pa.array([m["width"] for m in metas], pa.int32()),
+                "height": pa.array([m["height"] for m in metas], pa.int32()),
+                "channels": pa.array([m["channels"] for m in metas], pa.int32()),
+                "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
+            }
+        )
+
+
+class ThumbnailActor:
+    """Actor-pool stage: metadata (+bytes) → capped thumbnail dims and a
+    deterministic fake thumbnail payload (real impl: LANCZOS resample +
+    JPEG encode, ai_vision_middleware.py:132-153)."""
+
+    def __init__(self, max_dim: int = MAX_DIM_DEFAULT):
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tw, th, blobs = [], [], []
+        for w, h, data in zip(
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["bytes"].to_pylist() if "bytes" in batch.column_names else [b""] * batch.num_rows,
+        ):
+            a, b = resize_dims(w, h, self.max_dim)
+            tw.append(a)
+            th.append(b)
+            blobs.append(bytes([a % 256, b % 256]) + (data[:62] if data else b""))
+        cols = {name: batch[name] for name in batch.column_names if name != "bytes"}
+        cols["thumb_w"] = pa.array(tw, pa.int32())
+        cols["thumb_h"] = pa.array(th, pa.int32())
+        cols["thumb_bytes"] = pa.array(blobs, pa.large_binary())
+        return pa.table(cols)
+
+
+class MediaEmbedActor:
+    """Actor-pool stage: bytes → 64-dim unit embedding (deterministic
+    byte-chunk hashing — a real impl runs a vision encoder here). Output
+    feeds the similarity-search ops (ann_topk / embedding_neardup)."""
+
+    DIM = 64
+
+    def __init__(self):
+        self._salt = b"media-embed-v1"
+
+    def _embed(self, data: bytes) -> list[float]:
+        h = hashlib.sha256(self._salt + data).digest()
+        # expand to DIM floats via counter-mode hashing
+        raw = b"".join(
+            hashlib.sha256(h + i.to_bytes(2, "big")).digest() for i in range((self.DIM * 4) // 32 + 1)
+        )
+        v = np.frombuffer(raw[: self.DIM * 4], dtype=np.uint32).astype(np.float64)
+        v = (v / 2**32) - 0.5
+        n = np.linalg.norm(v)
+        return (v / n).astype(np.float32).tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = [self._embed(b) for b in batch["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "doc_id": batch["doc_id"],
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+            }
+        )

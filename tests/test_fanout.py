@@ -1,0 +1,56 @@
+"""Page fan-out/fan-in equality: the two-branch pipeline must produce
+byte-identical converted documents to the whole-doc pipeline."""
+
+import pytest
+
+from docling_serve_ray.options import JobOptions
+from docling_serve_ray.pipelines.convert import build_convert_pipeline, read_input
+from docling_serve_ray.pipelines.fanout import convert_with_page_fanout
+
+OPTS = JobOptions(to_formats=("md", "doctags"))
+
+
+def _index(rows):
+    return {
+        r["doc_id"]: (
+            [dict(s) for s in r["spans"]],
+            r["md_content"],
+            r["doctags_content"],
+            r["ocr_mode"],
+            r["status"],
+        )
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def both(ray_session, small_corpus):
+    plain = build_convert_pipeline(read_input(small_corpus), options=OPTS).take_all()
+    fanout = convert_with_page_fanout(small_corpus, options=OPTS, threshold=3).take_all()
+    return _index(plain), _index(fanout)
+
+
+class TestFanoutEquality:
+    def test_same_docs(self, both):
+        plain, fanout = both
+        assert set(plain) == set(fanout)
+
+    def test_identical_output(self, both):
+        plain, fanout = both
+        diff = [d for d in plain if plain[d] != fanout[d]]
+        assert diff == []
+
+    def test_fanout_actually_triggered(self, ray_session, small_corpus):
+        # with threshold 3, the corpus's medium/large PDFs must take the
+        # page branch — verify some docs really were exploded
+        import json
+
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(small_corpus).to_table(columns=["format", "payload"])
+        n_big = sum(
+            1
+            for f, p in zip(t["format"].to_pylist(), t["payload"].to_pylist())
+            if f == "pdf" and len(json.loads(p.decode())["pages"]) > 3
+        )
+        assert n_big > 0, "corpus has no page-heavy PDFs; test is vacuous"

@@ -1,0 +1,159 @@
+"""Tests for the remaining reference-operator surface: Arabic correction
+gate (A10), VLM pipeline route (A7), URL-manifest fetch source (S1),
+markdown scrub (M6), conversion summary (G1), max_num_pages guard."""
+
+import json
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from docling_serve_ray.corpus import generate_doc
+from docling_serve_ray.functions.textproc import rolling_fingerprint, scrub_markdown
+from docling_serve_ray.kernels.arabic import (
+    DeterministicArabicCorrector,
+    correct_content,
+    detect_arabic,
+)
+from docling_serve_ray.kernels.document import convert_document
+from docling_serve_ray.kernels.glyphs import build_reverse_codebook
+from docling_serve_ray.options import JobOptions
+from docling_serve_ray.pipelines.summary import raise_if_failures, summarize_conversion
+from docling_serve_ray.sources.fetch import DictFetcher, fetch_manifest
+
+REV = build_reverse_codebook()
+
+AR_TEXT = "النص العربي طويل بما يكفي لتجاوز حد الكلمات العشر في البوابة المطلوبة"
+
+
+class TestArabicCorrection:
+    def test_gate_rejects_short(self):
+        assert not detect_arabic("النص قصير")
+
+    def test_gate_rejects_latin(self):
+        assert not detect_arabic("this is a long enough english sentence with many words here")
+
+    def test_gate_accepts_arabic(self):
+        assert detect_arabic(AR_TEXT)
+
+    def test_corrector_normalizes(self):
+        c = DeterministicArabicCorrector()
+        assert c.correct("الـــنص") == "النص"  # tatweel stripped
+        assert c.correct("أحمد إلى آخر") == "احمد الى اخر"  # alef folding
+
+    def test_passthrough_on_failure(self):
+        class Broken:
+            def correct(self, text):
+                raise RuntimeError("llm down")
+
+        out, applied = correct_content(AR_TEXT, Broken())
+        assert out == AR_TEXT and not applied
+
+    def test_correction_applied_via_options(self):
+        d = next(
+            generate_doc(i)
+            for i in range(200)
+            if generate_doc(i)["lang"] == "ar" and generate_doc(i)["format"] == "md"
+        )
+        opts = JobOptions(enable_arabic_correction=True, enable_bidi_processing=False)
+        base = JobOptions(enable_arabic_correction=False, enable_bidi_processing=False)
+        out_c = convert_document(d["doc_id"], "md", d["payload"], "ar", opts, REV)
+        out_b = convert_document(d["doc_id"], "md", d["payload"], "ar", base, REV)
+        # spans never touched by the correction stage
+        assert out_c["spans"] == out_b["spans"]
+
+
+class TestVlmRoute:
+    def test_vlm_forces_ocr_and_matches_ground_truth(self):
+        d = next(
+            generate_doc(i) for i in range(200) if generate_doc(i)["format"] == "pdf"
+        )
+        out = convert_document(
+            d["doc_id"], "pdf", d["payload"], d["lang"],
+            JobOptions(pipeline="vlm"), REV,
+        )
+        assert out["ocr_mode"] == "force"
+        assert out["spans"] == d["expected_spans"]
+
+
+class TestMaxNumPages:
+    def test_guard_fails_oversized_doc(self):
+        d = None
+        for i in range(300):
+            c = generate_doc(i)
+            if c["format"] == "pdf" and len(json.loads(c["payload"])["pages"]) >= 3:
+                d = c
+                break
+        out = convert_document(
+            d["doc_id"], "pdf", d["payload"], d["lang"],
+            JobOptions(max_num_pages=2), REV,
+        )
+        assert out["status"] == "failure"
+        assert "max_num_pages" in out["errors"][0]
+
+
+class TestFetchSource:
+    def test_fetch_and_convert(self, ray_session):
+        docs = [generate_doc(i) for i in range(12)]
+        blobs = {f"mem://{d['doc_id']}": d["payload"] for d in docs}
+        manifest = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [d["doc_id"] for d in docs],
+                    "url": list(blobs.keys()),
+                    "format": [d["format"] for d in docs],
+                    "lang": [d["lang"] for d in docs],
+                }
+            )
+        )
+        fetched = fetch_manifest(manifest, DictFetcher(blobs))
+        rows = fetched.take_all()
+        assert all(r["fetch_status"] == "success" for r in rows)
+        assert len(rows) == 12
+
+        from docling_serve_ray.pipelines.convert import build_convert_pipeline
+
+        out = build_convert_pipeline(
+            fetch_manifest(manifest, DictFetcher(blobs)), concurrency=2
+        ).take_all()
+        expected = {d["doc_id"]: d["expected_spans"] for d in docs}
+        assert all([dict(s) for s in r["spans"]] == expected[r["doc_id"]] for r in out)
+
+    def test_fetch_failure_survives(self, ray_session):
+        manifest = ray.data.from_arrow(
+            pa.table({"doc_id": ["x"], "url": ["mem://missing"], "format": ["html"], "lang": ["en"]})
+        )
+        rows = fetch_manifest(manifest, DictFetcher({}), drop_failures=False).take_all()
+        assert rows[0]["fetch_status"].startswith("failure")
+        assert rows[0]["payload"] == b""
+
+
+class TestScrubAndFingerprint:
+    def test_scrub(self):
+        md = "# Title\n\n**bold** and `code`\n\n\n- item\n> quote"
+        out = scrub_markdown(md)
+        assert "#" not in out and "**" not in out and "`" not in out
+        assert "\n\n" not in out
+
+    def test_rolling_fingerprint_order_sensitive(self):
+        assert rolling_fingerprint("a b c") != rolling_fingerprint("c b a")
+        assert rolling_fingerprint("a b c") == rolling_fingerprint("a  b\tc")
+
+
+class TestSummary:
+    def test_summarize_and_abort(self, ray_session, small_corpus):
+        from docling_serve_ray.pipelines.convert import build_convert_pipeline, read_input
+
+        out = build_convert_pipeline(read_input(small_corpus), concurrency=2)
+        df = summarize_conversion(out)
+        assert set(df["status"]) == {"success"}
+        assert df["n_docs"].sum() == 200
+        raise_if_failures(out)  # no failures → no raise
+
+        bad = build_convert_pipeline(
+            read_input(small_corpus),
+            options=JobOptions(from_formats=("pdf",)),  # html/docx/md rows fail
+            concurrency=2,
+        )
+        with pytest.raises(RuntimeError, match="failed conversion"):
+            raise_if_failures(bad)
