@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,  # no SQL twin (bit-sketch)
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
+        "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "label_centroids": similarity.label_centroids,
         # --- relational / aggregation family ---
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue": relational.join_revenue,
         "top_orders": relational.top_orders,
         "events_window": relational.events_window,
+        "sessionize": relational.sessionize,
         "distinct_brand_types": relational.distinct_brand_types,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
         JOIN_PRIORITY_REVENUE_SQL,
+        SESSIONIZE_SQL,
         DISTINCT_BRAND_TYPES_SQL,
         EVENTS_WINDOW_SQL,
         JOIN_REVENUE_SQL,
@@ -185,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         # simhash_dedup: no SQL twin (64-bit sketch; rows-only check)
         "ann_topk": ANN_TOPK_SQL,
+        "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "agg_pricing": AGG_PRICING_SQL,
@@ -192,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue": JOIN_REVENUE_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "events_window": EVENTS_WINDOW_SQL,
+        "sessionize": SESSIONIZE_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

