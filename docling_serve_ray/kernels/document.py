@@ -57,6 +57,9 @@ def convert_document(
     ocr_mode: str | None = None,
 ) -> dict:
     """Convert one document → output-row dict (spans + exports + status)."""
+    import time as _time
+
+    t_start = _time.monotonic()
     errors: list[str] = []
     spans: list[dict] = []
     mode = ocr_mode if ocr_mode is not None else analyze_document(fmt, payload, options)
@@ -90,6 +93,13 @@ def convert_document(
             errors.append(traceback.format_exc(limit=3))
         spans = []
         status = "failure"
+
+    if status == "success" and _time.monotonic() - t_start > options.document_timeout:
+        # post-hoc timeout marking (reference: documents over document_timeout
+        # come back PARTIAL_SUCCESS; a Python kernel cannot be preempted
+        # mid-parse, so the budget check runs after the fact)
+        status = "partial_success"
+        errors.append(f"document_timeout exceeded ({options.document_timeout}s)")
 
     exports = make_exports(spans, options)
 

@@ -40,6 +40,10 @@ class JobOptions:
     max_num_pages: int = 2**31 - 1
     max_file_size: int = 2**63 - 1
     md_page_break_placeholder: str = ""
+    document_timeout: float = float("inf")  # seconds per document (reference
+                                # convert.py:238-245); Python work is not
+                                # preemptible, so enforcement is post-hoc:
+                                # over-budget docs are marked partial_success
 
     # --- enrichment (reference convert.py:307-381) ---
     do_picture_description: bool = True

@@ -157,3 +157,21 @@ class TestSummary:
         )
         with pytest.raises(RuntimeError, match="failed conversion"):
             raise_if_failures(bad)
+
+
+class TestDocumentTimeout:
+    def test_post_hoc_marking(self):
+        d = generate_doc(3)
+        out = convert_document(
+            d["doc_id"], d["format"], d["payload"], d["lang"],
+            JobOptions(document_timeout=0.0), REV,
+        )
+        assert out["status"] == "partial_success"
+        assert "document_timeout" in out["errors"][0]
+        # spans are still the full conversion (post-hoc budget check)
+        assert out["spans"] == d["expected_spans"]
+
+    def test_default_no_timeout(self):
+        d = generate_doc(3)
+        out = convert_document(d["doc_id"], d["format"], d["payload"], d["lang"], JobOptions(), REV)
+        assert out["status"] == "success"
