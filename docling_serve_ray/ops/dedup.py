@@ -314,13 +314,16 @@ def _minhash_signature(hashes: np.ndarray, seeds: np.ndarray, _unused=None) -> n
     return v.min(axis=1)
 
 
-def minhash_dedup(sf_dir: str):
-    """MinHash(128) + LSH(16 bands × 8 rows) candidates, verified with exact
-    Jaccard — output identical to ngram_jaccard_dedup given full recall.
+def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """MinHash(128) + LSH(32 bands × 4 rows) candidates, verified with
+    EXACT Jaccard ≥ 0.7 — the final pair set is LSH-parameter-independent
+    (given recall), which is what makes the shared SQL oracle valid.
 
-    Returns a pandas DataFrame (candidate set is small by construction; the
-    verification step is a broadcast-filter + driver check, documented as the
-    ≤ ~1e5-candidate regime; beyond that, verification becomes a join)."""
+    Fully distributed, including verification: candidate pairs are joined
+    (hash-partitioned Dataset.join) against the per-doc shingle-set table
+    twice (doc_a side, doc_b side), then a vectorized stage computes exact
+    Jaccard per candidate. No driver-side set materialization — the whole
+    path scales with the corpus."""
     a_params, b_params = _perm_params()
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -374,48 +377,60 @@ def minhash_dedup(sf_dir: str):
         lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
         partial_fn=lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
     )
-    cand_pairs = cand.to_pandas()
 
-    # exact-Jaccard verification of the (small) candidate set
-    need = set(cand_pairs["doc_a"]) | set(cand_pairs["doc_b"])
-    need_ref = ray.put(need)
-
-    def shingles_of_needed(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
+    # per-doc shingle-set table (the join side of the verification)
+    def shingle_sets(batch: pa.Table) -> pa.Table:
         aug = _augment_neardup(batch)
-        rows_d, rows_h = [], []
-        for d, t in zip(aug["doc_id"].to_pylist(), aug["text"].to_pylist()):
-            if d in wanted:
-                rows_d.append(d)
-                rows_h.append([int(h) for h in _shingle_hashes(t)])
+        # hash sets travel as packed uint64 bytes: Ray's hash join does not
+        # support list-typed non-key fields, binary payloads are fine
         return pa.table(
             {
-                "doc_id": pa.array(rows_d, pa.int64()),
-                "hashes": pa.array(rows_h, pa.list_(pa.uint64())),
+                "doc_id": aug["doc_id"],
+                "hashes": pa.array(
+                    [_shingle_hashes(t).tobytes() for t in aug["text"].to_pylist()],
+                    pa.binary(),
+                ),
             }
         )
 
-    sets = {
-        r["doc_id"]: frozenset(r["hashes"])
-        for r in _docs(sf_dir)
-        .map_batches(shingles_of_needed, batch_format="pyarrow")
-        .take_all()
-    }
-    rows = []
-    for doc_a, doc_b in zip(cand_pairs["doc_a"], cand_pairs["doc_b"]):
-        sa, sb = sets[doc_a], sets[doc_b]
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union >= MINHASH_THRESHOLD:
-            rows.append(
-                {
-                    "doc_a": int(doc_a),
-                    "doc_b": int(doc_b),
-                    "jaccard_micro": int(inter * 1_000_000.0 / union + 0.5),
-                }
-            )
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_micro"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard_micro": "int64"}
+    sets_ds = _docs(sf_dir).map_batches(shingle_sets, batch_format="pyarrow")
+
+    # candidates ⋈ sets (doc_a side) ⋈ sets (doc_b side): hash-partitioned.
+    # Join partition count scales with the cluster — each join spawns an
+    # aggregator actor pool, and two 16-partition joins deadlock a 4-CPU
+    # cluster; fractional-CPU aggregators keep the pools schedulable.
+    from .shuffle import join_partitions
+
+    P, jkw = join_partitions()
+    j1 = cand.join(
+        sets_ds, "inner", P, on=("doc_a",), right_on=("doc_id",),
+        left_suffix="", right_suffix="_a", **jkw,
+    )
+    j2 = j1.join(
+        sets_ds, "inner", P, on=("doc_b",), right_on=("doc_id",),
+        left_suffix="", right_suffix="_b", **jkw,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ha_col = "hashes" if "hashes" in batch.columns else "hashes_a"
+        rows = []
+        for doc_a, doc_b, ha, hb in zip(
+            batch["doc_a"], batch["doc_b"], batch[ha_col], batch["hashes_b"]
+        ):
+            sa = set(np.frombuffer(ha, dtype=np.uint64).tolist())
+            sb = set(np.frombuffer(hb, dtype=np.uint64).tolist())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= MINHASH_THRESHOLD:
+                rows.append(
+                    (int(doc_a), int(doc_b), int(inter * 1_000_000.0 / union + 0.5))
+                )
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_micro"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard_micro": "int64"}
+        )
+
+    return j2.map_batches(verify, batch_format="pandas").select_columns(
+        ["doc_a", "doc_b", "jaccard_micro"]
     )
 
 

@@ -281,7 +281,10 @@ def join_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     o = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    j = l.join(o, "inner", 16, on=("l_orderkey",), right_on=("o_orderkey",))
+    from .shuffle import join_partitions
+
+    P, jkw = join_partitions()
+    j = l.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(

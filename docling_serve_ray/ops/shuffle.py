@@ -66,3 +66,18 @@ def bucketed_group_agg(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def join_partitions(cap: int = 16) -> tuple[int, dict]:
+    """Cluster-scaled num_partitions + remote-args for Dataset.join: each
+    join spawns an aggregator actor pool, and full-CPU aggregators at high
+    partition counts deadlock small clusters (measured: two 16-partition
+    joins hang a 4-CPU cluster). Fractional-CPU aggregators + P ≈ cpus/2."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    P = max(2, min(cap, ncpu // 2))
+    return P, {"aggregator_ray_remote_args": {"num_cpus": 0.25}}

@@ -75,12 +75,10 @@ def attach_media_meta(
     broadcast; Ray's hash-partitioned join)."""
     import pyarrow.compute as pc
 
+    from ..ops.shuffle import join_partitions
+
     refs = span_rows.map_batches(
         lambda t: t.filter(pc.not_equal(t["media_ref"], "")), batch_format="pyarrow"
     )
-    return refs.join(
-        media_meta,
-        "inner",
-        num_partitions,
-        on=("media_ref",),
-    )
+    P, jkw = join_partitions(cap=num_partitions)
+    return refs.join(media_meta, "inner", P, on=("media_ref",), **jkw)
