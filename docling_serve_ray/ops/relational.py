@@ -59,7 +59,8 @@ LIMIT 10
 """
 
 EVENTS_WINDOW_SQL = """
-SELECT event_type, date_trunc('hour', ts) AS window_start,
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events
@@ -207,7 +208,7 @@ def events_window(sf_dir: str) -> ray.data.Dataset:
     standard partial → groupby pattern."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        w = batch["ts"].dt.floor("h")
+        w = batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
         cents = np.floor(batch["value"] * 100 + 0.5).astype("int64")
         g = (
             pd.DataFrame({"event_type": batch["event_type"], "window_start": w, "value_c": cents})
@@ -329,7 +330,7 @@ s AS (
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
-SELECT user_id, MIN(ts) AS session_start,
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM s GROUP BY user_id, sid
@@ -361,6 +362,7 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
             n_events=("event_id", "size"),
             sum_value_c=("_cents", "sum"),
         )
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_start", "n_events", "sum_value_c"]]
 

@@ -112,3 +112,45 @@ class TestRunResume:
         rows = [json.loads(l) for l in open(manifest_path)]
         assert [r["partition_id"] for r in rows] == [0, 1, 2, 3]
         assert sum(r["row_count"] for r in rows) == 200
+
+
+class TestSkewedPartitioning:
+    def test_byte_balance_under_extreme_file_skew(self, tmp_path):
+        """One 100x file among small ones: byte-greedy binning must keep
+        partitions balanced by input bytes (the giant file alone in one
+        bin, small files packed into the others)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        files = []
+        for i in range(12):
+            n = 40000 if i == 0 else 400  # 100x skew (incompressible payloads)
+            t = pa.table({"payload": pa.array([rng.bytes(64) for _ in range(n)])})
+            f = str(tmp_path / f"part-{i:02d}.parquet")
+            pq.write_table(t, f)
+            files.append(f)
+
+        parts = plan_partitions(files, 4)
+        sizes = sorted(p.bytes for p in parts)
+        # the giant file dominates; remaining bins share the small files
+        giant = max(os.path.getsize(f) for f in files)
+        assert sizes[-1] < giant * 1.05  # nothing piled on top of the giant
+        # small-file bins are balanced among themselves
+        small = sizes[:-1]
+        assert max(small) <= 2.0 * min(small)
+
+    def test_partition_throughput_recorded_per_partition(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        """Lineage metrics expose per-partition docs/s so skewed partitions
+        are observable in the manifest (the driver-side skew signal)."""
+        out = str(tmp_path / "out")
+        files = _input_files(small_corpus)
+        r = run_partitioned(files, out, _pipeline_fn, num_partitions=3)
+        rates = [rec["docs_per_s"] for rec in r["manifest"]]
+        assert all(x > 0 for x in rates)
+        byte_sizes = [rec["input_bytes"] for rec in r["manifest"]]
+        assert max(byte_sizes) <= 2.5 * min(byte_sizes)
