@@ -71,8 +71,21 @@ def safe_concurrency(requested):
 def read_input(path_or_paths, columns=None) -> ray.data.Dataset:
     """Read the interleaved-document table. Only the columns the pipeline
     needs leave storage (prune-at-read); the ground-truth ``spans`` column
-    of test fixtures is never loaded by the pipeline."""
-    return ray.data.read_parquet(path_or_paths, columns=columns or INPUT_COLUMNS)
+    of test fixtures is never loaded by the pipeline.
+
+    Lance is the nominal input format (BASELINE.json input_hint); this
+    container has no pylance, so the working path is parquet with the
+    identical Arrow schema. A ``.lance`` URI uses read_lance when the
+    library is present."""
+    cols = columns or INPUT_COLUMNS
+    if isinstance(path_or_paths, str) and path_or_paths.rstrip("/").endswith(".lance"):
+        try:
+            return ray.data.read_lance(path_or_paths, columns=cols)
+        except (ImportError, AttributeError) as exc:
+            raise ImportError(
+                "reading a .lance dataset requires the pylance package"
+            ) from exc
+    return ray.data.read_parquet(path_or_paths, columns=cols)
 
 
 def build_convert_pipeline(

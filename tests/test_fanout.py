@@ -54,3 +54,32 @@ class TestFanoutEquality:
             if f == "pdf" and len(json.loads(p.decode())["pages"]) > 3
         )
         assert n_big > 0, "corpus has no page-heavy PDFs; test is vacuous"
+
+
+class TestFanoutWithCheckpoint:
+    def test_checkpointed_fanout_run(self, ray_session, small_corpus, tmp_path):
+        """run_partitioned composes with the fan-out pipeline; output equals
+        the plain pipeline's."""
+        import glob
+        import os
+
+        import pyarrow.dataset as pads
+
+        from docling_serve_ray.state.checkpoint import run_partitioned
+
+        files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
+        out = str(tmp_path / "out")
+        r = run_partitioned(
+            files,
+            out,
+            lambda fs: convert_with_page_fanout(fs, options=OPTS, threshold=3),
+            num_partitions=2,
+        )
+        assert r["total_rows"] == 200
+        got = pads.dataset(
+            glob.glob(os.path.join(out, "part=*", "*.parquet"))
+        ).to_table(columns=["doc_id", "spans"]).to_pylist()
+        plain = build_convert_pipeline(read_input(small_corpus), options=OPTS).take_all()
+        gm = {r["doc_id"]: [dict(s) for s in r["spans"]] for r in got}
+        pm = {r["doc_id"]: [dict(s) for s in r["spans"]] for r in plain}
+        assert gm == pm
