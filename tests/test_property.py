@@ -172,3 +172,66 @@ class TestDoctagsProperties:
         for s in spans:
             assert f"<loc_{s['offset']}>" in dt
             assert s["text"] in dt
+
+
+class TestFastParserEquivalence:
+    """parse_dom_fast must build the same tree as the stdlib reference
+    parser (adjacent text nodes merged — the tokenizers split differently)."""
+
+    @staticmethod
+    def _tree_eq(a, b):
+        from docling_serve_ray.kernels.html import Node
+
+        if isinstance(a, str) != isinstance(b, str):
+            return False
+        if isinstance(a, str):
+            return a == b
+        if a.tag != b.tag or a.attrs != b.attrs:
+            return False
+
+        def norm(ch):
+            out = []
+            for c in ch:
+                if isinstance(c, str) and out and isinstance(out[-1], str):
+                    out[-1] += c
+                else:
+                    out.append(c)
+            return out
+
+        ca, cb = norm(a.children), norm(b.children)
+        return len(ca) == len(cb) and all(
+            TestFastParserEquivalence._tree_eq(x, y) for x, y in zip(ca, cb)
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(_spans)
+    def test_generated_pages(self, spans):
+        from docling_serve_ray.kernels.html import parse_dom, parse_dom_fast
+
+        html = render_html(spans, "d")
+        assert self._tree_eq(parse_dom(html), parse_dom_fast(html))
+
+    def test_corpus_pages(self):
+        from docling_serve_ray.corpus import generate_doc
+        from docling_serve_ray.kernels.html import parse_dom, parse_dom_fast
+
+        n = 0
+        for i in range(200):
+            d = generate_doc(i)
+            if d["format"] != "html":
+                continue
+            h = d["payload"].decode()
+            assert self._tree_eq(parse_dom(h), parse_dom_fast(h)), d["doc_id"]
+            n += 1
+        assert n > 50
+
+    def test_messy_html(self):
+        from docling_serve_ray.kernels.html import parse_dom_fast
+
+        h = ('<html><body><script>var x = "<p>not a tag</p>";</script>'
+             "<p>real &amp; escaped</p><div class='q'>unclosed<ul><li>a</body></html>")
+        root = parse_dom_fast(h)
+        body = root.find_all("body", [])[0]
+        ps = body.find_all("p", [])
+        assert len(ps) == 1 and ps[0].text() == "real & escaped"
+        assert body.find_all("li", [])[0].text() == "a"
