@@ -28,15 +28,24 @@ _PREFIX_RE = re.compile(
 _MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{", "<": ">", ">": "<"}
 
 
+_TYPE_CACHE: dict[str, str] = {}
+
+
 def _char_type(c: str) -> str:
+    t = _TYPE_CACHE.get(c)
+    if t is not None:
+        return t
     o = ord(c)
     if 0x0600 <= o <= 0x06FF or 0xFB50 <= o <= 0xFDFF or 0xFE70 <= o <= 0xFEFF:
-        return "R"
-    if c.isdigit():
-        return "EN"
-    if c.isalpha():
-        return "L"
-    return "N"
+        t = "R"
+    elif c.isdigit():
+        t = "EN"
+    elif c.isalpha():
+        t = "L"
+    else:
+        t = "N"
+    _TYPE_CACHE[c] = t
+    return t
 
 
 def get_display(text: str) -> str:
