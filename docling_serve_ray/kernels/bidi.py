@@ -55,6 +55,14 @@ def get_display(text: str) -> str:
         return text
     types = [_char_type(c) for c in text]
 
+    # exact fast paths (provably identical to the general algorithm):
+    # - no strong R: base is L, runs stay in logical order, nothing flips
+    # - only R + neutrals: all neutrals resolve to R, one run, one flip
+    if "R" not in types:
+        return text
+    if "L" not in types and "EN" not in types:
+        return "".join(_MIRROR.get(c, c) for c in reversed(text))
+
     base = "L"
     for t in types:
         if t in ("L", "R"):
