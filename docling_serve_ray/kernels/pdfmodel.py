@@ -176,9 +176,10 @@ def parse_page(page: dict, ocr_mode: str, reverse_codebook) -> list[dict]:
     width, height = page.get("width", 612), page.get("height", 792)
     spans: list[dict] = []
 
+    # cells come from this document's own json.loads — mutating them in
+    # place is safe and saves a dict copy per cell (hot path)
     regular, tablecells = [], []
-    for cell in page["cells"]:
-        c = dict(cell)
+    for c in page["cells"]:
         c["_etext"] = _cell_effective_text(c, ocr_mode, reverse_codebook)
         (tablecells if c["font"] == "table" else regular).append(c)
 
