@@ -17,7 +17,9 @@ Scale notes (10^12-doc design):
   come from a groupby on (band, band_key); candidate verification is exact
   Jaccard so the final pair set is LSH-parameter-independent (given recall),
   which is what makes the SQL oracle (exact pairs at the same τ) valid.
-  32 bands × 4 rows → P(miss) ≤ 4e-6 at J ≥ 0.7 (the op's threshold).
+  32 bands × 4 rows → P(miss) = (1-J⁴)³² ≈ 1.5e-4 at exactly J = 0.7 (the
+  op's threshold) and ≤ 4.8e-8 at J ≥ 0.8; the augmented test pairs sit at
+  J ≈ 0.97+ where P(miss) < 1e-40, so oracle equality holds in practice.
 - simhash: 64-bit sketch, 4×16-bit chunk banding (pigeonhole: hamming ≤ 3
   ⇒ ≥ 1 chunk equal), verify hamming on candidates. No SQL twin — the
   sketch is bit-level; the driver records a rows-only check.
@@ -35,8 +37,9 @@ import ray.data
 
 JACCARD_THRESHOLD = 0.5
 MINHASH_THRESHOLD = 0.7  # minhash reports pairs above a HIGHER bar: LSH
-                         # recall at the 0.5 floor cannot be driven to ~1,
-                         # but at >=0.7 with 32x4 banding P(miss) <= 4e-6
+                         # recall at the 0.5 floor cannot be driven to ~1;
+                         # with 32x4 banding P(miss) is 1.5e-4 at exactly
+                         # J=0.7, <=4.8e-8 at J>=0.8 (test pairs: J~0.97)
 SHINGLE_K = 3
 NUM_PERM = 128
 LSH_BANDS = 32
@@ -187,26 +190,76 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _doc_shingle_counts(sf_dir: str) -> dict:
-    """doc_id → |shingles|. Small side (one int per doc) — broadcastable at
-    test scale; at 10^12 docs this becomes a partitioned hash join instead."""
-    counts: dict[int, int] = {}
-    ds = _docs(sf_dir).map_batches(
-        lambda b: (lambda aug: pa.table(
+def _doc_count_table(sf_dir: str) -> ray.data.Dataset:
+    """(id, n) Dataset: augmented doc_id → |distinct shingles|. Stays a
+    Dataset end to end — it is JOINED onto the pair table (hash-partitioned),
+    never materialized on the driver; at 10^12 docs the table is 10^12 thin
+    rows flowing through the same partitioned join as everything else."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        aug = _augment_neardup(b)
+        return pa.table(
             {
-                "doc_id": aug["doc_id"],
+                "id": aug["doc_id"],
                 "n": pa.array(
                     [len(_shingle_hashes(t)) for t in aug["text"].to_pylist()],
                     pa.int64(),
                 ),
             }
-        ))(_augment_neardup(b)),
-        batch_format="pyarrow",
+        )
+
+    return _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
+def _shingle_set_table(sf_dir: str) -> ray.data.Dataset:
+    """(id, hashes) Dataset: augmented doc_id → distinct shingle hashes as
+    packed uint64 bytes (Ray's hash join does not support list-typed
+    non-key fields; binary payloads are fine). The join side of exact
+    Jaccard verification, shared by minhash_dedup and DF-capped
+    ngram_jaccard_dedup."""
+
+    def sets(batch: pa.Table) -> pa.Table:
+        aug = _augment_neardup(batch)
+        return pa.table(
+            {
+                "id": aug["doc_id"],
+                "hashes": pa.array(
+                    [_shingle_hashes(t).tobytes() for t in aug["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sets, batch_format="pyarrow")
+
+
+def _exact_jaccard_verify(
+    joined: ray.data.Dataset, threshold: float
+) -> ray.data.Dataset:
+    """Vectorized-per-candidate exact Jaccard over a join_pair_payloads
+    result carrying packed shingle sets → (doc_a, doc_b, jaccard_micro)."""
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ha_col = "hashes" if "hashes" in batch.columns else "hashes_a"
+        rows = []
+        for doc_a, doc_b, ha, hb in zip(
+            batch["id_a"], batch["id_b"], batch[ha_col], batch["hashes_b"]
+        ):
+            sa = np.frombuffer(ha, dtype=np.uint64)
+            sb = np.frombuffer(hb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                rows.append(
+                    (int(doc_a), int(doc_b), int(inter * 1_000_000.0 / union + 0.5))
+                )
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_micro"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard_micro": "int64"}
+        )
+
+    return joined.map_batches(verify, batch_format="pandas").select_columns(
+        ["doc_a", "doc_b", "jaccard_micro"]
     )
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        for d, n in zip(batch["doc_id"].to_pylist(), batch["n"].to_pylist()):
-            counts[d] = n
-    return counts
 
 
 NUM_BUCKETS = 512  # groupby key-space reduction: millions of per-shingle
@@ -215,14 +268,40 @@ NUM_BUCKETS = 512  # groupby key-space reduction: millions of per-shingle
                    # is the scaling killer for fine-grained map_groups)
 
 
-def ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
-    """Exact Jaccard ≥ 0.5 pairs via distributed inverted-index join:
-    shingle-explode → bucketed groupby(shingle) pair-emit (vectorized
-    self-merge per bucket) → groupby(pair) count → jaccard from broadcast
-    per-doc counts."""
-    from ray.data.aggregate import Count
+def ngram_jaccard_dedup(
+    sf_dir: str, *, max_shingle_df: int | None = None
+) -> ray.data.Dataset:
+    """Exact Jaccard ≥ 0.5 pairs via distributed inverted-index join.
 
-    counts_ref = ray.put(_doc_shingle_counts(sf_dir))
+    Default path (max_shingle_df=None, exact recall): shingle-explode →
+    bucketed groupby(shingle) pair-emit (vectorized self-merge per bucket)
+    → groupby(pair) count → union sizes via two hash-partitioned joins
+    against the (id, n) count Dataset — nothing materializes on the driver.
+
+    Capped path (max_shingle_df=k, the 100-TB web-corpus setting): a
+    shingle shared by k docs emits k² pair rows, and boilerplate shingles
+    reach k ~ 10^6, so candidate generation drops shingles whose posting
+    list exceeds the cap (applied locally inside the bucket — each bucket
+    holds complete posting lists, so no extra shuffle) and candidates are
+    then verified with EXACT Jaccard via joins against the shingle-set
+    table. Emitted values are exact regardless of the cap; a pair is missed
+    only if EVERY shingle it shares is above the cap (standard
+    inverted-index-join practice; document-level recall effect)."""
+    from .shuffle import (
+        band_pair_candidates,
+        bucketed_group_agg,
+        join_pair_payloads,
+        join_partitions,
+    )
+
+    sh = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+
+    if max_shingle_df is not None:
+        cand = band_pair_candidates(
+            sh, ["shingle_h"], "doc_id", max_band_df=max_shingle_df
+        )
+        joined = join_pair_payloads(cand, _shingle_set_table(sf_dir))
+        return _exact_jaccard_verify(joined, JACCARD_THRESHOLD)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = pa.array(
@@ -240,10 +319,11 @@ def ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    sh = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow").map_batches(
-        add_bucket, batch_format="pyarrow"
+    pairs = (
+        sh.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
     )
-    pairs = sh.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby(["doc_a", "doc_b"], as_index=False).agg(
@@ -255,19 +335,27 @@ def ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
         out["inter_n"] = out["inter_n"].astype("int64")
         return out
 
-    from .shuffle import bucketed_group_agg
-
     inter = bucketed_group_agg(
         pairs, ["doc_a", "doc_b"], count_final, partial_fn=count_partial
     )
 
+    # union size via joins against the per-doc count Dataset (both sides)
+    counts = _doc_count_table(sf_dir)
+    P, jkw = join_partitions()
+    j1 = inter.join(
+        counts, "inner", P, on=("doc_a",), right_on=("id",),
+        left_suffix="", right_suffix="_a", **jkw,
+    )
+    j2 = j1.join(
+        counts, "inner", P, on=("doc_b",), right_on=("id",),
+        left_suffix="", right_suffix="_b", **jkw,
+    )
+
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = ray.get(counts_ref)
-        union = (
-            batch["doc_a"].map(counts) + batch["doc_b"].map(counts) - batch["inter_n"]
-        )
+        na_col = "n" if "n" in batch.columns else "n_a"
+        union = batch[na_col] + batch["n_b"] - batch["inter_n"]
         keep = batch["inter_n"] / union >= JACCARD_THRESHOLD
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "doc_a": batch.loc[keep, "doc_a"].astype("int64"),
                 "doc_b": batch.loc[keep, "doc_b"].astype("int64"),
@@ -276,9 +364,10 @@ def ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
                 ).astype("int64"),
             }
         )
-        return out
 
-    return inter.map_batches(finalize, batch_format="pandas")
+    return j2.map_batches(finalize, batch_format="pandas").select_columns(
+        ["doc_a", "doc_b", "jaccard_micro"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -314,124 +403,79 @@ def _minhash_signature(hashes: np.ndarray, seeds: np.ndarray, _unused=None) -> n
     return v.min(axis=1)
 
 
+def _batch_signatures(hash_arrays: list[np.ndarray], seeds: np.ndarray) -> np.ndarray:
+    """Signatures for a whole batch of documents at once → (n_docs, NUM_PERM)
+    uint64. One (NUM_PERM × total_shingles) splitmix pass over the
+    concatenated hash arrays, then a segmented min (np.minimum.reduceat) per
+    document — the per-doc Python loop of the naive version collapses to
+    two vectorized kernels. Empty documents get the all-max signature."""
+    n = len(hash_arrays)
+    sigs = np.full((n, NUM_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
+    nonempty = np.nonzero(lens)[0]
+    if not len(nonempty):
+        return sigs
+    H = np.concatenate([hash_arrays[i] for i in nonempty]).astype(np.uint64)
+    # reduceat segment starts; zero-length segments are excluded above
+    # (reduceat mishandles empty segments)
+    starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+    with np.errstate(over="ignore"):
+        V = _splitmix64(H[None, :] ^ seeds[:, None])  # (NUM_PERM, S)
+    sigs[nonempty] = np.minimum.reduceat(V, starts, axis=1).T
+    return sigs
+
+
+def _band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, NUM_PERM) signatures → (n_docs, LSH_BANDS) uint64 band keys:
+    each band's LSH_ROWS chunk is folded with a sequential splitmix mix —
+    vectorized across the whole (docs × bands) matrix, no per-band hashing."""
+    chunks = sigs.reshape(sigs.shape[0], LSH_BANDS, LSH_ROWS)
+    with np.errstate(over="ignore"):
+        acc = _splitmix64(chunks[:, :, 0])
+        for r in range(1, LSH_ROWS):
+            acc = _splitmix64(acc ^ chunks[:, :, r])
+    return acc
+
+
 def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     """MinHash(128) + LSH(32 bands × 4 rows) candidates, verified with
     EXACT Jaccard ≥ 0.7 — the final pair set is LSH-parameter-independent
     (given recall), which is what makes the shared SQL oracle valid.
 
     Fully distributed, including verification: candidate pairs are joined
-    (hash-partitioned Dataset.join) against the per-doc shingle-set table
-    twice (doc_a side, doc_b side), then a vectorized stage computes exact
-    Jaccard per candidate. No driver-side set materialization — the whole
-    path scales with the corpus."""
-    a_params, b_params = _perm_params()
+    (hash-partitioned Dataset.join, ops/shuffle.join_pair_payloads) against
+    the per-doc shingle-set table twice, then a vectorized stage computes
+    exact Jaccard per candidate. No driver-side set materialization — the
+    whole path scales with the corpus.
+
+    The per-batch hot path is fully vectorized: one splitmix pass over the
+    batch's concatenated shingle hashes + a segmented min for signatures
+    (_batch_signatures), and a (docs × bands) uint64 fold for band keys
+    (_band_keys) — no per-doc/per-band Python hashing."""
+    seeds, _ = _perm_params()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         aug = _augment_neardup(batch)
-        out = {"band_id": [], "band_key": [], "doc_id": []}
-        for d, t in zip(aug["doc_id"].to_pylist(), aug["text"].to_pylist()):
-            sig = _minhash_signature(_shingle_hashes(t), a_params, b_params)
-            for band in range(LSH_BANDS):
-                chunk = sig[band * LSH_ROWS : (band + 1) * LSH_ROWS]
-                key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out["band_id"].append(band)
-                out["band_key"].append(key)
-                out["doc_id"].append(d)
+        ids = np.asarray(aug["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        hash_arrays = [_shingle_hashes(t) for t in aug["text"].to_pylist()]
+        keys = _band_keys(_batch_signatures(hash_arrays, seeds))  # (n, bands)
+        n = len(ids)
         return pa.table(
             {
-                "band_id": pa.array(out["band_id"], pa.int32()),
-                "band_key": pa.array(out["band_key"], pa.string()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
+                "band_key": pa.array(keys.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, LSH_BANDS)),
             }
         )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized within-bucket self-merge on the full band key
-        cols = ["band_id", "band_key", "doc_id"]
-        m = g[cols].merge(g[cols], on=["band_id", "band_key"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame(
-            {
-                "doc_a": m["doc_id_x"].astype("int64"),
-                "doc_b": m["doc_id_y"].astype("int64"),
-            }
-        )
+    from .shuffle import band_pair_candidates, join_pair_payloads
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            batch["band_key"], index=False
-        ).to_numpy() + batch["band_id"].to_numpy() * np.uint64(0x9E3779B9)
-        batch["bucket"] = (h % NUM_BUCKETS).astype("int32")
-        return batch
-
-    from .shuffle import bucketed_group_agg
-
-    bands = (
-        _docs(sf_dir)
-        .map_batches(band_rows, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pandas")
+    bands = _docs(sf_dir).map_batches(
+        band_rows, batch_format="pyarrow", batch_size=256
     )
-    cand = bucketed_group_agg(
-        bands.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas"),
-        ["doc_a", "doc_b"],
-        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
-        partial_fn=lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
-    )
-
-    # per-doc shingle-set table (the join side of the verification)
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        aug = _augment_neardup(batch)
-        # hash sets travel as packed uint64 bytes: Ray's hash join does not
-        # support list-typed non-key fields, binary payloads are fine
-        return pa.table(
-            {
-                "doc_id": aug["doc_id"],
-                "hashes": pa.array(
-                    [_shingle_hashes(t).tobytes() for t in aug["text"].to_pylist()],
-                    pa.binary(),
-                ),
-            }
-        )
-
-    sets_ds = _docs(sf_dir).map_batches(shingle_sets, batch_format="pyarrow")
-
-    # candidates ⋈ sets (doc_a side) ⋈ sets (doc_b side): hash-partitioned.
-    # Join partition count scales with the cluster — each join spawns an
-    # aggregator actor pool, and two 16-partition joins deadlock a 4-CPU
-    # cluster; fractional-CPU aggregators keep the pools schedulable.
-    from .shuffle import join_partitions
-
-    P, jkw = join_partitions()
-    j1 = cand.join(
-        sets_ds, "inner", P, on=("doc_a",), right_on=("doc_id",),
-        left_suffix="", right_suffix="_a", **jkw,
-    )
-    j2 = j1.join(
-        sets_ds, "inner", P, on=("doc_b",), right_on=("doc_id",),
-        left_suffix="", right_suffix="_b", **jkw,
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        ha_col = "hashes" if "hashes" in batch.columns else "hashes_a"
-        rows = []
-        for doc_a, doc_b, ha, hb in zip(
-            batch["doc_a"], batch["doc_b"], batch[ha_col], batch["hashes_b"]
-        ):
-            sa = set(np.frombuffer(ha, dtype=np.uint64).tolist())
-            sb = set(np.frombuffer(hb, dtype=np.uint64).tolist())
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union and inter / union >= MINHASH_THRESHOLD:
-                rows.append(
-                    (int(doc_a), int(doc_b), int(inter * 1_000_000.0 / union + 0.5))
-                )
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_micro"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard_micro": "int64"}
-        )
-
-    return j2.map_batches(verify, batch_format="pandas").select_columns(
-        ["doc_a", "doc_b", "jaccard_micro"]
-    )
+    cand = band_pair_candidates(bands, ["band_id", "band_key"], "doc_id")
+    joined = join_pair_payloads(cand, _shingle_set_table(sf_dir))
+    return _exact_jaccard_verify(joined, MINHASH_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -473,26 +517,6 @@ def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
                 "chunk_val": pa.array(out["chunk_val"], pa.int32()),
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
                 "simhash": pa.array(out["simhash"], pa.int64()),
-            }
-        )
-
-    def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        hs = rows["simhash"].tolist()
-        a, b, ham = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1")
-                if d <= SIMHASH_MAX_HAMMING:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    ham.append(d)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(a, dtype="int64"),
-                "doc_b": pd.Series(b, dtype="int64"),
-                "hamming": pd.Series(ham, dtype="int64"),
             }
         )
 

@@ -68,6 +68,114 @@ def bucketed_group_agg(
     )
 
 
+def scaled_num_buckets(
+    ds: ray.data.Dataset,
+    *,
+    target_bucket_bytes: int = 64 * 1024 * 1024,
+    lo: int = 64,
+    hi: int = 1 << 16,
+) -> int:
+    """Bucket count proportional to input size so one bucket's pandas frame
+    stays ≈ ``target_bucket_bytes`` no matter the corpus: a fixed 512 means
+    input_bytes/512 per bucket — hundreds of GB per reduce task at 100 TB.
+    Uses the Dataset's metadata size estimate (no execution for reads);
+    falls back to ``lo`` when unknown."""
+    try:
+        nbytes = ds.size_bytes()
+    except Exception:
+        nbytes = None
+    if not nbytes:
+        return lo
+    want = (nbytes + target_bucket_bytes - 1) // target_bucket_bytes
+    return int(max(lo, min(hi, want)))
+
+
+def band_pair_candidates(
+    rows: ray.data.Dataset,
+    band_cols: list,
+    id_col: str,
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_band_df: int | None = None,
+) -> ray.data.Dataset:
+    """LSH-style candidate generation shared by minhash / simhash /
+    hyperplane dedup: (band..., id) rows → distinct (id_a, id_b) pairs,
+    id_a < id_b, for ids sharing a band key.
+
+    Buckets the band key-space (each bucket holds COMPLETE band groups, so
+    per-band document frequency is computable locally), self-merges each
+    bucket with one vectorized pandas merge, then dedupes pairs with the
+    bucketed grouped reduce.
+
+    max_band_df: optional cap on a band key's posting-list length. A key
+    shared by k ids emits k² pairs — boilerplate-heavy corpora have keys
+    with k in the millions, which is the quadratic blowup of inverted-index
+    joins. Capped keys are dropped from candidate generation ONLY (callers
+    verify candidates exactly), so precision is unaffected; a pair is missed
+    only if EVERY band key it shares is above the cap.
+    """
+    band_cols = list(band_cols)
+    cols = band_cols + [id_col]
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(batch, band_cols, num_buckets)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[cols]
+        if max_band_df is not None:
+            sizes = g.groupby(band_cols, sort=False)[id_col].transform("size")
+            g = g[sizes <= max_band_df]
+        m = g.merge(g, on=band_cols)
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_x"].astype("int64"),
+                "id_b": m[f"{id_col}_y"].astype("int64"),
+            }
+        ).drop_duplicates()
+
+    pairs = (
+        rows.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: pairs_of_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    return bucketed_group_agg(
+        pairs,
+        ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
+        partial_fn=lambda b: b.drop_duplicates(["id_a", "id_b"]),
+        num_buckets=num_buckets,
+    )
+
+
+def join_pair_payloads(
+    cand: ray.data.Dataset,
+    payload_ds: ray.data.Dataset,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_col: str = "id",
+) -> ray.data.Dataset:
+    """Candidate pairs ⋈ payload table on both sides (hash-partitioned
+    Dataset.join twice — the fully distributed verification pattern: no
+    driver-side materialization, payload moves only for candidate rows).
+    Non-key payload columns keep their name from the first join and get a
+    ``_b`` suffix from the second (Ray suffixes only on collision; callers
+    resolve defensively)."""
+    P, jkw = join_partitions()
+    j1 = cand.join(
+        payload_ds, "inner", P, on=(a_col,), right_on=(id_col,),
+        left_suffix="", right_suffix="_a", **jkw,
+    )
+    return j1.join(
+        payload_ds, "inner", P, on=(b_col,), right_on=(id_col,),
+        left_suffix="", right_suffix="_b", **jkw,
+    )
+
+
 def join_partitions(cap: int = 16) -> tuple[int, dict]:
     """Cluster-scaled num_partitions + remote-args for Dataset.join: each
     join spawns an aggregator actor pool, and full-CPU aggregators at high

@@ -127,36 +127,108 @@ def ann_topk(sf_dir: str) -> ray.data.Dataset:
     return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
 
 
+# Random-hyperplane LSH sizing for embedding_neardup. P(bit equal) for a
+# pair at angle θ is 1-θ/π; at cos=0.99 that is 0.955, so a 12-bit band
+# matches with p = 0.955^12 ≈ 0.58 and 12 bands miss with
+# (1-0.58)^12 ≈ 3e-5; EXACT copies (cos = 1.0, the only pairs ≥ τ in
+# practice — measured max non-dup cosine on the test table is 0.60) have
+# identical sign bits, so their recall is exactly 1. Random pairs
+# (cos ≈ 0) collide at 2^-12 per band, keeping candidate noise ≈
+# 12·n²/2^13 — linear-ish in n for bounded cluster density.
+NEARDUP_LSH_BITS = 12
+NEARDUP_LSH_BANDS = 12
+_NEARDUP_HP_SEED = 20260817
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic (bands*bits, dim) Gaussian hyperplanes — regenerated
+    identically in every task from the seed (cheaper than a broadcast)."""
+    rng = np.random.RandomState(_NEARDUP_HP_SEED)
+    return rng.normal(size=(NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS, dim))
+
+
+def _augment_embeddings(ids: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Copy-augmentation shared with the SQL oracle: vec_id % 10 == 0 gets
+    an exact copy at vec_id + 1_000_000."""
+    mask = ids % 10 == 0
+    return (
+        np.concatenate([ids, ids[mask] + 1_000_000]),
+        np.vstack([X, X[mask]]),
+    )
+
+
 def embedding_neardup(sf_dir: str) -> ray.data.Dataset:
     """All pairs with cosine ≥ 0.99 over the copy-augmented table →
-    (vec_a, vec_b). The full (small-side) matrix is broadcast once."""
-    all_rows = _emb(sf_dir).take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    X = _normalize(np.array([r["embedding"] for r in all_rows], dtype=np.float64))
-    # augmentation: exact copies for vec_id % 10 == 0
-    copy_mask = ids % 10 == 0
-    ids_aug = np.concatenate([ids, ids[copy_mask] + 1_000_000])
-    X_aug = np.vstack([X, X[copy_mask]])
-    ref = ray.put((ids_aug, X_aug))
+    (vec_a, vec_b). Fully distributed (no whole-table materialization):
 
-    def pairs_of_batch(batch: pa.Table) -> pd.DataFrame:
-        ids_all, X_all = ray.get(ref)
-        bids, BX = _batch_matrix(batch)
-        # each batch contributes its originals AND their augmented copies
-        bmask = bids % 10 == 0
-        bids_aug = np.concatenate([bids, bids[bmask] + 1_000_000])
-        BXn = _normalize(BX)
-        BX_aug = np.vstack([BXn, BXn[bmask]])
-        sims = BX_aug @ X_all.T
-        bi, aj = np.nonzero(sims >= NEARDUP_TAU)
-        a = bids_aug[bi]
-        b = ids_all[aj]
-        keep = a < b
+        sign-bit LSH band rows  →  banded candidate pairs (bucketed
+        self-merge, ops/shuffle.band_pair_candidates)  →  exact-cosine
+        verification via two hash-partitioned joins against the
+        (vec_id, packed-embedding) table (ops/shuffle.join_pair_payloads).
+
+    The verification makes the output LSH-parameter-independent given
+    recall (see the sizing note above), which is what keeps the exact SQL
+    oracle valid — the same argument as minhash_dedup's."""
+    from .shuffle import band_pair_candidates, join_pair_payloads
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, X = _batch_matrix(batch)
+        ids, X = _augment_embeddings(ids.astype(np.int64), X)
+        Xn = _normalize(X)
+        bits = (Xn @ _hyperplanes(X.shape[1]).T) > 0  # (n, bands*bits)
+        chunks = bits.reshape(len(ids), NEARDUP_LSH_BANDS, NEARDUP_LSH_BITS)
+        keys = chunks @ (1 << np.arange(NEARDUP_LSH_BITS, dtype=np.int64))
+        n = len(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.tile(np.arange(NEARDUP_LSH_BANDS, dtype=np.int32), n)
+                ),
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
+                "vec_id": pa.array(np.repeat(ids, NEARDUP_LSH_BANDS)),
+            }
+        )
+
+    def packed(batch: pa.Table) -> pa.Table:
+        ids, X = _batch_matrix(batch)
+        ids, X = _augment_embeddings(ids.astype(np.int64), X)
+        Xn = _normalize(X)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "emb": pa.array([row.tobytes() for row in Xn], pa.binary()),
+            }
+        )
+
+    cand = band_pair_candidates(
+        _emb(sf_dir).map_batches(band_rows, batch_format="pyarrow"),
+        ["band_id", "band_key"],
+        "vec_id",
+    )
+    joined = join_pair_payloads(
+        cand, _emb(sf_dir).map_batches(packed, batch_format="pyarrow")
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        ea_col = "emb" if "emb" in batch.columns else "emb_a"
+        A = np.stack([np.frombuffer(b, dtype=np.float64) for b in batch[ea_col]])
+        B = np.stack([np.frombuffer(b, dtype=np.float64) for b in batch["emb_b"]])
+        sims = np.einsum("ij,ij->i", A, B)
+        keep = sims >= NEARDUP_TAU
         return pd.DataFrame(
-            {"vec_a": a[keep].astype("int64"), "vec_b": b[keep].astype("int64")}
-        ).drop_duplicates()
+            {
+                "vec_a": batch.loc[keep, "id_a"].astype("int64").to_numpy(),
+                "vec_b": batch.loc[keep, "id_b"].astype("int64").to_numpy(),
+            }
+        )
 
-    return _emb(sf_dir).map_batches(pairs_of_batch, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pandas").select_columns(
+        ["vec_a", "vec_b"]
+    )
 
 
 def label_centroids(sf_dir: str) -> ray.data.Dataset:
