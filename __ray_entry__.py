@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- conversion / extraction (flagship family) ---
         "convert_spans": wrap.convert_documents_table,
         "convert_markdown": wrap.convert_documents_markdown,
+        "convert_html": wrap.convert_documents_html,
         # --- text analysis ---
         "token_count": text.token_count,
         "text_quality": text.text_quality,
@@ -137,6 +138,32 @@ FROM c
 """
 
 
+_CONVERT_HTML_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         string_agg('<p>' || array_to_string(words[i*20+1 : (i+1)*20], ' ') || '</p>',
+                    chr(10) ORDER BY i) AS body
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       '<!DOCTYPE html>' || chr(10)
+       || '<html><head><meta charset="utf-8"/><title>Document ' || w.doc_id
+       || ' from ' || w.source || '</title></head><body>' || chr(10)
+       || '<h1>Document ' || w.doc_id || ' from ' || w.source || '</h1>' || chr(10)
+       || p.body || chr(10) || '</body></html>'
+         AS html_content
+FROM w JOIN paras p USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.dedup import (
         EXACT_DEDUP_SQL,
@@ -162,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "convert_spans": _CONVERT_SPANS_SQL,
         "convert_markdown": _CONVERT_MD_SQL,
+        "convert_html": _CONVERT_HTML_SQL,
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
             " FROM documents"

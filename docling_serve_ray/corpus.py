@@ -70,6 +70,9 @@ CONTENT_KIND_WEIGHTS = [
 ]
 MD_KINDS = {"paragraph", "section_header", "list_item", "code"}
 DOCX_KINDS = MD_KINDS | {"table", "picture", "caption"}
+PPTX_KINDS = {"paragraph", "section_header", "list_item", "table", "picture", "caption"}
+XLSX_KINDS = {"section_header", "table"}
+ADOC_KINDS = MD_KINDS
 
 # geometry constants shared with kernels/pdfmodel.py semantics
 PAGE_W = 612.0
@@ -127,6 +130,9 @@ def _content_spans(rng: random.Random, doc_id: str, lang: str, fmt: str, n_spans
     allowed = {
         "md": MD_KINDS,
         "docx": DOCX_KINDS,
+        "pptx": PPTX_KINDS,
+        "xlsx": XLSX_KINDS,
+        "asciidoc": ADOC_KINDS,
     }.get(fmt)
     spans = [{"kind": "title", "text": _sentence(rng, lang, 3, 7), "media_ref": ""}]
     while len(spans) < n_spans:
@@ -180,6 +186,7 @@ def _render_pdf(
     doc_id: str,
     content: list[dict],
     quality: str,
+    single_page: bool = False,
 ) -> tuple[bytes, list[dict]]:
     """Render content spans into the synthetic page model. Returns
     (payload, full_span_list) where full_span_list adds page_header /
@@ -187,10 +194,12 @@ def _render_pdf(
     input span list and (since PDFs carry no boilerplate) the expected
     output span sequence (before offset re-ranking)."""
     # paginate: title page gets the title + blocks; 3-8 blocks per page
+    # (single_page: everything on one page — the "image" format is a
+    # bitmap scan of exactly one page)
     pages_blocks: list[list[dict]] = []
     i = 0
     while i < len(content):
-        take = rng.randint(3, 8)
+        take = len(content) if single_page else rng.randint(3, 8)
         pages_blocks.append(content[i : i + take])
         i += take
 
@@ -328,7 +337,13 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
     """Generate document i → dict with input row + expected spans + media."""
     rng = random.Random(f"{seed}:{i}")
     doc_id = f"doc-{i:08d}"
-    fmt = _pick(rng, [("html", 0.45), ("pdf", 0.35), ("docx", 0.15), ("md", 0.05)])
+    fmt = _pick(
+        rng,
+        [
+            ("html", 0.30), ("pdf", 0.28), ("docx", 0.12), ("md", 0.05),
+            ("pptx", 0.09), ("xlsx", 0.06), ("asciidoc", 0.05), ("image", 0.05),
+        ],
+    )
     lang = _pick(rng, [("en", 0.6), ("ar", 0.25), ("el", 0.15)])
     tier = _pick(rng, [("small", 0.90), ("medium", 0.08), ("large", 0.02)])
     n_spans = {
@@ -336,6 +351,8 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
         "medium": rng.randint(50, 200),
         "large": rng.randint(500, 2000),
     }[tier]
+    if fmt == "image":
+        n_spans = min(n_spans, 8)  # one photographed/scanned page
     quality = (
         _pick(
             rng,
@@ -366,11 +383,34 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
     elif fmt == "pdf":
         payload, raw = _render_pdf(rng, doc_id, content, quality)
         expected = raw  # PDFs have no boilerplate: full structure is expected
+    elif fmt == "image":
+        # one-page all-bitmap page model (a scan): same renderer as PDF
+        # with no embedded text layer, everything on a single page
+        payload, raw = _render_pdf(rng, doc_id, content, "no_text", single_page=True)
+        expected = raw
     elif fmt == "docx":
         from .kernels.office import render_docx
 
         raw = content
         payload = render_docx(content)
+        expected = content
+    elif fmt == "pptx":
+        from .kernels.office import render_pptx
+
+        raw = content
+        payload = render_pptx(content)
+        expected = content
+    elif fmt == "xlsx":
+        from .kernels.office import render_xlsx
+
+        raw = content
+        payload = render_xlsx(content)
+        expected = content
+    elif fmt == "asciidoc":
+        from .kernels.office import render_asciidoc
+
+        raw = content
+        payload = render_asciidoc(content)
         expected = content
     else:
         from .kernels.office import render_markdown_doc

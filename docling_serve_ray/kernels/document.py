@@ -18,7 +18,13 @@ import traceback
 from ..options import JobOptions
 from .bidi import apply_bidi_if_changed
 from .html import extract_html
-from .office import parse_docx, parse_markdown_doc
+from .office import (
+    parse_asciidoc,
+    parse_docx,
+    parse_markdown_doc,
+    parse_pptx,
+    parse_xlsx,
+)
 from .pdfmodel import page_embedded_texts, parse_payload, parse_pdf_doc
 from .quality import analyze_page_texts
 from .serialize import spans_to_doctags, spans_to_markdown, spans_to_text
@@ -28,6 +34,11 @@ def analyze_document(fmt: str, payload: bytes, options: JobOptions) -> str:
     """Quality-analysis gate (M1/M2): only PDFs are analyzed (reference
     pdf_analysis.py:214-217); returns the recommended OCR mode, or "" for
     non-PDF formats. force_ocr option override mirrors worker.py:150-156."""
+    if fmt == "image":
+        # bitmap-only input has no text layer: the reference routes images
+        # through the OCR engine unconditionally (convert.py:115-125), so
+        # the effective mode is always force — no analysis pass needed
+        return "force"
     if fmt != "pdf":
         return ""
     if options.pipeline == "vlm":
@@ -79,8 +90,18 @@ def convert_document(
                 doc, doc_id, mode or "skip", reverse_codebook,
                 page_range=options.page_range,
             )
+        elif fmt == "image":
+            # a bitmap image = a one-page all-bitmap page model routed
+            # through the same layout/OCR kernels as a no-text PDF page
+            spans = parse_pdf_doc(parse_payload(payload), doc_id, "force", reverse_codebook)
         elif fmt == "docx":
             spans = parse_docx(payload, doc_id)
+        elif fmt == "pptx":
+            spans = parse_pptx(payload, doc_id)
+        elif fmt == "xlsx":
+            spans = parse_xlsx(payload, doc_id)
+        elif fmt == "asciidoc":
+            spans = parse_asciidoc(payload, doc_id)
         elif fmt == "md":
             spans = parse_markdown_doc(payload, doc_id)
         else:
@@ -101,7 +122,7 @@ def convert_document(
         status = "partial_success"
         errors.append(f"document_timeout exceeded ({options.document_timeout}s)")
 
-    exports = make_exports(spans, options)
+    exports = make_exports(spans, options, doc_id)
 
     return {
         **exports,
@@ -116,9 +137,13 @@ def convert_document(
     }
 
 
-def make_exports(spans: list[dict], options: JobOptions) -> dict:
+def make_exports(spans: list[dict], options: JobOptions, doc_id: str = "") -> dict:
     """Export serialization (K2) + BiDi post-processing (M9) — shared by
-    the whole-doc path and the page fan-in reassembly."""
+    the whole-doc path and the page fan-in reassembly. The five export
+    columns mirror the reference's per-format outputs
+    (response_preparation.py:44-105): md / text / doctags / html / json."""
+    from .serialize import spans_to_html, spans_to_json
+
     md = (
         spans_to_markdown(spans, options.md_page_break_placeholder)
         if "md" in options.to_formats
@@ -138,5 +163,11 @@ def make_exports(spans: list[dict], options: JobOptions) -> dict:
         "text_content": text,
         "doctags_content": (
             spans_to_doctags(spans) if "doctags" in options.to_formats else ""
+        ),
+        "html_content": (
+            spans_to_html(spans) if "html" in options.to_formats else ""
+        ),
+        "json_content": (
+            spans_to_json(spans, doc_id) if "json" in options.to_formats else ""
         ),
     }

@@ -75,6 +75,86 @@ def spans_to_text(spans: list[dict]) -> str:
     return "\n\n".join(parts)
 
 
+def spans_to_html(spans: list[dict], title: str = "") -> str:
+    """HTML export (reference html_content, response_preparation.py:93;
+    golden shape asserts the page starts with ``<!DOCTYPE html>``). One
+    top-level element per content span, newline-joined; consecutive
+    list_items grouped into one ``<ul>``; furniture excluded like md."""
+    import html as _html
+
+    def esc(t: str) -> str:
+        return _html.escape(t, quote=False)
+
+    head_title = title or next((s["text"] for s in spans if s["kind"] == "title"), "")
+    parts = [
+        "<!DOCTYPE html>",
+        f'<html><head><meta charset="utf-8"/><title>{esc(head_title)}</title></head><body>',
+    ]
+    ul: list[str] = []
+
+    def flush_ul():
+        if ul:
+            parts.append("<ul>" + "".join(ul) + "</ul>")
+            ul.clear()
+
+    for s in spans:
+        kind, text = s["kind"], s["text"]
+        if kind == "page_break" or kind in FURNITURE_KINDS:
+            continue
+        if kind == "list_item":
+            ul.append(f"<li>{esc(text)}</li>")
+            continue
+        flush_ul()
+        if kind == "title":
+            parts.append(f"<h1>{esc(text)}</h1>")
+        elif kind == "section_header":
+            parts.append(f"<h2>{esc(text)}</h2>")
+        elif kind == "table":
+            tr = "".join(
+                "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in row.split(" | ")) + "</tr>"
+                for row in text.split("\n")
+            )
+            parts.append(f"<table>{tr}</table>")
+        elif kind == "picture":
+            parts.append(
+                f'<figure><img src="assets/{s["media_ref"]}.png" alt="{_html.escape(text)}"/></figure>'
+            )
+        elif kind == "code":
+            parts.append(f"<pre><code>{esc(text)}</code></pre>")
+        elif kind == "formula":
+            parts.append(f'<div class="formula">{esc(text)}</div>')
+        elif kind == "caption":
+            parts.append(f"<figcaption>{esc(text)}</figcaption>")
+        else:
+            parts.append(f"<p>{esc(text)}</p>")
+    flush_ul()
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def spans_to_json(spans: list[dict], doc_id: str = "") -> str:
+    """Lossless DoclingDocument-shaped JSON export (reference json_content,
+    response_preparation.py:44; golden shape asserts ``"schema_name":
+    "DoclingDocument"``). Round-trips: json.loads(...)["body"] == spans."""
+    import json as _json
+
+    doc = {
+        "schema_name": "DoclingDocument",
+        "version": "1.0.0",
+        "name": doc_id,
+        "body": [
+            {
+                "kind": s["kind"],
+                "text": s["text"],
+                "media_ref": s["media_ref"],
+                "offset": s["offset"],
+            }
+            for s in spans
+        ],
+    }
+    return _json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+
+
 def spans_to_doctags(spans: list[dict]) -> str:
     """Lossless doctags serialization: ``<doctag>`` wrapper, one
     ``<{kind}><loc_{offset}>{text}</{kind}>`` element per span in reading

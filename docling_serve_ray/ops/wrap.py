@@ -111,3 +111,14 @@ def convert_documents_markdown(sf_dir: str) -> ray.data.Dataset:
     ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
     ds = build_convert_pipeline(ds, JobOptions(to_formats=("md",)))
     return ds.select_columns(["doc_id", "md_content"])
+
+
+def convert_documents_html(sf_dir: str) -> ray.data.Dataset:
+    """Same pipeline, HTML export column (reference html_content surface:
+    extraction output re-serialized as a clean content-only page)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    ds = build_convert_pipeline(ds, JobOptions(to_formats=("html",)))
+    return ds.select_columns(["doc_id", "html_content"])

@@ -17,8 +17,11 @@ from dataclasses import asdict, dataclass, field
 
 @dataclass(frozen=True)
 class JobOptions:
-    # --- format routing (reference convert.py:115-137) ---
-    from_formats: tuple = ("html", "pdf", "docx", "md")
+    # --- format routing (reference convert.py:114-125: defaults to ALL
+    # supported input formats docx/pptx/html/image/pdf/asciidoc/md/xlsx) ---
+    from_formats: tuple = (
+        "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image"
+    )
     # reference default is Markdown only (convert.py:127-137 "defaults to
     # Markdown"); text/doctags are opt-in export columns
     to_formats: tuple = ("md",)

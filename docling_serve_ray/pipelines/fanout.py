@@ -158,7 +158,7 @@ def _reassemble_factory(options: JobOptions):
                 [dict(s) for s in ps] for ps in gd["page_spans"].tolist()
             ]
             spans = finalize_document_spans(page_spans, doc_id)
-            exports = make_exports(spans, options)
+            exports = make_exports(spans, options, doc_id)
             rows.append(
                 {
                     "doc_id": doc_id,

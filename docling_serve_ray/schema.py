@@ -74,6 +74,8 @@ OUTPUT_SCHEMA = pa.schema(
         ("md_content", pa.string()),
         ("text_content", pa.string()),
         ("doctags_content", pa.string()),
+        ("html_content", pa.string()),
+        ("json_content", pa.string()),
         ("num_spans", pa.int32()),
     ]
 )

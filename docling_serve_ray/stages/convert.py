@@ -79,6 +79,8 @@ def rows_to_output_table(rows: list[dict]) -> pa.Table:
         pa.array([r["md_content"] for r in rows], type=pa.string()),
         pa.array([r["text_content"] for r in rows], type=pa.string()),
         pa.array([r["doctags_content"] for r in rows], type=pa.string()),
+        pa.array([r["html_content"] for r in rows], type=pa.string()),
+        pa.array([r["json_content"] for r in rows], type=pa.string()),
         pa.array([r["num_spans"] for r in rows], type=pa.int32()),
     ]
     return pa.Table.from_arrays(arrays, schema=OUTPUT_SCHEMA)

@@ -1,0 +1,99 @@
+"""Per-format span equality for the full reference input-format surface
+(reference convert.py:114-125: from_formats defaults to docx, pptx, html,
+image, pdf, asciidoc, md, xlsx — all eight must convert)."""
+
+import pytest
+
+from docling_serve_ray.corpus import generate_doc
+from docling_serve_ray.kernels.document import convert_document
+from docling_serve_ray.kernels.glyphs import build_reverse_codebook
+from docling_serve_ray.options import DEFAULT_OPTIONS, JobOptions
+
+REV = build_reverse_codebook()
+
+ALL_FORMATS = ("html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image")
+
+
+def _docs_of_format(fmt, n=8, limit=3000):
+    out = []
+    for i in range(limit):
+        d = generate_doc(i)
+        if d["format"] == fmt:
+            out.append(d)
+            if len(out) == n:
+                break
+    assert out, f"generator produced no {fmt} docs in {limit}"
+    return out
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_format_span_equality(fmt):
+    for d in _docs_of_format(fmt):
+        r = convert_document(
+            d["doc_id"], d["format"], d["payload"], d["lang"], DEFAULT_OPTIONS, REV
+        )
+        assert r["status"] == "success", (fmt, r["errors"])
+        assert r["spans"] == d["expected_spans"], fmt
+
+
+def test_default_from_formats_is_complete():
+    assert set(DEFAULT_OPTIONS.from_formats) == set(ALL_FORMATS)
+
+
+def test_image_is_single_page_forced_ocr():
+    for d in _docs_of_format("image", n=3):
+        import json
+
+        model = json.loads(d["payload"].decode("utf-8"))
+        assert len(model["pages"]) == 1
+        assert all(c["is_bitmap"] for p in model["pages"] for c in p["cells"])
+        r = convert_document(
+            d["doc_id"], "image", d["payload"], d["lang"], DEFAULT_OPTIONS, REV
+        )
+        # bitmap-only input: ocr engine is the only text source
+        assert r["ocr_mode"] == "force"
+        assert r["spans"] == d["expected_spans"]
+
+
+def test_format_allowlist_still_gates():
+    opts = JobOptions(from_formats=("pdf",))
+    d = _docs_of_format("pptx", n=1)[0]
+    r = convert_document(d["doc_id"], "pptx", d["payload"], d["lang"], opts, REV)
+    assert r["status"] == "failure"
+
+
+class TestExportColumns:
+    """html_content / json_content export surface (reference
+    response_preparation.py:44-93; golden shapes from the reference's
+    all-outputs test: '<!DOCTYPE html>' and '"schema_name": "DoclingDocument"')."""
+
+    def _convert(self, fmt="html"):
+        d = _docs_of_format(fmt, n=1)[0]
+        opts = JobOptions(to_formats=("md", "text", "doctags", "html", "json"))
+        return d, convert_document(
+            d["doc_id"], d["format"], d["payload"], d["lang"], opts, REV
+        )
+
+    def test_html_golden_shape(self):
+        d, r = self._convert()
+        assert r["html_content"].startswith("<!DOCTYPE html>")
+        assert r["html_content"].endswith("</body></html>")
+        assert "<h1>" in r["html_content"]
+
+    def test_json_lossless_roundtrip(self):
+        import json
+
+        d, r = self._convert()
+        doc = json.loads(r["json_content"])
+        assert doc["schema_name"] == "DoclingDocument"
+        assert doc["name"] == d["doc_id"]
+        assert doc["body"] == r["spans"] == d["expected_spans"]
+
+    def test_exports_opt_in(self):
+        d = _docs_of_format("md", n=1)[0]
+        r = convert_document(
+            d["doc_id"], d["format"], d["payload"], d["lang"], DEFAULT_OPTIONS, REV
+        )
+        # default to_formats is ("md",): other export columns stay empty
+        assert r["html_content"] == "" and r["json_content"] == ""
+        assert r["md_content"]
