@@ -89,11 +89,17 @@ def convert_document(
             spans = parse_pdf_doc(
                 doc, doc_id, mode or "skip", reverse_codebook,
                 page_range=options.page_range,
+                describe_pictures=options.do_picture_description,
+                picture_area_threshold=options.picture_area_threshold,
             )
         elif fmt == "image":
             # a bitmap image = a one-page all-bitmap page model routed
             # through the same layout/OCR kernels as a no-text PDF page
-            spans = parse_pdf_doc(parse_payload(payload), doc_id, "force", reverse_codebook)
+            spans = parse_pdf_doc(
+                parse_payload(payload), doc_id, "force", reverse_codebook,
+                describe_pictures=options.do_picture_description,
+                picture_area_threshold=options.picture_area_threshold,
+            )
         elif fmt == "docx":
             spans = parse_docx(payload, doc_id)
         elif fmt == "pptx":

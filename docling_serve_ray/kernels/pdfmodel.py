@@ -168,18 +168,47 @@ def recover_tables(table_cells: list[dict]) -> list[dict]:
     return tables
 
 
-def parse_page(page: dict, ocr_mode: str, reverse_codebook) -> list[dict]:
+def parse_page(
+    page: dict,
+    ocr_mode: str,
+    reverse_codebook,
+    *,
+    describe_pictures: bool = True,
+    picture_area_threshold: float = 0.0,
+) -> list[dict]:
     """Convert ONE page dict → span dicts (kind, text) in reading order —
     no offsets, media refs or page breaks (those are document-level,
     assigned by finalize_document_spans). This is the unit of work for the
-    page fan-out path (G2 in SURVEY.md §2.4)."""
+    page fan-out path (G2 in SURVEY.md §2.4).
+
+    Picture description (A5): a picture span's text is the description the
+    vision model produces from the image region (here the deterministic
+    glyph decode plays the local VLM — §7.3 faithfulness boundary). The
+    reference gates description by relative picture area
+    (picture_area_threshold, convert.py:351-357: pictures smaller than the
+    given fraction of the page are not described): below-threshold
+    pictures keep an empty description.
+
+    Ownership: cells must be exclusively owned by the caller (this
+    function mutates them in place — adds ``_etext``, overwrites ``text``
+    with OCR-substituted text). Parse fresh JSON per call; do not reuse a
+    parsed doc across calls."""
     width, height = page.get("width", 612), page.get("height", 792)
+    page_area = max(width * height, 1.0)
     spans: list[dict] = []
 
     # cells come from this document's own json.loads — mutating them in
     # place is safe and saves a dict copy per cell (hot path)
     regular, tablecells = [], []
     for c in page["cells"]:
+        if c["font"] == "image":
+            area_frac = (c["x1"] - c["x0"]) * (c["y1"] - c["y0"]) / page_area
+            if describe_pictures and area_frac >= picture_area_threshold:
+                c["_etext"] = _cell_effective_text(c, ocr_mode, reverse_codebook)
+            else:
+                c["_etext"] = ""
+            regular.append(c)
+            continue
         c["_etext"] = _cell_effective_text(c, ocr_mode, reverse_codebook)
         (tablecells if c["font"] == "table" else regular).append(c)
 
@@ -252,13 +281,16 @@ def parse_pdf(
     ocr_mode: str,
     reverse_codebook,
     page_range: tuple = (1, 2**31 - 1),
+    **kwargs,
 ) -> list[dict]:
     """Full PDF conversion for one document → ordered span dicts:
     per-page OCR-mode text resolution → table recovery → geometric reading
     order → block merge → kind classification (parse_page), then
     page_break insertion + media-ref assignment + dense offset ranking
     (finalize_document_spans)."""
-    return parse_pdf_doc(parse_payload(payload), doc_id, ocr_mode, reverse_codebook, page_range)
+    return parse_pdf_doc(
+        parse_payload(payload), doc_id, ocr_mode, reverse_codebook, page_range, **kwargs
+    )
 
 
 def parse_pdf_doc(
@@ -267,7 +299,19 @@ def parse_pdf_doc(
     ocr_mode: str,
     reverse_codebook,
     page_range: tuple = (1, 2**31 - 1),
+    *,
+    describe_pictures: bool = True,
+    picture_area_threshold: float = 0.0,
 ) -> list[dict]:
+    """Consumes ``doc`` (parse_page mutates cells in place — callers must
+    not reuse the parsed doc afterwards)."""
     pages = select_pages(doc, page_range)
-    page_spans = [parse_page(p, ocr_mode, reverse_codebook) for p in pages]
+    page_spans = [
+        parse_page(
+            p, ocr_mode, reverse_codebook,
+            describe_pictures=describe_pictures,
+            picture_area_threshold=picture_area_threshold,
+        )
+        for p in pages
+    ]
     return finalize_document_spans(page_spans, doc_id)

@@ -127,23 +127,30 @@ def agg_pricing(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def _customer_map(sf_dir: str, value_col: str) -> dict:
-    """Small-side lookup: c_custkey → value_col, broadcast via ray.put."""
-    t = (
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", value_col]
-        )
-        .take_all()
-    )
-    return {r["c_custkey"]: r[value_col] for r in t}
+def _customer_lookup(sf_dir: str, value_col: str):
+    """Small-side lookup: sorted (keys, values) numpy arrays for a
+    vectorized searchsorted probe — broadcast via ray.put ONCE and read
+    zero-copy in every task (a dict-of-rows would pickle per-object and
+    fall over at a 10^8-row dimension table)."""
+    df = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", value_col]
+    ).to_pandas()
+    keys = df["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    return keys[order], df[value_col].to_numpy()[order]
+
+
+def _lookup(ref, probe: np.ndarray) -> np.ndarray:
+    keys, values = ray.get(ref)
+    return values[np.searchsorted(keys, probe)]
 
 
 def join_revenue(sf_dir: str) -> ray.data.Dataset:
     """orders ⋈ customer (broadcast) → revenue by market segment."""
-    ref = ray.put(_customer_map(sf_dir, "c_mktsegment"))
+    ref = ray.put(_customer_lookup(sf_dir, "c_mktsegment"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        seg = batch["o_custkey"].map(ray.get(ref))
+        seg = _lookup(ref, batch["o_custkey"].to_numpy())
         cents = np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64")
         g = (
             pd.DataFrame({"c_mktsegment": seg, "price_c": cents})
@@ -175,7 +182,7 @@ def join_revenue(sf_dir: str) -> ray.data.Dataset:
 def top_orders(sf_dir: str) -> ray.data.Dataset:
     """Global top-10 orders by totalprice with customer name: per-batch
     k-selection → global sort of the tiny candidate set → limit."""
-    ref = ray.put(_customer_map(sf_dir, "c_name"))
+    ref = ray.put(_customer_lookup(sf_dir, "c_name"))
     K = 10
 
     def per_batch_top(batch: pd.DataFrame) -> pd.DataFrame:
@@ -193,7 +200,7 @@ def top_orders(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "o_orderkey": batch["o_orderkey"].astype("int64"),
-                "c_name": batch["o_custkey"].map(ray.get(ref)),
+                "c_name": _lookup(ref, batch["o_custkey"].to_numpy()),
                 "totalprice_c": np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64"),
             }
         )
@@ -225,16 +232,19 @@ def events_window(sf_dir: str) -> ray.data.Dataset:
         out["sum_value_c"] = out["sum_value_c"].astype("int64")
         return out
 
-    from .shuffle import bucketed_group_agg
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
-    # window count scales with data span → bucketed grouped reduce
+    # window count scales with data span → bucketed grouped reduce, with
+    # the bucket count scaled to the input so one bucket's frame stays
+    # bounded at any corpus size
     return bucketed_group_agg(
         ds.map_batches(partial, batch_format="pandas"),
         ["event_type", "window_start"],
         final,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
     )
 
 
@@ -345,8 +355,10 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     (neither does the reference, SURVEY.md §2.4); the input is treated as a
     keyed log: bucketed groupby(user_id), in-group sort by (ts, event_id),
     vectorized gap-diff → session ids → per-session aggregate. Ordering
-    assumption: all events of one user fit one group (bucket)."""
-    from .shuffle import bucketed_group_agg
+    assumption: all events of one user fit one group (bucket); the bucket
+    count scales with input bytes so a bucket's pandas frame stays bounded
+    (a fixed count would grow per-bucket size linearly with the corpus)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -369,4 +381,9 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
-    return bucketed_group_agg(ds, ["user_id"], per_bucket)
+    return bucketed_group_agg(
+        ds,
+        ["user_id"],
+        per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )

@@ -69,7 +69,7 @@ def bucketed_group_agg(
 
 
 def scaled_num_buckets(
-    ds: ray.data.Dataset,
+    size: "int | ray.data.Dataset",
     *,
     target_bucket_bytes: int = 64 * 1024 * 1024,
     lo: int = 64,
@@ -78,16 +78,38 @@ def scaled_num_buckets(
     """Bucket count proportional to input size so one bucket's pandas frame
     stays ≈ ``target_bucket_bytes`` no matter the corpus: a fixed 512 means
     input_bytes/512 per bucket — hundreds of GB per reduce task at 100 TB.
-    Uses the Dataset's metadata size estimate (no execution for reads);
-    falls back to ``lo`` when unknown."""
-    try:
-        nbytes = ds.size_bytes()
-    except Exception:
-        nbytes = None
+
+    ``size`` is either a byte count the caller already knows (e.g. on-disk
+    input size × a decompression factor — preferred: never triggers
+    execution) or a Dataset, whose metadata size estimate is used (safe for
+    fresh reads; do NOT pass a transformed Dataset — size_bytes() would
+    execute it). Falls back to ``lo`` when unknown."""
+    if isinstance(size, int):
+        nbytes = size
+    else:
+        try:
+            nbytes = size.size_bytes()
+        except Exception:
+            nbytes = None
     if not nbytes:
         return lo
     want = (nbytes + target_bucket_bytes - 1) // target_bucket_bytes
     return int(max(lo, min(hi, want)))
+
+
+def input_bytes_estimate(*paths: str, decompression_factor: int = 4) -> int:
+    """In-memory size estimate for parquet inputs from their on-disk size
+    (parquet→Arrow decompression runs ~2-6× on text-heavy tables)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total * decompression_factor
 
 
 def band_pair_candidates(

@@ -38,10 +38,12 @@ class Partition:
     fingerprint: str = ""
 
     def compute_fingerprint(self) -> str:
+        # name + size + mtime_ns: a same-size content rewrite still
+        # invalidates the checkpoint (size alone would silently reuse it)
         h = hashlib.sha1()
         for f in sorted(self.files):
             st = os.stat(f)
-            h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+            h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
         self.fingerprint = h.hexdigest()
         return self.fingerprint
 
@@ -90,9 +92,15 @@ def run_partitioned(
     *,
     num_partitions: int = 16,
     resume: bool = True,
+    output_format: str = "parquet",
 ) -> dict:
     """Run ``pipeline_fn(files) -> ray.data.Dataset`` over byte-balanced
     partitions with atomic per-partition checkpointing.
+
+    output_format: "parquet" (default) or "lance" (BASELINE.json's nominal
+    container; requires the pylance package — import-guarded, and absent in
+    this sandbox, so the lance path raises a clear ImportError; the Arrow
+    schema is identical either way).
 
     Returns a summary dict: manifest rows, skipped pids, totals.
     """
@@ -116,12 +124,21 @@ def run_partitioned(
 
         t0 = time.time()
         ds = pipeline_fn(part.files)
-        ds.write_parquet(tmp_dir)
-        # cheap driver-side metrics from the written files
-        import pyarrow.dataset as pads
+        if output_format == "lance":
+            try:
+                import lance  # noqa: F401
+            except ImportError as exc:
+                raise ImportError(
+                    "output_format='lance' requires the pylance package"
+                ) from exc
+            ds.write_lance(tmp_dir)
+            row_count = lance.dataset(tmp_dir).count_rows()
+        else:
+            ds.write_parquet(tmp_dir)
+            # cheap driver-side metrics from the written files
+            import pyarrow.dataset as pads
 
-        written = pads.dataset(tmp_dir, format="parquet")
-        row_count = written.count_rows()
+            row_count = pads.dataset(tmp_dir, format="parquet").count_rows()
         wall = time.time() - t0
         rec = {
             "partition_id": part.pid,

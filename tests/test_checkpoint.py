@@ -154,3 +154,56 @@ class TestSkewedPartitioning:
         assert all(x > 0 for x in rates)
         byte_sizes = [rec["input_bytes"] for rec in r["manifest"]]
         assert max(byte_sizes) <= 2.5 * min(byte_sizes)
+
+
+class TestOutputFormatDispatch:
+    def test_lance_roundtrip_or_clean_skip(self, ray_session, small_corpus, tmp_path):
+        """write_lance path: round-trips when pylance is present, raises a
+        clear ImportError otherwise (sandbox has no pylance)."""
+        import glob
+        import os
+
+        import pytest as _pytest
+
+        from docling_serve_ray.pipelines.convert import build_convert_pipeline, read_input
+        from docling_serve_ray.state.checkpoint import run_partitioned
+
+        files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))[:2]
+        try:
+            import lance  # noqa: F401
+
+            have_lance = True
+        except ImportError:
+            have_lance = False
+        if not have_lance:
+            with _pytest.raises(ImportError, match="pylance"):
+                run_partitioned(
+                    files, str(tmp_path / "out"),
+                    lambda fs: build_convert_pipeline(read_input(fs)),
+                    num_partitions=1, output_format="lance",
+                )
+        else:
+            s = run_partitioned(
+                files, str(tmp_path / "out"),
+                lambda fs: build_convert_pipeline(read_input(fs)),
+                num_partitions=1, output_format="lance",
+            )
+            assert s["total_rows"] > 0
+
+    def test_content_change_same_size_invalidates(self, tmp_path):
+        """Fingerprint covers mtime: rewriting a file with identical size
+        must produce a different fingerprint (round-1 gap: basename+size
+        silently reused stale checkpoints)."""
+        import os
+        import time as _time
+
+        from docling_serve_ray.state.checkpoint import plan_partitions
+
+        f = tmp_path / "in.parquet"
+        f.write_bytes(b"a" * 100)
+        fp1 = plan_partitions([str(f)], 1)[0].fingerprint
+        _time.sleep(0.01)
+        f.write_bytes(b"b" * 100)  # same size, different content
+        os.utime(f)  # ensure mtime tick even on coarse filesystems
+        fp2 = plan_partitions([str(f)], 1)[0].fingerprint
+        assert fp1 != fp2

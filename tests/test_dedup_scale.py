@@ -107,3 +107,24 @@ class TestEmbeddingNeardupLSH:
 
         src = inspect.getsource(similarity.embedding_neardup)
         assert "take_all" not in src
+
+
+class TestScaledBuckets:
+    def test_bucket_count_grows_with_input(self):
+        from docling_serve_ray.ops.shuffle import scaled_num_buckets
+
+        small = scaled_num_buckets(10 * 1024**3)
+        big = scaled_num_buckets(20 * 1024**3)
+        assert big == 2 * small
+        # floors and ceilings
+        assert scaled_num_buckets(0) == 64
+        assert scaled_num_buckets(1) == 64
+        assert scaled_num_buckets(1 << 60) == 1 << 16
+
+    def test_input_bytes_estimate_counts_files(self, tmp_path):
+        from docling_serve_ray.ops.shuffle import input_bytes_estimate
+
+        (tmp_path / "a.parquet").write_bytes(b"x" * 1000)
+        (tmp_path / "b.parquet").write_bytes(b"x" * 500)
+        assert input_bytes_estimate(str(tmp_path)) == 1500 * 4
+        assert input_bytes_estimate(str(tmp_path / "a.parquet")) == 1000 * 4

@@ -83,3 +83,58 @@ class TestFanoutWithCheckpoint:
         gm = {r["doc_id"]: [dict(s) for s in r["spans"]] for r in got}
         pm = {r["doc_id"]: [dict(s) for s in r["spans"]] for r in plain}
         assert gm == pm
+
+
+class TestFanoutGuards:
+    """Option guards must behave identically on the fan-out path (the
+    reference enforces them per document regardless of execution shape)."""
+
+    def _by_id(self, rows):
+        return {r["doc_id"]: r for r in rows}
+
+    def test_max_num_pages_failure_row(self, ray_session, small_corpus):
+        opts = JobOptions(to_formats=("md",), max_num_pages=3)
+        plain = self._by_id(
+            build_convert_pipeline(read_input(small_corpus), options=opts).take_all()
+        )
+        fanout = self._by_id(
+            convert_with_page_fanout(small_corpus, options=opts, threshold=3).take_all()
+        )
+        assert set(plain) == set(fanout)
+        over = [d for d in plain if plain[d]["status"] == "failure"]
+        assert over, "corpus has no >3-page PDFs; test is vacuous"
+        for d in over:
+            assert fanout[d]["status"] == "failure"
+            assert fanout[d]["spans"] == []
+
+    def test_page_range_zero_pages_success_row(self, ray_session, small_corpus):
+        # a page_range beyond every document selects zero pages: the
+        # whole-doc path emits a 0-span success row — fan-out must too
+        opts = JobOptions(to_formats=("md",), page_range=(10_000, 10_001))
+        plain = self._by_id(
+            build_convert_pipeline(read_input(small_corpus), options=opts).take_all()
+        )
+        fanout = self._by_id(
+            convert_with_page_fanout(small_corpus, options=opts, threshold=3).take_all()
+        )
+        assert set(plain) == set(fanout)
+        for d, p in plain.items():
+            assert fanout[d]["status"] == p["status"]
+            assert [dict(s) for s in fanout[d]["spans"]] == [dict(s) for s in p["spans"]]
+
+    def test_from_formats_gate_applies_to_big_docs(self, ray_session, small_corpus):
+        opts = JobOptions(to_formats=("md",), from_formats=("html",))
+        fanout = convert_with_page_fanout(
+            small_corpus, options=opts, threshold=3
+        ).take_all()
+        by_fmt_status = {(r["format"], r["status"]) for r in fanout}
+        assert ("pdf", "failure") in by_fmt_status
+        assert all(s == "failure" for f, s in by_fmt_status if f != "html")
+        assert ("html", "success") in by_fmt_status
+
+    def test_single_read_in_plan(self, ray_session, small_corpus):
+        """The fan-out pipeline must read the input exactly once (the old
+        two-branch design read it twice: 2x scan amplification)."""
+        ds = convert_with_page_fanout(small_corpus, options=OPTS, threshold=3)
+        stats = ds.materialize().stats()
+        assert stats.count("ReadParquet") == 1, stats

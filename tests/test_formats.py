@@ -97,3 +97,46 @@ class TestExportColumns:
         # default to_formats is ("md",): other export columns stay empty
         assert r["html_content"] == "" and r["json_content"] == ""
         assert r["md_content"]
+
+
+class TestPictureDescriptionGate:
+    """A5 gate: picture_area_threshold (reference convert.py:351-357) —
+    pictures below the relative-area floor are not described."""
+
+    def _pdf_with_picture(self):
+        for i in range(3000):
+            d = generate_doc(i)
+            if d["format"] == "pdf" and any(
+                s["kind"] == "picture" and s["text"] for s in d["expected_spans"]
+            ):
+                return d
+        raise AssertionError("no pdf with a described picture found")
+
+    def _run(self, d, **opt_kw):
+        opts = JobOptions(**opt_kw)
+        return convert_document(
+            d["doc_id"], d["format"], d["payload"], d["lang"], opts, REV
+        )
+
+    def test_default_threshold_describes_all(self):
+        d = self._pdf_with_picture()
+        r = self._run(d)
+        assert r["spans"] == d["expected_spans"]
+
+    def test_high_threshold_blanks_small_pictures(self):
+        d = self._pdf_with_picture()
+        # corpus picture regions are 200x80 pt on a >=612x792 page
+        # (area fraction ~3%), so a 5% floor suppresses every description
+        r = self._run(d, picture_area_threshold=0.05)
+        pics = [s for s in r["spans"] if s["kind"] == "picture"]
+        assert pics and all(s["text"] == "" for s in pics)
+        # non-picture spans unaffected
+        assert [s for s in r["spans"] if s["kind"] != "picture"] == [
+            s for s in d["expected_spans"] if s["kind"] != "picture"
+        ]
+
+    def test_do_picture_description_off(self):
+        d = self._pdf_with_picture()
+        r = self._run(d, do_picture_description=False)
+        pics = [s for s in r["spans"] if s["kind"] == "picture"]
+        assert pics and all(s["text"] == "" for s in pics)
