@@ -140,6 +140,9 @@ def convert_document(
         "status": status,
         "errors": errors,
         "num_spans": len(spans),
+        # reference ConversionResult.timings / processing_time surface
+        # (responses.py:31-36): per-document wall seconds
+        "processing_time": round(_time.monotonic() - t_start, 6),
     }
 
 
@@ -151,7 +154,10 @@ def make_exports(spans: list[dict], options: JobOptions, doc_id: str = "") -> di
     from .serialize import spans_to_html, spans_to_json
 
     md = (
-        spans_to_markdown(spans, options.md_page_break_placeholder)
+        spans_to_markdown(
+            spans, options.md_page_break_placeholder,
+            image_mode=options.image_export_mode,
+        )
         if "md" in options.to_formats
         else ""
     )
@@ -171,7 +177,9 @@ def make_exports(spans: list[dict], options: JobOptions, doc_id: str = "") -> di
             spans_to_doctags(spans) if "doctags" in options.to_formats else ""
         ),
         "html_content": (
-            spans_to_html(spans) if "html" in options.to_formats else ""
+            spans_to_html(spans, image_mode=options.image_export_mode)
+            if "html" in options.to_formats
+            else ""
         ),
         "json_content": (
             spans_to_json(spans, doc_id) if "json" in options.to_formats else ""

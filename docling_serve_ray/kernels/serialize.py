@@ -29,10 +29,21 @@ def _md_table(text: str) -> str:
     return "\n".join(out)
 
 
-def spans_to_markdown(spans: list[dict], page_break_placeholder: str = "") -> str:
+IMAGE_PLACEHOLDER = "<!-- image -->"
+
+
+def spans_to_markdown(
+    spans: list[dict],
+    page_break_placeholder: str = "",
+    image_mode: str = "referenced",
+) -> str:
     """Markdown export. ``page_break_placeholder`` mirrors the reference's
     md_page_break_placeholder option (convert.py:299-305): empty string =
-    page breaks dropped."""
+    page breaks dropped. ``image_mode`` is the ImageRefMode analog
+    (convert.py:139-151): referenced (default) links the sidecar media_ref,
+    placeholder emits a fixed marker, embedded emits the referenced form
+    here and is completed by pipelines.media.embed_media_exports (bytes
+    live in the sidecar table, not in the serializer)."""
     parts = []
     for s in spans:
         kind, text = s["kind"], s["text"]
@@ -55,7 +66,10 @@ def spans_to_markdown(spans: list[dict], page_break_placeholder: str = "") -> st
         elif kind == "table":
             parts.append(_md_table(text))
         elif kind == "picture":
-            parts.append(f"![{text}]({s['media_ref']})")
+            if image_mode == "placeholder":
+                parts.append(IMAGE_PLACEHOLDER)
+            else:
+                parts.append(f"![{text}]({s['media_ref']})")
         elif kind == "caption":
             parts.append(f"*{text}*")
         else:
@@ -75,7 +89,9 @@ def spans_to_text(spans: list[dict]) -> str:
     return "\n\n".join(parts)
 
 
-def spans_to_html(spans: list[dict], title: str = "") -> str:
+def spans_to_html(
+    spans: list[dict], title: str = "", image_mode: str = "referenced"
+) -> str:
     """HTML export (reference html_content, response_preparation.py:93;
     golden shape asserts the page starts with ``<!DOCTYPE html>``). One
     top-level element per content span, newline-joined; consecutive
@@ -116,9 +132,12 @@ def spans_to_html(spans: list[dict], title: str = "") -> str:
             )
             parts.append(f"<table>{tr}</table>")
         elif kind == "picture":
-            parts.append(
-                f'<figure><img src="assets/{s["media_ref"]}.png" alt="{_html.escape(text)}"/></figure>'
-            )
+            if image_mode == "placeholder":
+                parts.append(IMAGE_PLACEHOLDER)
+            else:
+                parts.append(
+                    f'<figure><img src="assets/{s["media_ref"]}.png" alt="{_html.escape(text)}"/></figure>'
+                )
         elif kind == "code":
             parts.append(f"<pre><code>{esc(text)}</code></pre>")
         elif kind == "formula":

@@ -174,41 +174,31 @@ MINHASH_PAIRS_SQL = JACCARD_PAIRS_SQL.replace(">= 0.5", ">= 0.7")
 
 
 def _shingle_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) → exploded (shingle_h, doc_id) distinct rows."""
+    """(doc_id, text) → exploded (shingle_h, doc_id, n) distinct rows.
+
+    ``n`` = the document's TOTAL distinct-shingle count, known at explode
+    time and carried on every shingle row (one extra int per row through
+    the shuffle). Union sizes for the Jaccard denominator then ride along
+    with the pair emission — no per-doc count table, no broadcast, no
+    join."""
     aug = _augment_neardup(batch)
-    out_h: list[int] = []
+    out_h: list[np.ndarray] = []
     out_d: list[int] = []
+    out_n: list[int] = []
     for d, t in zip(aug["doc_id"].to_pylist(), aug["text"].to_pylist()):
         hs = _shingle_hashes(t)
-        out_h.extend(int(h) for h in hs)
+        out_h.append(hs)
         out_d.extend([d] * len(hs))
+        out_n.extend([len(hs)] * len(hs))
     return pa.table(
         {
-            "shingle_h": pa.array(out_h, pa.uint64()),
+            "shingle_h": pa.array(
+                np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+            ),
             "doc_id": pa.array(out_d, pa.int64()),
+            "n": pa.array(out_n, pa.int32()),
         }
     )
-
-
-def _doc_count_table(sf_dir: str) -> ray.data.Dataset:
-    """(id, n) Dataset: augmented doc_id → |distinct shingles|. Stays a
-    Dataset end to end — it is JOINED onto the pair table (hash-partitioned),
-    never materialized on the driver; at 10^12 docs the table is 10^12 thin
-    rows flowing through the same partitioned join as everything else."""
-
-    def counts(b: pa.Table) -> pa.Table:
-        aug = _augment_neardup(b)
-        return pa.table(
-            {
-                "id": aug["doc_id"],
-                "n": pa.array(
-                    [len(_shingle_hashes(t)) for t in aug["text"].to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    return _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
 
 
 def _shingle_set_table(sf_dir: str) -> ray.data.Dataset:
@@ -275,8 +265,10 @@ def ngram_jaccard_dedup(
 
     Default path (max_shingle_df=None, exact recall): shingle-explode →
     bucketed groupby(shingle) pair-emit (vectorized self-merge per bucket)
-    → groupby(pair) count → union sizes via two hash-partitioned joins
-    against the (id, n) count Dataset — nothing materializes on the driver.
+    → groupby(pair) count → jaccard. Per-doc shingle totals ride on the
+    shingle rows themselves (one int per row), so union sizes need no
+    broadcast, no count table, and no join — nothing materializes on the
+    driver and no extra shuffle stage exists.
 
     Capped path (max_shingle_df=k, the 100-TB web-corpus setting): a
     shingle shared by k docs emits k² pair rows, and boilerplate shingles
@@ -290,17 +282,24 @@ def ngram_jaccard_dedup(
     from .shuffle import (
         band_pair_candidates,
         bucketed_group_agg,
+        input_bytes_estimate,
         join_pair_payloads,
-        join_partitions,
     )
 
     sh = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
 
     if max_shingle_df is not None:
         cand = band_pair_candidates(
-            sh, ["shingle_h"], "doc_id", max_band_df=max_shingle_df
+            sh.select_columns(["shingle_h", "doc_id"]),
+            ["shingle_h"],
+            "doc_id",
+            max_band_df=max_shingle_df,
         )
-        joined = join_pair_payloads(cand, _shingle_set_table(sf_dir))
+        joined = join_pair_payloads(
+            cand,
+            _shingle_set_table(sf_dir),
+            size_bytes=input_bytes_estimate(f"{sf_dir}/documents.parquet"),
+        )
         return _exact_jaccard_verify(joined, JACCARD_THRESHOLD)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -310,12 +309,15 @@ def ngram_jaccard_dedup(
         return batch.append_column("bucket", b)
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g[["shingle_h", "doc_id"]].merge(g[["shingle_h", "doc_id"]], on="shingle_h")
+        cols = ["shingle_h", "doc_id", "n"]
+        m = g[cols].merge(g[cols], on="shingle_h")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return pd.DataFrame(
             {
                 "doc_a": m["doc_id_x"].astype("int64"),
                 "doc_b": m["doc_id_y"].astype("int64"),
+                "n_a": m["n_x"].astype("int32"),
+                "n_b": m["n_y"].astype("int32"),
             }
         )
 
@@ -327,11 +329,13 @@ def ngram_jaccard_dedup(
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            pn=("doc_a", "size")
+            pn=("doc_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
         )
 
     def count_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(inter_n=("pn", "sum"))
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter_n=("pn", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
         out["inter_n"] = out["inter_n"].astype("int64")
         return out
 
@@ -339,21 +343,8 @@ def ngram_jaccard_dedup(
         pairs, ["doc_a", "doc_b"], count_final, partial_fn=count_partial
     )
 
-    # union size via joins against the per-doc count Dataset (both sides)
-    counts = _doc_count_table(sf_dir)
-    P, jkw = join_partitions()
-    j1 = inter.join(
-        counts, "inner", P, on=("doc_a",), right_on=("id",),
-        left_suffix="", right_suffix="_a", **jkw,
-    )
-    j2 = j1.join(
-        counts, "inner", P, on=("doc_b",), right_on=("id",),
-        left_suffix="", right_suffix="_b", **jkw,
-    )
-
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        na_col = "n" if "n" in batch.columns else "n_a"
-        union = batch[na_col] + batch["n_b"] - batch["inter_n"]
+        union = batch["n_a"].astype("int64") + batch["n_b"] - batch["inter_n"]
         keep = batch["inter_n"] / union >= JACCARD_THRESHOLD
         return pd.DataFrame(
             {
@@ -365,7 +356,7 @@ def ngram_jaccard_dedup(
             }
         )
 
-    return j2.map_batches(finalize, batch_format="pandas").select_columns(
+    return inter.map_batches(finalize, batch_format="pandas").select_columns(
         ["doc_a", "doc_b", "jaccard_micro"]
     )
 
@@ -468,13 +459,17 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    from .shuffle import band_pair_candidates, join_pair_payloads
+    from .shuffle import band_pair_candidates, input_bytes_estimate, join_pair_payloads
 
     bands = _docs(sf_dir).map_batches(
         band_rows, batch_format="pyarrow", batch_size=256
     )
     cand = band_pair_candidates(bands, ["band_id", "band_key"], "doc_id")
-    joined = join_pair_payloads(cand, _shingle_set_table(sf_dir))
+    joined = join_pair_payloads(
+        cand,
+        _shingle_set_table(sf_dir),
+        size_bytes=input_bytes_estimate(f"{sf_dir}/documents.parquet"),
+    )
     return _exact_jaccard_verify(joined, MINHASH_THRESHOLD)
 
 

@@ -180,14 +180,16 @@ def join_pair_payloads(
     a_col: str = "id_a",
     b_col: str = "id_b",
     id_col: str = "id",
+    size_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate pairs ⋈ payload table on both sides (hash-partitioned
     Dataset.join twice — the fully distributed verification pattern: no
     driver-side materialization, payload moves only for candidate rows).
     Non-key payload columns keep their name from the first join and get a
     ``_b`` suffix from the second (Ray suffixes only on collision; callers
-    resolve defensively)."""
-    P, jkw = join_partitions()
+    resolve defensively). ``size_bytes`` sizes the join partition count
+    (see join_partitions)."""
+    P, jkw = join_partitions(size_bytes=size_bytes)
     j1 = cand.join(
         payload_ds, "inner", P, on=(a_col,), right_on=(id_col,),
         left_suffix="", right_suffix="_a", **jkw,
@@ -198,11 +200,17 @@ def join_pair_payloads(
     )
 
 
-def join_partitions(cap: int = 16) -> tuple[int, dict]:
+def join_partitions(cap: int = 16, size_bytes: int | None = None) -> tuple[int, dict]:
     """Cluster-scaled num_partitions + remote-args for Dataset.join: each
     join spawns an aggregator actor pool, and full-CPU aggregators at high
     partition counts deadlock small clusters (measured: two 16-partition
-    joins hang a 4-CPU cluster). Fractional-CPU aggregators + P ≈ cpus/2."""
+    joins hang a 4-CPU cluster). Fractional-CPU aggregators + P ≈ cpus/2.
+
+    size_bytes: optional in-memory estimate of the LARGER join side. The
+    aggregator pool is a fixed per-partition tax (measured ~1s/partition
+    setup on this Ray), so small inputs should not pay 16 partitions: P is
+    additionally capped at ceil(size / 256 MB). At 100 TB the byte cap is
+    far above the cluster cap and P stays cluster-scaled."""
     try:
         import ray
 
@@ -210,4 +218,6 @@ def join_partitions(cap: int = 16) -> tuple[int, dict]:
     except Exception:
         ncpu = 4
     P = max(2, min(cap, ncpu // 2))
+    if size_bytes is not None:
+        P = max(2, min(P, -(-size_bytes // (256 * 1024 * 1024))))
     return P, {"aggregator_ray_remote_args": {"num_cpus": 0.25}}

@@ -200,13 +200,17 @@ def embedding_neardup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    from .shuffle import input_bytes_estimate
+
     cand = band_pair_candidates(
         _emb(sf_dir).map_batches(band_rows, batch_format="pyarrow"),
         ["band_id", "band_key"],
         "vec_id",
     )
     joined = join_pair_payloads(
-        cand, _emb(sf_dir).map_batches(packed, batch_format="pyarrow")
+        cand,
+        _emb(sf_dir).map_batches(packed, batch_format="pyarrow"),
+        size_bytes=input_bytes_estimate(f"{sf_dir}/embeddings.parquet"),
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

@@ -52,6 +52,15 @@ class JobOptions:
     do_picture_description: bool = True
     picture_area_threshold: float = 0.0
 
+    # --- media export (reference ImageRefMode, convert.py:139-151) ---
+    # referenced: exports point at sidecar paths (assets/<media_ref>.png)
+    # placeholder: a fixed "<!-- image -->" marker replaces every picture
+    # embedded: data-URI embedding — serializers emit the referenced form
+    #   and pipelines.media.embed_media_exports rewrites refs to data URIs
+    #   by joining the media sidecar table (bytes are not available at
+    #   serialization time by design: they stay out of the convert path)
+    image_export_mode: str = "referenced"
+
     # --- post-processing (reference convert.py:456-466, worker.py:238-257) ---
     enable_bidi_processing: bool = True
     enable_arabic_correction: bool = False

@@ -71,6 +71,7 @@ _OUT_DEFAULTS = {
     "html_content": "",
     "json_content": "",
     "num_spans": 0,
+    "processing_time": 0.0,
 }
 
 
@@ -100,6 +101,9 @@ def _mixed_table(rows: list[dict]) -> pa.Table:
             "html_content": pa.array([r["html_content"] for r in rows], pa.string()),
             "json_content": pa.array([r["json_content"] for r in rows], pa.string()),
             "num_spans": pa.array([r["num_spans"] for r in rows], pa.int32()),
+            "processing_time": pa.array(
+                [r.get("processing_time", 0.0) for r in rows], pa.float64()
+            ),
             "page_idx": pa.array([r["page_idx"] for r in rows], pa.int32()),
             "n_pages": pa.array([r["n_pages"] for r in rows], pa.int32()),
             "page_json": pa.array([r["page_json"] for r in rows], pa.string()),
@@ -279,6 +283,9 @@ def _reassemble_factory(options: JobOptions):
                     "errors": errors,
                     **exports,
                     "num_spans": len(spans),
+                    # summed per-page parse seconds stands in for the
+                    # whole-doc wall time on the fanned-out path
+                    "processing_time": round(total_secs, 6),
                 }
             )
         # return Arrow (not pandas) so downstream sees the exact OUTPUT_SCHEMA
@@ -290,7 +297,7 @@ def _reassemble_factory(options: JobOptions):
 _OUT_COLUMNS = [
     "doc_id", "spans", "format", "lang", "ocr_mode", "status", "errors",
     "md_content", "text_content", "doctags_content", "html_content",
-    "json_content", "num_spans",
+    "json_content", "num_spans", "processing_time",
 ]
 
 

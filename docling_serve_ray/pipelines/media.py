@@ -67,6 +67,108 @@ def media_embeddings(media_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def embed_media_exports(
+    out_ds: ray.data.Dataset,
+    media_ds: ray.data.Dataset,
+    *,
+    columns: tuple = ("md_content", "html_content"),
+) -> ray.data.Dataset:
+    """ImageRefMode "embedded" (reference convert.py:139-151 +
+    response_preparation.py:87): rewrite referenced picture links in the
+    export columns to ``data:`` URIs with the actual media bytes.
+
+    Media bytes live in the sidecar table, not in the converted rows, so
+    embedding is a join: media rows are first packed one-row-per-document
+    (bucketed grouped reduce — the join then moves each document's media
+    exactly once, never one joined row per picture duplicating the export
+    strings), left-outer-joined onto the output rows by doc_id, and a
+    vectorized rewrite substitutes each media_ref."""
+    import base64
+    import pickle
+
+    import pandas as pd
+
+    from ..ops.shuffle import bucketed_group_agg, join_partitions
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, gd in g.groupby("doc_id", sort=False):
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "media_blob": pickle.dumps(
+                        list(zip(gd["media_ref"], gd["mime"], gd["bytes"]))
+                    ),
+                }
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "media_blob"])
+
+    packed = bucketed_group_agg(
+        media_ds.select_columns(["doc_id", "media_ref", "mime", "bytes"]),
+        ["doc_id"],
+        pack,
+    )
+
+    # Ray's hash join rejects list-typed non-key fields: every list column
+    # (spans, errors, ...) is pickled to a binary column for the join hop
+    # and restored after (same bytes move either way)
+    import pyarrow as pa
+
+    from ..schema import SPANS_TYPE
+
+    known_types = {"spans": SPANS_TYPE, "errors": pa.list_(pa.string())}
+    _PKL = "__pkl__"
+
+    def pack_lists(t: pa.Table) -> pa.Table:
+        for name in list(t.column_names):
+            if pa.types.is_list(t.schema.field(name).type) or pa.types.is_large_list(
+                t.schema.field(name).type
+            ):
+                blobs = [pickle.dumps(v) for v in t[name].to_pylist()]
+                t = t.drop_columns([name]).append_column(
+                    _PKL + name, pa.array(blobs, pa.large_binary())
+                )
+        return t
+
+    P, jkw = join_partitions()
+    j = out_ds.map_batches(pack_lists, batch_format="pyarrow").join(
+        packed, "left_outer", P, on=("doc_id",), **jkw
+    )
+
+    def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+        for i in batch.index:
+            blob = batch.at[i, "media_blob"]
+            if not isinstance(blob, bytes):
+                continue  # no media for this doc (left-outer null)
+            for ref, mime, data in pickle.loads(blob):
+                uri = f"data:{mime};base64,{base64.b64encode(data).decode()}"
+                for col in columns:
+                    val = batch.at[i, col] if col in batch.columns else None
+                    if val:
+                        batch.at[i, col] = val.replace(f"]({ref})", f"]({uri})").replace(
+                            f'src="assets/{ref}.png"', f'src="{uri}"'
+                        )
+        return batch.drop(columns=["media_blob"])
+
+    rewritten = j.map_batches(rewrite, batch_format="pandas")
+
+    def unpack_lists(t: pa.Table) -> pa.Table:
+        for name in list(t.column_names):
+            if not name.startswith(_PKL):
+                continue
+            orig = name[len(_PKL):]
+            values = [pickle.loads(b) for b in t[name].to_pylist()]
+            arr = (
+                pa.array(values, known_types[orig])
+                if orig in known_types
+                else pa.array(values)
+            )
+            t = t.drop_columns([name]).append_column(orig, arr)
+        return t
+
+    return rewritten.map_batches(unpack_lists, batch_format="pyarrow")
+
+
 def attach_media_meta(
     span_rows: ray.data.Dataset, media_meta: ray.data.Dataset, *, num_partitions: int = 32
 ) -> ray.data.Dataset:

@@ -77,6 +77,8 @@ OUTPUT_SCHEMA = pa.schema(
         ("html_content", pa.string()),
         ("json_content", pa.string()),
         ("num_spans", pa.int32()),
+        ("processing_time", pa.float64()),  # per-doc wall seconds (reference
+        # ConversionResult.timings surface, responses.py:31-36)
     ]
 )
 

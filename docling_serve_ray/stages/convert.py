@@ -82,5 +82,6 @@ def rows_to_output_table(rows: list[dict]) -> pa.Table:
         pa.array([r["html_content"] for r in rows], type=pa.string()),
         pa.array([r["json_content"] for r in rows], type=pa.string()),
         pa.array([r["num_spans"] for r in rows], type=pa.int32()),
+        pa.array([r.get("processing_time", 0.0) for r in rows], type=pa.float64()),
     ]
     return pa.Table.from_arrays(arrays, schema=OUTPUT_SCHEMA)
