@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text.text_quality,
         "lang_id": text.lang_id,
         "fingerprint": text.fingerprint,
+        "dataset_split": text.dataset_split,
+        "top_tokens": text.top_tokens,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         EMBEDDING_NEARDUP_SQL,
         LABEL_CENTROIDS_SQL,
     )
+    from docling_serve_ray.ops.text import DATASET_SPLIT_SQL, TOP_TOKENS_SQL
 
     return {
         "convert_spans": _CONVERT_SPANS_SQL,
@@ -211,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+        "dataset_split": DATASET_SPLIT_SQL,
+        "top_tokens": TOP_TOKENS_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,

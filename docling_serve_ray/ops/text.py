@@ -101,3 +101,94 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
 
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+HEX_DIGITS = "0123456789abcdef"
+SPLIT_TRAIN_LT = 13  # md5 first hex digit: 0-12 train (81.25%)
+SPLIT_VAL_LT = 15    # 13-14 val (12.5%), 15 test (6.25%)
+
+DATASET_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < 13 THEN 'train' WHEN hv < 15 THEN 'val' ELSE 'test' END
+         AS split
+FROM h
+"""
+
+
+def dataset_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment — the standard
+    hash-the-stable-id split for training corpora (reproducible across
+    runs, engines and shard layouts; no RNG, no shuffle, no coordination:
+    every worker computes its rows' split locally). Rule shared literally
+    with the SQL twin: first hex digit of md5(doc_id) → 13/2/1 of 16."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hv = batch["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[0], 16)
+        )
+        split = pd.Series("test", index=batch.index)
+        split = split.where(hv >= SPLIT_VAL_LT, "val").where(hv >= SPLIT_TRAIN_LT, "train")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "split": split})
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(f, batch_format="pandas")
+
+
+TOP_TOKENS_K = 20
+
+TOP_TOKENS_SQL = """
+WITH w AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY token)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+FROM c
+QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 20
+"""
+
+
+def top_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Global top-20 tokens by frequency (corpus vocabulary heavy
+    hitters). Combiner pattern end to end: per-batch value_counts →
+    bucketed token-count aggregation (token cardinality is unbounded at
+    corpus scale — never a per-key groupby) → per-bucket top-k candidates
+    → tiny global sort over buckets×k rows."""
+    from .shuffle import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"token": vc.index, "pc": vc.to_numpy().astype("int64")})
+
+    def per_bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False).agg(cnt=("pc", "sum"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out.sort_values(["cnt", "token"], ascending=[False, True]).head(
+            TOP_TOKENS_K
+        )
+
+    cands = bucketed_group_agg(
+        _docs(sf_dir, columns=("text",)).map_batches(partial, batch_format="pandas"),
+        ["token"],
+        per_bucket_top,
+    )
+
+    def final_top(batch: pd.DataFrame) -> pd.DataFrame:
+        top = batch.sort_values(["cnt", "token"], ascending=[False, True]).head(
+            TOP_TOKENS_K
+        )
+        return pd.DataFrame(
+            {
+                "token": top["token"].to_numpy(),
+                "cnt": top["cnt"].astype("int64").to_numpy(),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            }
+        )
+
+    # candidates are ≤ buckets×k rows: a single tiny final batch
+    return cands.repartition(1).map_batches(final_top, batch_format="pandas")

@@ -17,18 +17,36 @@ from .convert import safe_concurrency, tune_data_context
 MEDIA_BATCH = 16  # large binary rows → small batches (memory-aware)
 
 
+def _stage_resources(num_gpus: float, concurrency) -> dict:
+    """Per-stage resource knobs for model-backed media actors (TODO: real
+    VLM deployment runs these stages on GPU workers — reference A5/A6
+    picture description). num_gpus > 0 reserves GPU slices per actor;
+    concurrency pins the pool size (default: cluster-derived)."""
+    kw = {"concurrency": safe_concurrency(concurrency)}
+    if num_gpus > 0:
+        kw["num_gpus"] = num_gpus
+        kw["num_cpus"] = 0  # GPU-bound stage: don't double-reserve CPUs
+    else:
+        kw["num_cpus"] = 1
+    return kw
+
+
 def media_meta_pipeline(
-    media_ds: ray.data.Dataset, *, max_dim: int = 2048, with_thumbs: bool = True
+    media_ds: ray.data.Dataset,
+    *,
+    max_dim: int = 2048,
+    with_thumbs: bool = True,
+    num_gpus: float = 0,
+    concurrency=None,
 ) -> ray.data.Dataset:
     """bytes → (width, height, channels, n_bytes[, thumb_*])."""
     tune_data_context()
-    conc = safe_concurrency(None)
+    res = _stage_resources(num_gpus, concurrency)
     decoded = media_ds.map_batches(
         MediaDecodeActor,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH,
-        concurrency=conc,
-        num_cpus=1,
+        **res,
     )
     if not with_thumbs:
         return decoded
@@ -38,8 +56,7 @@ def media_meta_pipeline(
         _DecodeThenThumb(max_dim),
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH,
-        concurrency=conc,
-        num_cpus=1,
+        **res,
     )
 
 
@@ -56,14 +73,15 @@ class _DecodeThenThumb:
         return self.thumb(meta)
 
 
-def media_embeddings(media_ds: ray.data.Dataset) -> ray.data.Dataset:
+def media_embeddings(
+    media_ds: ray.data.Dataset, *, num_gpus: float = 0, concurrency=None
+) -> ray.data.Dataset:
     tune_data_context()
     return media_ds.map_batches(
         MediaEmbedActor,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH,
-        concurrency=safe_concurrency(None),
-        num_cpus=1,
+        **_stage_resources(num_gpus, concurrency),
     )
 
 
