@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import ray.data
 
-from ..stages.media import MediaDecodeActor, MediaEmbedActor, ThumbnailActor
+from ..stages.media import (
+    MediaDecodeActor,
+    MediaEmbedActor,
+    PictureDescriptionActor,
+    ThumbnailActor,
+)
 from .convert import safe_concurrency, tune_data_context
 
 MEDIA_BATCH = 16  # large binary rows → small batches (memory-aware)
@@ -82,6 +87,30 @@ def media_embeddings(
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH,
         **_stage_resources(num_gpus, concurrency),
+    )
+
+
+def describe_pictures(
+    media_ds: ray.data.Dataset,
+    *,
+    client_factory=None,
+    num_gpus: float = 0,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """A6 remote-API picture description over the media sidecar →
+    (media_ref, doc_id, description). Inject a real HTTP client via
+    client_factory; num_gpus/concurrency size the pool for a GPU-backed
+    local VLM serving the same protocol."""
+    tune_data_context()
+    kwargs = {}
+    if client_factory is not None:
+        kwargs["fn_constructor_args"] = (client_factory,)
+    return media_ds.map_batches(
+        PictureDescriptionActor,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        **_stage_resources(num_gpus, concurrency),
+        **kwargs,
     )
 
 

@@ -97,6 +97,43 @@ class ThumbnailActor:
         return pa.table(cols)
 
 
+class DeterministicDescriptionClient:
+    """DETERMINISTIC FAKE of a remote vision-description API (A6; the
+    reference calls a configured remote VLM endpoint,
+    convert.py:358-381). A real client implements describe(bytes, mime)
+    -> str over HTTP; the signature is the protocol."""
+
+    def describe(self, data: bytes, mime: str) -> str:
+        h = hashlib.sha1(data).hexdigest()[:8]
+        return f"picture[{mime};{len(data)}B;{h}]"
+
+
+class PictureDescriptionActor:
+    """Actor-pool stage (A6): media sidecar rows → remote-API picture
+    descriptions. Client built once per actor; a per-item client failure
+    yields an empty description, never a failing task (the reference's
+    enable_remote_services path degrades the same way — description is
+    enrichment, not conversion)."""
+
+    def __init__(self, client_factory=DeterministicDescriptionClient):
+        self.client = client_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        descs = []
+        for b, m in zip(batch["bytes"].to_pylist(), batch["mime"].to_pylist()):
+            try:
+                descs.append(self.client.describe(b, m))
+            except Exception:
+                descs.append("")  # passthrough-on-failure
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "doc_id": batch["doc_id"],
+                "description": pa.array(descs, pa.string()),
+            }
+        )
+
+
 class MediaEmbedActor:
     """Actor-pool stage: bytes → 64-dim unit embedding (deterministic
     byte-chunk hashing — a real impl runs a vision encoder here). Output

@@ -107,3 +107,42 @@ class TestProcessingTime:
         from docling_serve_ray.schema import OUTPUT_SCHEMA
 
         assert "processing_time" in OUTPUT_SCHEMA.names
+
+
+class TestPictureDescription:
+    """A6 remote-API description stage: injectable client, batched actor
+    pool, passthrough-on-failure."""
+
+    def _media_ds(self):
+        media = []
+        for i in range(3000):
+            d = generate_doc(i)
+            media.extend(d["media"])
+            if len(media) >= 20:
+                break
+        return ray.data.from_arrow(pa.Table.from_pylist(media, schema=MEDIA_SCHEMA))
+
+    def test_deterministic_default_client(self, ray_session):
+        from docling_serve_ray.pipelines.media import describe_pictures
+
+        rows = describe_pictures(self._media_ds()).take_all()
+        assert rows and all(r["description"].startswith("picture[") for r in rows)
+        # deterministic: same input → same description
+        again = describe_pictures(self._media_ds()).take_all()
+        assert {r["media_ref"]: r["description"] for r in rows} == {
+            r["media_ref"]: r["description"] for r in again
+        }
+
+    def test_client_failure_passthrough(self, ray_session):
+        from docling_serve_ray.pipelines.media import describe_pictures
+
+        class Flaky:
+            def describe(self, data, mime):
+                if len(data) % 2 == 0:
+                    raise RuntimeError("remote API down")
+                return "ok"
+
+        rows = describe_pictures(self._media_ds(), client_factory=Flaky).take_all()
+        # even-length payloads fail → empty description, row preserved
+        assert all(r["description"] in ("", "ok") for r in rows)
+        assert any(r["description"] == "" for r in rows)
