@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.fingerprint,
         "dataset_split": text.dataset_split,
         "top_tokens": text.top_tokens,
+        "chunk_documents": text.chunk_documents,
+        "stratified_sample": text.stratified_sample,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -187,7 +189,12 @@ def oracle_sql() -> dict[str, str]:
         EMBEDDING_NEARDUP_SQL,
         LABEL_CENTROIDS_SQL,
     )
-    from docling_serve_ray.ops.text import DATASET_SPLIT_SQL, TOP_TOKENS_SQL
+    from docling_serve_ray.ops.text import (
+        CHUNK_DOCUMENTS_SQL,
+        DATASET_SPLIT_SQL,
+        STRATIFIED_SAMPLE_SQL,
+        TOP_TOKENS_SQL,
+    )
 
     return {
         "convert_spans": _CONVERT_SPANS_SQL,
@@ -216,6 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
         "dataset_split": DATASET_SPLIT_SQL,
         "top_tokens": TOP_TOKENS_SQL,
+        "chunk_documents": CHUNK_DOCUMENTS_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,

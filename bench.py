@@ -37,10 +37,13 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "ngram_jaccard_dedup",
     "ann_topk",
+    "embedding_neardup",
     "label_centroids",
     "agg_pricing",
     "join_revenue",
     "events_window",
+    "top_tokens",
+    "chunk_documents",
 ]
 
 

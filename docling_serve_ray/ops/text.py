@@ -192,3 +192,89 @@ def top_tokens(sf_dir: str) -> ray.data.Dataset:
 
     # candidates are ≤ buckets×k rows: a single tiny final batch
     return cands.repartition(1).map_batches(final_top, batch_format="pandas")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
+
+CHUNK_DOCUMENTS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(words[i*56+1 : i*56+64], ' ') AS chunk_text,
+       CAST(least(64, len(words) - i*56) AS BIGINT) AS n_tokens
+FROM w, LATERAL (
+  SELECT UNNEST(generate_series(0,
+    CAST(CASE WHEN len(words) <= 64 THEN 0
+              ELSE ceil((len(words) - 64) / 56.0) END AS BIGINT))) AS i
+)
+"""
+
+
+def chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window document chunking for training-sequence prep: 64-token
+    windows at stride 56 (8-token overlap), last window may be short →
+    (doc_id, chunk_id, chunk_text, n_tokens). Embarrassingly parallel
+    flat-map — each doc explodes locally, no shuffle; at 100 TB the output
+    streams straight to the tokenizer/writer."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_c, out_t, out_n = [], [], [], []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n = len(words)
+            n_chunks = 1 if n <= CHUNK_TOKENS else 1 + -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+            for i in range(n_chunks):
+                seg = words[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+                out_d.append(d)
+                out_c.append(i)
+                out_t.append(" ".join(seg))
+                out_n.append(len(seg))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "chunk_id": pd.Series(out_c, dtype="int64"),
+                "chunk_text": out_t,
+                "n_tokens": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# per-language deterministic sampling rates (of 16), md5-hash gated — the
+# language-balancing resample a multilingual training corpus needs
+STRATA_RATES = {"en": 2, "ar": 8, "el": 8}
+STRATA_DEFAULT = 4
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         strpos('0123456789abcdef',
+                substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hv
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE hv < (CASE lang WHEN 'en' THEN 2 WHEN 'ar' THEN 8 WHEN 'el' THEN 8
+            ELSE 4 END)
+"""
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-language downsampling (language balancing):
+    keep doc iff the first hex digit of md5('strat:'+doc_id) falls under
+    the language's rate. Reproducible across runs/shards, no RNG, no
+    coordination — every worker filters its rows locally."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hv = batch["doc_id"].map(
+            lambda d: int(hashlib.md5(f"strat:{d}".encode()).hexdigest()[0], 16)
+        )
+        rate = batch["lang"].map(lambda l: STRATA_RATES.get(l, STRATA_DEFAULT))
+        keep = hv < rate
+        return batch.loc[keep, ["doc_id", "lang"]]
+
+    return _docs(sf_dir, columns=("doc_id", "lang")).map_batches(
+        f, batch_format="pandas"
+    )
