@@ -235,3 +235,70 @@ class TestFastParserEquivalence:
         ps = body.find_all("p", [])
         assert len(ps) == 1 and ps[0].text() == "real & escaped"
         assert body.find_all("li", [])[0].text() == "a"
+
+
+class TestNewFormatRoundTrip:
+    """pptx / xlsx / asciidoc round-trips under generated span sequences
+    (same title-leads-document shape the corpus generator guarantees)."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(
+                    ["section_header", "paragraph", "list_item", "caption"]
+                ),
+                _text,
+            ).map(lambda kt: _span(*kt)),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    def test_pptx(self, body):
+        from docling_serve_ray.kernels.office import parse_pptx, render_pptx
+
+        spans = [_span("title", "Deck Title")] + body
+        got = parse_pptx(render_pptx(spans), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["section_header", "table"]), _text).map(
+                lambda kt: _span(
+                    kt[0], kt[1] if kt[0] != "table" else kt[1] + " | cell"
+                )
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    def test_xlsx(self, body):
+        from docling_serve_ray.kernels.office import parse_xlsx, render_xlsx
+
+        spans = [_span("title", "Workbook")] + body
+        got = parse_xlsx(render_xlsx(spans), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["section_header", "paragraph", "list_item"]), _text
+            ).map(lambda kt: _span(*kt)),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    def test_asciidoc(self, body):
+        from docling_serve_ray.kernels.office import parse_asciidoc, render_asciidoc
+
+        spans = [_span("title", "Doc Title")] + body
+        got = parse_asciidoc(render_asciidoc(spans), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
