@@ -115,8 +115,12 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     input_dir = ensure_corpus()
-    flagship = run_flagship(input_dir)
 
+    # ops-suite queries run BEFORE the 100k-doc flagship so their timings
+    # can't inherit any state from the big actor-pool job (the flagship
+    # itself is robust to ordering: own warm-up + best-of-2). Shared-box
+    # load noise still dominates individual query timings — compare
+    # rounds via best-of-N, not single numbers.
     queries: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
         import __ray_entry__ as entrymod
@@ -126,6 +130,8 @@ def main() -> None:
             t0 = time.time()
             _consume(qs[name](SF_DIR))
             queries[name] = round(time.time() - t0, 2)
+
+    flagship = run_flagship(input_dir)
 
     out = {
         "metric": "flagship end-to-end conversion wall time (synthetic interleaved corpus)",

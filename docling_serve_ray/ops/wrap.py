@@ -68,24 +68,24 @@ def _wrap_batch(batch: pa.Table) -> pa.Table:
 
 
 def _explode_spans(batch: pa.Table) -> pa.Table:
-    """(doc_id, spans) → one row per span, flattened struct fields."""
-    doc_ids = batch["doc_id"].to_pylist()
-    spans_col = batch["spans"].to_pylist()
-    out_doc, out_kind, out_text, out_ref, out_off = [], [], [], [], []
-    for d, spans in zip(doc_ids, spans_col):
-        for s in spans:
-            out_doc.append(d)
-            out_kind.append(s["kind"])
-            out_text.append(s["text"])
-            out_ref.append(s["media_ref"])
-            out_off.append(s["offset"])
+    """(doc_id, spans) → one row per span, flattened struct fields.
+    Zero-copy Arrow: doc_id repeated by list lengths, struct children
+    pulled via flatten — no Python loop over spans (this stage touches
+    every span of the corpus)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    spans = batch["spans"].combine_chunks()
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    flat = spans.flatten()  # struct array, zero-copy
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.string()),
-            "kind": pa.array(out_kind, pa.string()),
-            "text": pa.array(out_text, pa.string()),
-            "media_ref": pa.array(out_ref, pa.string()),
-            "offset": pa.array(out_off, pa.int32()),
+            "doc_id": pa.array(np.repeat(doc_ids, lengths), pa.string()),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
         }
     )
 
