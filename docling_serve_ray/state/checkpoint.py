@@ -93,6 +93,7 @@ def run_partitioned(
     num_partitions: int = 16,
     resume: bool = True,
     output_format: str = "parquet",
+    options_hash: str = "",
 ) -> dict:
     """Run ``pipeline_fn(files) -> ray.data.Dataset`` over byte-balanced
     partitions with atomic per-partition checkpointing.
@@ -101,6 +102,13 @@ def run_partitioned(
     container; requires the pylance package — import-guarded, and absent in
     this sandbox, so the lance path raises a clear ImportError; the Arrow
     schema is identical either way).
+
+    options_hash: the job configuration identity (JobOptions.options_hash
+    — the reference's converter cache key semantics). A published
+    partition is only reused if BOTH the input fingerprint AND the
+    options hash match: resuming the same inputs with different options
+    must reprocess, not silently serve output produced under other
+    options.
 
     Returns a summary dict: manifest rows, skipped pids, totals.
     """
@@ -112,7 +120,11 @@ def run_partitioned(
     skipped: list = []
     for part in parts:
         rec = done.get(part.pid)
-        if rec is not None and rec.get("input_fingerprint") == part.fingerprint:
+        if (
+            rec is not None
+            and rec.get("input_fingerprint") == part.fingerprint
+            and rec.get("options_hash", "") == options_hash
+        ):
             skipped.append(part.pid)
             manifest.append(rec)
             continue
@@ -144,6 +156,7 @@ def run_partitioned(
             "partition_id": part.pid,
             "input_files": [os.path.basename(f) for f in part.files],
             "input_fingerprint": part.fingerprint,
+            "options_hash": options_hash,
             "input_bytes": part.bytes,
             "row_count": row_count,
             "wall_s": round(wall, 3),

@@ -207,3 +207,47 @@ class TestOutputFormatDispatch:
         os.utime(f)  # ensure mtime tick even on coarse filesystems
         fp2 = plan_partitions([str(f)], 1)[0].fingerprint
         assert fp1 != fp2
+
+
+class TestOptionsHashInvalidation:
+    def test_changed_options_reprocess(self, ray_session, small_corpus, tmp_path):
+        """A published partition is reused only when the options hash
+        matches: same inputs + different JobOptions must reprocess (the
+        reference's converter-cache-key semantics applied to resume)."""
+        import glob
+        import os
+
+        from docling_serve_ray.options import JobOptions
+        from docling_serve_ray.pipelines.convert import build_convert_pipeline, read_input
+        from docling_serve_ray.state.checkpoint import run_partitioned
+
+        files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))[:2]
+        out = str(tmp_path / "out")
+
+        o1 = JobOptions(to_formats=("md",))
+        s1 = run_partitioned(
+            files, out, lambda fs: build_convert_pipeline(read_input(fs), o1),
+            num_partitions=2, options_hash=o1.options_hash(),
+        )
+        assert s1["skipped"] == []
+
+        # same options → all skipped
+        s2 = run_partitioned(
+            files, out, lambda fs: build_convert_pipeline(read_input(fs), o1),
+            num_partitions=2, options_hash=o1.options_hash(),
+        )
+        assert sorted(s2["skipped"]) == sorted(p["partition_id"] for p in s1["manifest"])
+
+        # different options → nothing skipped, output reflects new options
+        o2 = JobOptions(to_formats=("md", "doctags"))
+        s3 = run_partitioned(
+            files, out, lambda fs: build_convert_pipeline(read_input(fs), o2),
+            num_partitions=2, options_hash=o2.options_hash(),
+        )
+        assert s3["skipped"] == []
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(glob.glob(out + "/part=*/*.parquet")).to_table(
+            columns=["doctags_content"]
+        )
+        assert all(v for v in t["doctags_content"].to_pylist())
