@@ -30,7 +30,9 @@ from .quality import analyze_page_texts
 from .serialize import spans_to_doctags, spans_to_markdown, spans_to_text
 
 
-def analyze_document(fmt: str, payload: bytes, options: JobOptions) -> str:
+def analyze_document(
+    fmt: str, payload: bytes, options: JobOptions, parsed_doc: dict | None = None
+) -> str:
     """Quality-analysis gate (M1/M2): only PDFs are analyzed (reference
     pdf_analysis.py:214-217); returns the recommended OCR mode, or "" for
     non-PDF formats. force_ocr option override mirrors worker.py:150-156."""
@@ -50,7 +52,7 @@ def analyze_document(fmt: str, payload: bytes, options: JobOptions) -> str:
     if not options.auto_ocr_mode:
         return "skip" if not options.do_ocr else "redo"
     try:
-        doc = parse_payload(payload)
+        doc = parsed_doc if parsed_doc is not None else parse_payload(payload)
         return analyze_page_texts(page_embedded_texts(doc), doc.get("tagged", False))[
             "recommended_mode"
         ]
@@ -66,14 +68,38 @@ def convert_document(
     options: JobOptions,
     reverse_codebook,
     ocr_mode: str | None = None,
+    parsed_doc: dict | None = None,
+    with_exports: bool = True,
 ) -> dict:
-    """Convert one document → output-row dict (spans + exports + status)."""
+    """Convert one document → output-row dict (spans + exports + status).
+
+    parsed_doc: optional pre-parsed PDF/image page model — a caller that
+    already parsed the payload (e.g. for a page count) passes it to avoid
+    re-parsing; the parse is CONSUMED (parse_page mutates cells).
+
+    with_exports=False skips export serialization and leaves the export
+    columns empty — for pipelines that serialize exports downstream (the
+    page fan-out path computes them after its fan-in so export strings
+    never cross the shuffle)."""
     import time as _time
 
     t_start = _time.monotonic()
     errors: list[str] = []
     spans: list[dict] = []
-    mode = ocr_mode if ocr_mode is not None else analyze_document(fmt, payload, options)
+    if fmt == "pdf" and parsed_doc is None:
+        # parse once for analyzer + converter (a parse failure falls
+        # through: the analyzer then reports "force" and the convert
+        # branch re-raises the parse error into a failure row — identical
+        # semantics to the parse-twice path)
+        try:
+            parsed_doc = parse_payload(payload)
+        except Exception:
+            parsed_doc = None
+    mode = (
+        ocr_mode
+        if ocr_mode is not None
+        else analyze_document(fmt, payload, options, parsed_doc)
+    )
     try:
         if fmt not in options.from_formats:
             raise ValueError(f"format {fmt!r} not in from_formats")
@@ -82,7 +108,7 @@ def convert_document(
         if fmt == "html":
             spans = extract_html(payload.decode("utf-8"), doc_id)
         elif fmt == "pdf":
-            doc = parse_payload(payload)
+            doc = parsed_doc if parsed_doc is not None else parse_payload(payload)
             if len(doc.get("pages", [])) > options.max_num_pages:
                 # reference guard: docling_conversion.py:252-254
                 raise ValueError("max_num_pages exceeded")
@@ -128,7 +154,14 @@ def convert_document(
         status = "partial_success"
         errors.append(f"document_timeout exceeded ({options.document_timeout}s)")
 
-    exports = make_exports(spans, options, doc_id)
+    exports = (
+        make_exports(spans, options, doc_id)
+        if with_exports
+        else {
+            "md_content": "", "text_content": "", "doctags_content": "",
+            "html_content": "", "json_content": "",
+        }
+    )
 
     return {
         **exports,

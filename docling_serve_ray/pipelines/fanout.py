@@ -36,11 +36,23 @@ document_timeout applied post-hoc to the summed per-page parse time at
 reassembly. Equality with the whole-doc path is guaranteed by construction:
 both call parse_page per page and finalize_document_spans per document
 (tests/test_fanout.py asserts byte-equality).
+
+Cost model (measured, 100k-doc corpus, 32 CPUs): with the deterministic
+stand-in kernels a page parses in ~2 ms — on par with shipping the page to
+another worker — so fan-out runs ~2.5-3× the whole-doc wall even on
+corpora with 10k-page documents (Amdahl: the per-doc payload parse + page
+serialization is serial and comparable to the stand-in's total work).
+The path pays off when per-page compute dominates per-page IO — real
+layout/OCR/VLM models at 50-500 ms/page, where a 2000-page document is a
+100-1000 s serial straggler that this pipeline spreads across the
+cluster. That is exactly the reference's AI-vision deployment shape; keep
+``page_fanout_threshold=0`` (disabled) for fast-parse corpora.
 """
 
 from __future__ import annotations
 
 import json
+import pickle
 import time
 
 import pandas as pd
@@ -57,19 +69,16 @@ PAGE_SPANS_TYPE = SPANS_TYPE  # page rows reuse the span struct (offset=-1)
 _PAGE_DEFAULTS = {
     "page_idx": -1,
     "n_pages": -1,
-    "page_json": "",
+    "page_blob": b"",
     "page_secs": 0.0,
     "is_page": False,
 }
+# intermediate rows carry NO export strings — exports are serialized once,
+# after the fan-in, so only spans (the source text, once) cross the shuffle
 _OUT_DEFAULTS = {
     "spans": [],
     "status": "",
     "errors": [],
-    "md_content": "",
-    "text_content": "",
-    "doctags_content": "",
-    "html_content": "",
-    "json_content": "",
     "num_spans": 0,
     "processing_time": 0.0,
 }
@@ -85,7 +94,8 @@ def _page_count(fmt: str, payload: bytes) -> int:
 
 
 def _mixed_table(rows: list[dict]) -> pa.Table:
-    """Unified intermediate schema: OUTPUT columns + page columns."""
+    """Unified intermediate schema: span-level output columns + page
+    columns (no export strings — see _OUT_DEFAULTS)."""
     return pa.table(
         {
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
@@ -95,18 +105,13 @@ def _mixed_table(rows: list[dict]) -> pa.Table:
             "ocr_mode": pa.array([r["ocr_mode"] or "" for r in rows], pa.string()),
             "status": pa.array([r["status"] for r in rows], pa.string()),
             "errors": pa.array([r["errors"] for r in rows], pa.list_(pa.string())),
-            "md_content": pa.array([r["md_content"] for r in rows], pa.string()),
-            "text_content": pa.array([r["text_content"] for r in rows], pa.string()),
-            "doctags_content": pa.array([r["doctags_content"] for r in rows], pa.string()),
-            "html_content": pa.array([r["html_content"] for r in rows], pa.string()),
-            "json_content": pa.array([r["json_content"] for r in rows], pa.string()),
             "num_spans": pa.array([r["num_spans"] for r in rows], pa.int32()),
             "processing_time": pa.array(
                 [r.get("processing_time", 0.0) for r in rows], pa.float64()
             ),
             "page_idx": pa.array([r["page_idx"] for r in rows], pa.int32()),
             "n_pages": pa.array([r["n_pages"] for r in rows], pa.int32()),
-            "page_json": pa.array([r["page_json"] for r in rows], pa.string()),
+            "page_blob": pa.array([r["page_blob"] for r in rows], pa.large_binary()),
             "page_secs": pa.array([r["page_secs"] for r in rows], pa.float64()),
             "is_page": pa.array([r["is_page"] for r in rows], pa.bool_()),
         }
@@ -141,9 +146,19 @@ class SplitConvertActor(ConvertActor):
             batch["doc_id"].to_pylist(), batch["format"].to_pylist(),
             batch["payload"].to_pylist(), langs,
         ):
-            if _page_count(fmt, payload) <= self.threshold:
+            # one parse serves the page count, the analyzer and (small
+            # docs) the converter — PDFs are never parsed twice here
+            doc = None
+            if fmt == "pdf":
+                try:
+                    doc = parse_payload(payload)
+                except Exception:
+                    doc = None
+            n_pages = len(doc.get("pages", [])) if doc is not None else 0
+            if n_pages <= self.threshold:
                 out = convert_document(
-                    doc_id, fmt, payload, lang, opts, self.reverse_codebook
+                    doc_id, fmt, payload, lang, opts, self.reverse_codebook,
+                    parsed_doc=doc, with_exports=False,
                 )
                 rows.append({**out, **_PAGE_DEFAULTS})
                 continue
@@ -154,9 +169,8 @@ class SplitConvertActor(ConvertActor):
                     raise ValueError(f"format {fmt!r} not in from_formats")
                 if len(payload) > opts.max_file_size:
                     raise ValueError("max_file_size exceeded")
-                mode = analyze_document(fmt, payload, opts)
-                doc = parse_payload(payload)
-                if len(doc.get("pages", [])) > opts.max_num_pages:
+                mode = analyze_document(fmt, payload, opts, doc)
+                if n_pages > opts.max_num_pages:
                     raise ValueError("max_num_pages exceeded")
                 pages = select_pages(doc, opts.page_range)
             except Exception as exc:
@@ -173,14 +187,13 @@ class SplitConvertActor(ConvertActor):
             if not pages:
                 # page_range selected nothing: the whole-doc path emits a
                 # 0-span success row — so do we
-                out = {
-                    "doc_id": doc_id, "format": fmt, "lang": lang,
-                    "ocr_mode": mode, **_OUT_DEFAULTS, "status": "success",
-                }
-                from ..kernels.document import make_exports
-
-                out.update(make_exports([], opts, doc_id))
-                rows.append({**out, **_PAGE_DEFAULTS})
+                rows.append(
+                    {
+                        "doc_id": doc_id, "format": fmt, "lang": lang,
+                        "ocr_mode": mode, **_OUT_DEFAULTS, "status": "success",
+                        **_PAGE_DEFAULTS,
+                    }
+                )
                 continue
             for idx, page in enumerate(pages):
                 rows.append(
@@ -188,7 +201,7 @@ class SplitConvertActor(ConvertActor):
                         "doc_id": doc_id, "format": fmt, "lang": lang,
                         "ocr_mode": mode, **_OUT_DEFAULTS,
                         "page_idx": idx, "n_pages": len(pages),
-                        "page_json": json.dumps(page), "page_secs": 0.0,
+                        "page_blob": pickle.dumps(page), "page_secs": 0.0,
                         "is_page": True,
                     }
                 )
@@ -209,16 +222,20 @@ class PageConvertActor:
         self.reverse_codebook = build_reverse_codebook()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from ..kernels.pdfmodel import parse_page
 
-        rows = batch.to_pylist()
+        mask = batch["is_page"]
+        if not pc.any(mask).as_py():
+            return batch  # finished rows: zero-copy pass-through
+        passthrough = batch.filter(pc.invert(mask))
+        rows = batch.filter(mask).to_pylist()
         for r in rows:
-            if not r["is_page"]:
-                continue
             t0 = time.monotonic()
             try:
                 spans = parse_page(
-                    json.loads(r["page_json"]), r["ocr_mode"] or "skip",
+                    pickle.loads(r["page_blob"]), r["ocr_mode"] or "skip",
                     self.reverse_codebook,
                     describe_pictures=self.options.do_picture_description,
                     picture_area_threshold=self.options.picture_area_threshold,
@@ -230,8 +247,11 @@ class PageConvertActor:
             except Exception as exc:
                 r["errors"] = [f"{type(exc).__name__}: {exc}"]
             r["page_secs"] = time.monotonic() - t0
-            r["page_json"] = ""  # drop the raw page before the shuffle
-        return _mixed_table(rows)
+            r["page_blob"] = b""  # drop the raw page before the shuffle
+        converted = _mixed_table(rows)
+        if passthrough.num_rows == 0:
+            return converted
+        return pa.concat_tables([passthrough, converted])
 
 
 def _reassemble_factory(options: JobOptions):
@@ -240,14 +260,28 @@ def _reassemble_factory(options: JobOptions):
         from ..kernels.pdfmodel import finalize_document_spans
 
         rows = []
-        for doc_id, gd in g.groupby("doc_id", sort=False):
-            if not gd["is_page"].iloc[0]:
-                # finished row (single-row group): pass through
-                r = gd.iloc[0].to_dict()
-                r["spans"] = [dict(s) for s in r["spans"]]
-                r["errors"] = list(r["errors"])
-                rows.append({k: r[k] for k in _OUT_COLUMNS})
-                continue
+        # finished rows: one output row each — no per-doc grouping needed,
+        # just export serialization (deferred to here so export strings
+        # never crossed the shuffle)
+        fin = g[~g["is_page"]]
+        for doc_id, spans, fmt, lang, mode, status, errors, secs in zip(
+            fin["doc_id"], fin["spans"], fin["format"], fin["lang"],
+            fin["ocr_mode"], fin["status"], fin["errors"],
+            fin["processing_time"],
+        ):
+            spans = [dict(s) for s in spans]
+            rows.append(
+                {
+                    "doc_id": doc_id, "spans": spans, "format": fmt,
+                    "lang": lang, "ocr_mode": mode, "status": status,
+                    "errors": list(errors),
+                    **make_exports(spans, options, doc_id),
+                    "num_spans": len(spans),
+                    "processing_time": float(secs),
+                }
+            )
+
+        for doc_id, gd in g[g["is_page"]].groupby("doc_id", sort=False):
             gd = gd.sort_values("page_idx")
             page_errors = [e for errs in gd["errors"] for e in errs]
             if page_errors:
@@ -258,6 +292,7 @@ def _reassemble_factory(options: JobOptions):
                         "ocr_mode": gd["ocr_mode"].iloc[0],
                         **_OUT_DEFAULTS, "status": "failure",
                         "errors": page_errors,
+                        **make_exports([], options, doc_id),
                     }
                 )
                 continue
@@ -294,22 +329,22 @@ def _reassemble_factory(options: JobOptions):
     return reassemble
 
 
-_OUT_COLUMNS = [
-    "doc_id", "spans", "format", "lang", "ocr_mode", "status", "errors",
-    "md_content", "text_content", "doctags_content", "html_content",
-    "json_content", "num_spans", "processing_time",
-]
-
-
 def convert_with_page_fanout(
     input_path,
     options: JobOptions = DEFAULT_OPTIONS,
     *,
     threshold: int | None = None,
+    conc_split: int | None = None,
+    conc_pages: int | None = None,
 ) -> ray.data.Dataset:
     """Single-read conversion with page fan-out for PDFs over ``threshold``
     pages. Returns the same schema as the plain pipeline; row-for-row
-    identical output (order aside), including guard/failure semantics."""
+    identical output (order aside), including guard/failure semantics.
+
+    conc_split / conc_pages size the two actor pools; the default splits
+    the safe cluster budget between them weighted toward the splitter
+    (which converts every small doc; page actors only see exploded
+    pages)."""
     from ..ops.shuffle import bucketed_group_agg
 
     tune_data_context()
@@ -318,8 +353,10 @@ def convert_with_page_fanout(
     # read stage or each other
     conc = safe_concurrency(None)
     total = conc if isinstance(conc, int) else conc[1]
-    conc_split = max(1, total // 2)
-    conc_pages = max(1, total - conc_split)
+    if conc_split is None:
+        conc_split = max(1, (2 * total) // 3)
+    if conc_pages is None:
+        conc_pages = max(1, total - conc_split)
 
     mixed = (
         read_input(input_path)
