@@ -48,7 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
-        "simhash_dedup": dedup.simhash_dedup,  # no SQL twin (bit-sketch)
+        "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -173,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SQL,
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
+        SIMHASH_PAIRS_SQL,
     )
     from docling_serve_ray.ops.media_ops import MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
@@ -228,7 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
-        # simhash_dedup: no SQL twin (64-bit sketch; rows-only check)
+        "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "ann_topk": ANN_TOPK_SQL,
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

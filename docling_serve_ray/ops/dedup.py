@@ -79,7 +79,11 @@ def _augment_neardup(batch: pa.Table) -> pa.Table:
 
 
 def _md5_64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big", signed=False)
+    """First 8 md5 bytes as little-endian uint64 — bit-identical to
+    DuckDB's md5_number_upper(), which is what makes the simhash SQL
+    oracle possible (any injective 64-bit fold works for the ops
+    themselves; this one is the SQL-reachable choice)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little", signed=False)
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
@@ -476,6 +480,42 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+# Exact SQL twin of the TF-weighted simhash: word hash = md5_number_upper
+# (== _md5_64's little-endian fold), per-bit weighted votes, strict acc>0
+# bit set, then all-pairs hamming ≤ 3 via bit_count(xor(...)). The 4×16-bit
+# chunk banding in the Ray op has FULL recall at hamming ≤ 3 (pigeonhole),
+# so the op's output equals this brute-force pair set exactly.
+SIMHASH_PAIRS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra token appended'
+  FROM documents WHERE doc_id % 10 = 0
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM aug)
+  GROUP BY doc_id, word
+),
+h AS (SELECT doc_id, c, md5_number_upper(word) AS hw FROM tf),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (hw >> bit) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM h, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                  ELSE CAST(0 AS UBIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 def _simhash(text: str) -> int:
     """Term-frequency-weighted 64-bit SimHash (Charikar). TF weighting

@@ -54,5 +54,6 @@ def test_every_query_has_oracle_or_documented_exception():
     qs = set(m.queries())
     oracles = set(m.oracle_sql())
     assert oracles <= qs
-    # rows-only queries are the documented exceptions
-    assert qs - oracles == {"simhash_dedup"}
+    # every query has a SQL oracle (simhash gained one in round 2:
+    # md5_number_upper matches the engine's 64-bit md5 fold bit-exactly)
+    assert qs - oracles == set()
