@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.top_tokens,
         "chunk_documents": text.chunk_documents,
         "stratified_sample": text.stratified_sample,
+        "pii_scrub": text.pii_scrub,
+        "repetition_score": text.repetition_score,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -193,6 +195,8 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
         DATASET_SPLIT_SQL,
+        PII_SCRUB_SQL,
+        REPETITION_SCORE_SQL,
         STRATIFIED_SAMPLE_SQL,
         TOP_TOKENS_SQL,
     )
@@ -226,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": TOP_TOKENS_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "pii_scrub": PII_SCRUB_SQL,
+        "repetition_score": REPETITION_SCORE_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,

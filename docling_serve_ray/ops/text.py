@@ -278,3 +278,128 @@ def stratified_sample(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, columns=("doc_id", "lang")).map_batches(
         f, batch_format="pandas"
     )
+
+
+# PII scrubbing (training-corpus hygiene). The synthetic corpus contains no
+# PII, so the op first applies a deterministic augmentation shared with the
+# SQL twin (same pattern as the dedup suite's corpus augmentation): every
+# doc with doc_id % 5 == 0 gets an email + phone sentence appended.
+PII_AUG_SUFFIX = " contact me at user{d}@example.com or call 555-0{d4}."
+PII_SCRUB_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact me at user' || doc_id
+                   || '@example.com or call 555-0' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                        '[EMAIL]', 'g'),
+         '[0-9]{3}-[0-9]{4,}', '[PHONE]', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4,}')) AS BIGINT) AS n_phones
+FROM aug
+"""
+
+_EMAIL_RE = None
+_PHONE_RE = None
+
+
+def _pii_patterns():
+    global _EMAIL_RE, _PHONE_RE
+    if _EMAIL_RE is None:
+        import re
+
+        _EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}")
+        _PHONE_RE = re.compile(r"[0-9]{3}-[0-9]{4,}")
+    return _EMAIL_RE, _PHONE_RE
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic PII scrubbing: emails → [EMAIL], phone-shaped digit
+    runs → [PHONE], plus per-doc match counts. Stateless vectorized
+    map_batches with compiled patterns (module-level, compiled once per
+    worker process); at 100 TB this streams — nothing aggregates."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        email_re, phone_re = _pii_patterns()
+        text = batch["text"].where(
+            batch["doc_id"] % 5 != 0,
+            batch["text"]
+            + " contact me at user"
+            + batch["doc_id"].astype(str)
+            + "@example.com or call 555-0"
+            + (batch["doc_id"] % 10000).astype(str).str.zfill(4)
+            + ".",
+        )
+        n_emails = text.str.count(email_re.pattern).astype("int64")
+        scrub1 = text.str.replace(email_re.pattern, "[EMAIL]", regex=True)
+        n_phones = text.str.count(phone_re.pattern).astype("int64")
+        scrubbed = scrub1.str.replace(phone_re.pattern, "[PHONE]", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "scrubbed": scrubbed,
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# Gopher-style within-document repetition signal: the share of 3-gram
+# instances that are repeats (1 - distinct/total). High values flag
+# boilerplate/spam for quality filtering.
+REPETITION_SCORE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(len(words) - 2 AS BIGINT) AS total_g,
+         CAST(len(list_distinct(list_transform(
+             generate_series(1, len(words) - 2),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+         ))) AS BIGINT) AS distinct_g
+  FROM w WHERE len(words) >= 3
+)
+SELECT doc_id, total_g, distinct_g,
+       CAST(floor((total_g - distinct_g) * 1000000.0 / total_g + 0.5) AS BIGINT)
+         AS rep_micro
+FROM g
+"""
+
+
+def repetition_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc 3-gram repetition ratio ×1e6 (docs with <3 tokens dropped,
+    mirroring the SQL twin). Stateless map_batches; the 3-gram sets are
+    per-document, so no shuffle exists at any scale."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_t, out_u = [], [], []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n = len(words) - 2
+            if n < 1:
+                continue
+            grams = {" ".join(words[i : i + 3]) for i in range(n)}
+            out_d.append(d)
+            out_t.append(n)
+            out_u.append(len(grams))
+        total = pd.Series(out_t, dtype="int64")
+        distinct = pd.Series(out_u, dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "total_g": total,
+                "distinct_g": distinct,
+                "rep_micro": np.floor(
+                    (total - distinct) * 1_000_000.0 / total + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
