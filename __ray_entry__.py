@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text.stratified_sample,
         "pii_scrub": text.pii_scrub,
         "repetition_score": text.repetition_score,
+        "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
         DATASET_SPLIT_SQL,
+        DECON_SQL,
         PII_SCRUB_SQL,
         REPETITION_SCORE_SQL,
         STRATIFIED_SAMPLE_SQL,
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_scrub": PII_SCRUB_SQL,
         "repetition_score": REPETITION_SCORE_SQL,
+        "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,

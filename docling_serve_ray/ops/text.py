@@ -403,3 +403,75 @@ def repetition_score(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# Benchmark decontamination: flag training docs sharing any 4-gram with the
+# held-out eval set (here: docs with doc_id % 97 == 0 stand in for the
+# benchmark). The eval side of a decontamination pass is inherently small
+# (real benchmark suites are MBs), so this is the canonical broadcast
+# pattern: ray.put the eval n-gram set once, probe it per batch — no join,
+# no shuffle, the corpus side streams.
+DECON_K = 4
+DECON_SQL = """
+WITH ev AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+eg AS (
+  SELECT DISTINCT array_to_string(words[i : i+3], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS words FROM ev),
+       LATERAL (SELECT UNNEST(generate_series(1, len(words)-3)) AS i)
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i : i+3], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id % 97 <> 0),
+       LATERAL (SELECT UNNEST(generate_series(1, len(words)-3)) AS i)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM dg JOIN eg USING (gram)
+GROUP BY doc_id
+"""
+
+
+def decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_hits) for every training doc sharing ≥1 distinct 4-gram
+    with the eval set — n_hits = number of DISTINCT shared 4-grams."""
+    import ray
+
+    # eval rows are filtered distributedly; only the (small) eval side is
+    # collected to the driver. A real deployment reads the benchmark from
+    # its own small file instead of filtering the corpus.
+    ev = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    eval_grams: set = set()
+    for txt in ev["text"]:
+        w = txt.split(" ")
+        eval_grams |= {" ".join(w[i : i + DECON_K]) for i in range(len(w) - DECON_K + 1)}
+    ref = ray.put(eval_grams)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        grams_ref = ray.get(ref)
+        out_d, out_n = [], []
+        for d, txt in zip(batch["doc_id"], batch["text"]):
+            if d % 97 == 0:
+                continue
+            w = txt.split(" ")
+            hits = {
+                g
+                for i in range(len(w) - DECON_K + 1)
+                if (g := " ".join(w[i : i + DECON_K])) in grams_ref
+            }
+            if hits:
+                out_d.append(d)
+                out_n.append(len(hits))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "n_hits": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pandas")
