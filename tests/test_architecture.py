@@ -30,6 +30,10 @@ def test_no_ray_init_outside_owners():
         rel = p.relative_to(ROOT).as_posix()
         if rel.startswith(("tests/", "scripts/")) or rel == "bench.py":
             continue
+        # the `ray job submit` CLI entrypoint owns a session when none
+        # exists (guarded by ray.is_initialized())
+        if rel == "docling_serve_ray/job.py":
+            continue
         if ".claude" in rel:
             continue
         tree = ast.parse(p.read_text())

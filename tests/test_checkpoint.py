@@ -251,3 +251,33 @@ class TestOptionsHashInvalidation:
             columns=["doctags_content"]
         )
         assert all(v for v in t["doctags_content"].to_pylist())
+
+
+class TestJobEntrypoint:
+    def test_cli_runs_and_resumes(self, small_corpus, tmp_path):
+        """python -m docling_serve_ray.job — the ray-job-submit surface:
+        fresh run processes all partitions, re-run skips them all."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/repo"
+        env.pop("RAY_ADDRESS", None)  # standalone: own local session
+        cmd = [
+            sys.executable, "-m", "docling_serve_ray.job",
+            "--input", os.path.join(small_corpus, "*.parquet"),
+            "--out", str(tmp_path / "out"),
+            "--partitions", "4",
+        ]
+        r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+        assert s1["total_rows"] == 200 and s1["skipped"] == []
+
+        r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+        assert s2["total_rows"] == 200
+        assert sorted(s2["skipped"]) == sorted(s1["processed"])
