@@ -145,10 +145,17 @@ FROM c
 """
 
 
+# esc() mirrors the engine's html.escape(text, quote=False): & first, then
+# < and > — without it, any corpus text containing HTML metacharacters
+# would diverge from spans_to_html's output.
 _CONVERT_HTML_SQL = """
 WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
-         string_split(text, ' ') AS words
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         replace(replace(replace(source, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           AS source,
+         string_split(
+           replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+           ' ') AS words
   FROM documents
 ),
 paras AS (

@@ -37,10 +37,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="auto" if "RAY_ADDRESS" in __import__("os").environ else "local",
+        ray.init(address="auto" if "RAY_ADDRESS" in os.environ else "local",
                  include_dashboard=False)
 
     from .options import JobOptions
@@ -54,9 +56,13 @@ def main(argv=None) -> int:
             overrides[key] = tuple(overrides[key])
     options = JobOptions(**overrides)
 
-    files = sorted(glob.glob(args.input)) or sorted(
-        glob.glob(args.input.rstrip("/") + "/*.parquet")
-    )
+    if os.path.isdir(args.input):
+        # a bare directory: partition over the files inside (never over
+        # the directory path itself — the fingerprint must track file
+        # content, and --partitions needs real units to bin)
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    else:
+        files = sorted(f for f in glob.glob(args.input) if os.path.isfile(f))
     if not files:
         print(json.dumps({"error": f"no input files match {args.input!r}"}))
         return 2

@@ -20,9 +20,11 @@ Scale notes (10^12-doc design):
   32 bands × 4 rows → P(miss) = (1-J⁴)³² ≈ 1.5e-4 at exactly J = 0.7 (the
   op's threshold) and ≤ 4.8e-8 at J ≥ 0.8; the augmented test pairs sit at
   J ≈ 0.97+ where P(miss) < 1e-40, so oracle equality holds in practice.
-- simhash: 64-bit sketch, 4×16-bit chunk banding (pigeonhole: hamming ≤ 3
-  ⇒ ≥ 1 chunk equal), verify hamming on candidates. No SQL twin — the
-  sketch is bit-level; the driver records a rows-only check.
+- simhash: TF-weighted 64-bit sketch, 4×16-bit chunk banding (pigeonhole:
+  hamming ≤ 3 ⇒ ≥ 1 chunk equal), verify hamming on candidates. SQL twin
+  SIMHASH_PAIRS_SQL: DuckDB's md5_number_upper equals _md5_64's
+  little-endian fold, and full pigeonhole recall makes the banded op equal
+  the brute-force pair set.
 """
 
 from __future__ import annotations
@@ -542,8 +544,8 @@ def _simhash(text: str) -> int:
 def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup pairs (hamming ≤ 3) via 4×16-bit chunk banding.
     Chunk equality is a necessary condition at hamming ≤ 3 (pigeonhole),
-    so banding has full recall; candidates verified exactly. Rows-only
-    check (bit-sketch output has no SQL analog)."""
+    so banding has full recall and the output equals the brute-force pair
+    set — which is what SIMHASH_PAIRS_SQL computes (exact oracle)."""
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         aug = _augment_neardup(batch)

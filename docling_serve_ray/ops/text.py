@@ -283,8 +283,8 @@ def stratified_sample(sf_dir: str) -> ray.data.Dataset:
 # PII scrubbing (training-corpus hygiene). The synthetic corpus contains no
 # PII, so the op first applies a deterministic augmentation shared with the
 # SQL twin (same pattern as the dedup suite's corpus augmentation): every
-# doc with doc_id % 5 == 0 gets an email + phone sentence appended.
-PII_AUG_SUFFIX = " contact me at user{d}@example.com or call 555-0{d4}."
+# doc with doc_id % 5 == 0 gets an email + phone sentence appended — the
+# string is built inline in BOTH implementations below; keep them in sync.
 PII_SCRUB_SQL = """
 WITH aug AS (
   SELECT doc_id,

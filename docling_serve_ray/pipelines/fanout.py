@@ -51,7 +51,6 @@ cluster. That is exactly the reference's AI-vision deployment shape; keep
 
 from __future__ import annotations
 
-import json
 import pickle
 import time
 
@@ -82,15 +81,6 @@ _OUT_DEFAULTS = {
     "num_spans": 0,
     "processing_time": 0.0,
 }
-
-
-def _page_count(fmt: str, payload: bytes) -> int:
-    if fmt != "pdf":
-        return 0
-    try:
-        return len(json.loads(payload.decode("utf-8"))["pages"])
-    except Exception:
-        return 0
 
 
 def _mixed_table(rows: list[dict]) -> pa.Table:
@@ -345,7 +335,11 @@ def convert_with_page_fanout(
     the safe cluster budget between them weighted toward the splitter
     (which converts every small doc; page actors only see exploded
     pages)."""
-    from ..ops.shuffle import bucketed_group_agg
+    from ..ops.shuffle import (
+        bucketed_group_agg,
+        input_bytes_estimate,
+        scaled_num_buckets,
+    )
 
     tune_data_context()
     thr = threshold if threshold is not None else (options.page_fanout_threshold or 8)
@@ -377,6 +371,13 @@ def convert_with_page_fanout(
             num_cpus=1,
         )
     )
+    # the fan-in is THE genuine shuffle of the ingest path: scale its
+    # bucket count with input bytes so one reassemble task's pandas frame
+    # stays bounded at any corpus size (a fixed count grows linearly)
+    paths = input_path if isinstance(input_path, (list, tuple)) else [input_path]
     return bucketed_group_agg(
-        mixed, ["doc_id"], _reassemble_factory(options), num_buckets=256
+        mixed,
+        ["doc_id"],
+        _reassemble_factory(options),
+        num_buckets=scaled_num_buckets(input_bytes_estimate(*paths)),
     )

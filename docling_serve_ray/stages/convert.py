@@ -25,7 +25,14 @@ from ..schema import OUTPUT_SCHEMA, SPANS_TYPE
 
 class AnalyzeBatch:
     """Stateless quality-analysis stage. Usable as a plain function too —
-    carrying options in the instance keeps the closure pickle-small."""
+    carrying options in the instance keeps the closure pickle-small.
+
+    Note: this separate stage re-parses each PDF payload (the downstream
+    convert parses again). The DEFAULT pipeline fuses analysis into
+    ConvertActor (fuse_analyze=True), where convert_document parses each
+    PDF exactly once for both the analyzer and the converter; use this
+    stage only when per-stage timings in ds.stats() are worth the extra
+    parse."""
 
     def __init__(self, options: JobOptions):
         self.options = options

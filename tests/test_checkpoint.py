@@ -281,3 +281,16 @@ class TestJobEntrypoint:
         s2 = json.loads(r2.stdout.strip().splitlines()[-1])
         assert s2["total_rows"] == 200
         assert sorted(s2["skipped"]) == sorted(s1["processed"])
+
+        # a bare directory --input must partition over the files INSIDE
+        # (never fingerprint the directory path itself)
+        cmd_dir = [
+            sys.executable, "-m", "docling_serve_ray.job",
+            "--input", small_corpus,
+            "--out", str(tmp_path / "out_dir"),
+            "--partitions", "4",
+        ]
+        r3 = subprocess.run(cmd_dir, capture_output=True, text=True, env=env, timeout=300)
+        assert r3.returncode == 0, r3.stderr[-2000:]
+        s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+        assert s3["total_rows"] == 200 and s3["partitions"] == 4
