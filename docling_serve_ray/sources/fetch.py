@@ -104,3 +104,32 @@ def fetch_manifest(
             batch_format="pyarrow",
         )
     return ds
+
+
+def decode_base64_payloads(
+    ds: ray.data.Dataset, *, column: str = "payload_b64", out_column: str = "payload"
+) -> ray.data.Dataset:
+    """File/base64 ingest (S2; reference datamodel/requests.py:46-48 —
+    ``FileSource.base64_string`` is decoded to raw bytes before
+    conversion): a base64-string column becomes the binary payload
+    column. Stateless vectorized map_batches; invalid base64 follows the
+    continue-on-error rule (empty payload + ``decode_status='failure'``
+    so one bad row cannot kill an ingest job)."""
+    import base64
+    import binascii
+
+    def decode(batch: pa.Table) -> pa.Table:
+        payloads, status = [], []
+        for s in batch[column].to_pylist():
+            try:
+                payloads.append(base64.b64decode(s, validate=True))
+                status.append("success")
+            except (binascii.Error, TypeError, ValueError):
+                payloads.append(b"")
+                status.append("failure")
+        cols = {n: batch[n] for n in batch.column_names if n != column}
+        cols[out_column] = pa.array(payloads, pa.large_binary())
+        cols["decode_status"] = pa.array(status, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(decode, batch_format="pyarrow")

@@ -175,3 +175,41 @@ class TestDocumentTimeout:
         d = generate_doc(3)
         out = convert_document(d["doc_id"], d["format"], d["payload"], d["lang"], JobOptions(), REV)
         assert out["status"] == "success"
+
+
+class TestBase64Ingest:
+    def test_decode_then_convert(self, ray_session):
+        """S2 base64 ingest: a base64-string payload column decodes to
+        binary and converts identically to the raw-bytes path; a corrupt
+        row degrades to decode_status='failure', not a failing job."""
+        import base64
+
+        from docling_serve_ray.pipelines.convert import build_convert_pipeline
+        from docling_serve_ray.sources.fetch import decode_base64_payloads
+
+        docs = [generate_doc(i) for i in range(6)]
+        t = pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs] + ["bad-doc"]),
+                "format": pa.array([d["format"] for d in docs] + ["md"]),
+                "payload_b64": pa.array(
+                    [base64.b64encode(d["payload"]).decode() for d in docs]
+                    + ["!!!not-base64!!!"]
+                ),
+                "lang": pa.array([d["lang"] for d in docs] + ["en"]),
+            }
+        )
+        ds = decode_base64_payloads(ray.data.from_arrow(t))
+        rows = {r["doc_id"]: r for r in ds.take_all()}
+        assert rows["bad-doc"]["decode_status"] == "failure"
+        assert all(
+            rows[d["doc_id"]]["payload"] == d["payload"] for d in docs
+        )
+        converted = {
+            r["doc_id"]: r
+            for r in build_convert_pipeline(
+                ds.filter(lambda r: r["decode_status"] == "success")
+            ).take_all()
+        }
+        for d in docs:
+            assert [dict(s) for s in converted[d["doc_id"]]["spans"]] == d["expected_spans"]
