@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_revenue": relational.join_priority_revenue,
         "join_revenue": relational.join_revenue,
         "top_orders": relational.top_orders,
+        "grouped_topk": relational.grouped_topk,
         "events_window": relational.events_window,
         "sessionize": relational.sessionize,
         "distinct_brand_types": relational.distinct_brand_types,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         SESSIONIZE_SQL,
         DISTINCT_BRAND_TYPES_SQL,
         EVENTS_WINDOW_SQL,
+        GROUPED_TOPK_SQL,
         JOIN_REVENUE_SQL,
         TOP_ORDERS_SQL,
     )
@@ -254,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,
         "top_orders": TOP_ORDERS_SQL,
+        "grouped_topk": GROUPED_TOPK_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessionize": SESSIONIZE_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,

@@ -387,3 +387,59 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
         per_bucket,
         num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
     )
+
+
+GROUPED_TOPK_K = 3
+
+GROUPED_TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def grouped_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders per priority class (the windowed-ranking family:
+    row_number() OVER (PARTITION BY ...) ≤ k). Scale shape: per-batch
+    per-group k-selection (combiner — the shuffle carries ≤ groups×k rows
+    per batch) → small per-group final top-k. No global sort; group
+    cardinality is the priority classes, so the final groupby is tiny."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderpriority", as_index=False, sort=False)
+            .head(GROUPED_TOPK_K)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(
+            GROUPED_TOPK_K
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": top["o_orderpriority"].to_numpy(),
+                "o_orderkey": top["o_orderkey"].astype("int64").to_numpy(),
+                "totalprice_c": np.floor(top["o_totalprice"] * 100 + 0.5)
+                .astype("int64")
+                .to_numpy(),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
