@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue": relational.join_revenue,
         "top_orders": relational.top_orders,
         "grouped_topk": relational.grouped_topk,
+        "grouped_quantiles": relational.grouped_quantiles,
         "events_window": relational.events_window,
         "sessionize": relational.sessionize,
         "distinct_brand_types": relational.distinct_brand_types,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         SESSIONIZE_SQL,
         DISTINCT_BRAND_TYPES_SQL,
         EVENTS_WINDOW_SQL,
+        GROUPED_QUANTILES_SQL,
         GROUPED_TOPK_SQL,
         JOIN_REVENUE_SQL,
         TOP_ORDERS_SQL,
@@ -257,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue": JOIN_REVENUE_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "grouped_topk": GROUPED_TOPK_SQL,
+        "grouped_quantiles": GROUPED_QUANTILES_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessionize": SESSIONIZE_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,

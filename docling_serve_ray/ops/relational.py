@@ -443,3 +443,85 @@ def grouped_topk(sf_dir: str) -> ray.data.Dataset:
         .groupby("o_orderpriority")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# Exact grouped percentiles over DISCRETE values (integer cents): per-batch
+# (group, value) histograms are the combiner — the shuffle carries one row
+# per distinct (group, value) per batch, never raw rows — and quantiles are
+# read off the merged histogram's cumulative counts. This is the exact,
+# fully scalable alternative to sort-based percentiles (no global sort) and
+# to sketches (no approximation), valid whenever the value domain is
+# bounded/discrete. Quantile rule (shared literally with the SQL twin):
+# value at 1-based cumulative rank floor((total-1)*q) + 1 of the ascending
+# value order — the "lower interpolation" discrete quantile.
+GROUPED_QUANTILES_SQL = """
+WITH c AS (
+  SELECT l_returnflag, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag, v
+),
+t AS (
+  SELECT l_returnflag, v,
+         SUM(n) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM c
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN cum >= CAST(floor((tot-1) * 0.5) AS BIGINT) + 1 THEN v END) AS BIGINT) AS p50_c,
+       CAST(MIN(CASE WHEN cum >= CAST(floor((tot-1) * 0.95) AS BIGINT) + 1 THEN v END) AS BIGINT) AS p95_c,
+       CAST(MIN(tot) AS BIGINT) AS n_rows
+FROM t GROUP BY l_returnflag
+"""
+
+
+def grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact p50/p95 of quantity cents per returnflag via distributed
+    histogram merge (see GROUPED_QUANTILES_SQL note)."""
+    from .shuffle import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(batch["l_quantity"] * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame({"l_returnflag": batch["l_returnflag"], "v": v})
+            .groupby(["l_returnflag", "v"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    def merge_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_returnflag", "v"], as_index=False).agg(n=("n", "sum"))
+
+    hist = bucketed_group_agg(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+        ).map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "v"],
+        merge_hist,
+        partial_fn=lambda b: b.groupby(["l_returnflag", "v"], as_index=False).agg(
+            n=("n", "sum")
+        ),
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        vs = g["v"].to_numpy()
+
+        def q(p):
+            rank = (tot - 1) * p // 1 + 1  # floor((tot-1)*p) + 1, 1-based
+            return int(vs[np.searchsorted(cum, rank)])
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p50_c": pd.Series([q(0.5)], dtype="int64"),
+                "p95_c": pd.Series([q(0.95)], dtype="int64"),
+                "n_rows": pd.Series([tot], dtype="int64"),
+            }
+        )
+
+    # returnflag cardinality is tiny: the final per-group reduce sees the
+    # merged histogram (distinct values), never raw rows
+    return hist.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
