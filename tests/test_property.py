@@ -302,3 +302,50 @@ class TestNewFormatRoundTrip:
         assert [(s["kind"], s["text"]) for s in got] == [
             (s["kind"], s["text"]) for s in spans
         ]
+
+
+class TestTrainingOpsInvariants:
+    """Invariants of the training-data prep ops beyond oracle equality."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_word, min_size=1, max_size=400).map(" ".join))
+    def test_chunking_reconstructs_document(self, text):
+        """64-token windows at stride 56: chunk0 plus each later chunk's
+        last (window - overlap_remainder) tokens reconstructs the doc."""
+        from docling_serve_ray.ops.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+        words = text.split(" ")
+        n = len(words)
+        n_chunks = 1 if n <= CHUNK_TOKENS else 1 + -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+        chunks = [
+            words[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+            for i in range(n_chunks)
+        ]
+        # every token is covered and consecutive chunks overlap by
+        # window - stride tokens (except possibly the short tail)
+        rebuilt = list(chunks[0])
+        for i, c in enumerate(chunks[1:], start=1):
+            covered = i * CHUNK_STRIDE + CHUNK_TOKENS
+            prev_covered = (i - 1) * CHUNK_STRIDE + CHUNK_TOKENS
+            new = c[prev_covered - i * CHUNK_STRIDE :]
+            rebuilt.extend(new)
+        assert rebuilt == words
+
+    def test_split_proportions_and_determinism(self):
+        """Hash split: deterministic across calls, ~13/2/1 of 16, and
+        every id assigned exactly one split."""
+        import hashlib
+
+        from docling_serve_ray.ops.text import SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+        n = 20_000
+        counts = {"train": 0, "val": 0, "test": 0}
+        for d in range(n):
+            hv = int(hashlib.md5(str(d).encode()).hexdigest()[0], 16)
+            split = (
+                "train" if hv < SPLIT_TRAIN_LT else "val" if hv < SPLIT_VAL_LT else "test"
+            )
+            counts[split] += 1
+        assert abs(counts["train"] / n - 13 / 16) < 0.02
+        assert abs(counts["val"] / n - 2 / 16) < 0.01
+        assert abs(counts["test"] / n - 1 / 16) < 0.01
