@@ -231,3 +231,27 @@ def attach_media_meta(
     )
     P, jkw = join_partitions(cap=num_partitions)
     return refs.join(media_meta, "inner", P, on=("media_ref",), **jkw)
+
+
+def sample_video_frames(
+    media_ds: ray.data.Dataset,
+    *,
+    n_frames: int = 8,
+    decoder_factory=None,
+    num_gpus: float = 0,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Video → evenly-spaced frame rows (decode/frame-sample stage for
+    downstream per-frame embedding or captioning). Actor pool with the
+    decoder in actor state; frame explosion is embarrassingly parallel
+    and streams — no shuffle at any scale."""
+    from ..stages.media import FrameSampleActor, StubVideoDecoder
+
+    tune_data_context()
+    return media_ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_args=(n_frames, decoder_factory or StubVideoDecoder),
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        **_stage_resources(num_gpus, concurrency),
+    )

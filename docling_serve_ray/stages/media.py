@@ -164,3 +164,57 @@ class MediaEmbedActor:
                 "embedding": pa.array(embs, pa.list_(pa.float32())),
             }
         )
+
+
+class StubVideoDecoder:
+    """DETERMINISTIC FAKE video decoder (no ffmpeg in this sandbox):
+    derives duration/fps from the byte length. A real decoder probes the
+    container; the dict contract is the protocol."""
+
+    def probe(self, data: bytes, mime: str) -> dict:
+        n = len(data)
+        return {"duration_ms": 1000 + (n % 9973) * 10, "fps": 24.0, "n_bytes": n}
+
+    def frame_at(self, data: bytes, ts_ms: int) -> bytes:
+        # real impl: seek + decode + JPEG-encode the frame
+        h = hashlib.sha1(data[:64] + ts_ms.to_bytes(8, "big")).digest()
+        return h + data[:32]
+
+
+class FrameSampleActor:
+    """Actor-pool stage: video rows → N evenly-spaced frame rows
+    (media_ref, doc_id, frame_idx, ts_ms, frame_bytes). Decoder pinned in
+    actor state; small batches (large binary rows). Non-video mimes pass
+    through silently with zero frames — one media table can mix
+    image/video rows."""
+
+    def __init__(self, n_frames: int = 8, decoder_factory=StubVideoDecoder):
+        self.n_frames = n_frames
+        self.decoder = decoder_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, docs, idxs, tss, frames = [], [], [], [], []
+        for ref, doc, data, mime in zip(
+            batch["media_ref"].to_pylist(), batch["doc_id"].to_pylist(),
+            batch["bytes"].to_pylist(), batch["mime"].to_pylist(),
+        ):
+            if not mime.startswith("video/"):
+                continue
+            meta = self.decoder.probe(data, mime)
+            # evenly spaced sample timestamps across the duration
+            for k in range(self.n_frames):
+                ts = (meta["duration_ms"] * (2 * k + 1)) // (2 * self.n_frames)
+                refs.append(ref)
+                docs.append(doc)
+                idxs.append(k)
+                tss.append(ts)
+                frames.append(self.decoder.frame_at(data, ts))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "doc_id": pa.array(docs, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_ms": pa.array(tss, pa.int64()),
+                "frame_bytes": pa.array(frames, pa.large_binary()),
+            }
+        )

@@ -73,3 +73,35 @@ class TestMediaPipeline:
         n_media_spans = sum(1 for r in span_rows if r["media_ref"])
         assert len(joined) == n_media_spans
         assert all(r["width"] >= 64 for r in joined)
+
+
+class TestFrameSampling:
+    def test_frames_per_video_and_passthrough(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from docling_serve_ray.pipelines.media import sample_video_frames
+        from docling_serve_ray.schema import MEDIA_SCHEMA
+
+        rows = [
+            {"media_ref": "m-v0", "doc_id": "d0", "bytes": b"v" * 5000, "mime": "video/mp4"},
+            {"media_ref": "m-i0", "doc_id": "d0", "bytes": b"i" * 100, "mime": "image/png"},
+            {"media_ref": "m-v1", "doc_id": "d1", "bytes": b"w" * 9000, "mime": "video/webm"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+        out = sample_video_frames(ds, n_frames=4).take_all()
+        by_ref = {}
+        for r in out:
+            by_ref.setdefault(r["media_ref"], []).append(r)
+        # images are passed over, each video yields exactly n_frames rows
+        assert set(by_ref) == {"m-v0", "m-v1"}
+        for ref, frames in by_ref.items():
+            assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+            ts = [f["ts_ms"] for f in sorted(frames, key=lambda f: f["frame_idx"])]
+            assert ts == sorted(ts) and len(set(ts)) == 4  # evenly spaced, increasing
+            assert all(f["frame_bytes"] for f in frames)
+        # deterministic
+        again = sample_video_frames(ds, n_frames=4).take_all()
+        key = lambda r: (r["media_ref"], r["frame_idx"])
+        assert sorted(((r["media_ref"], r["frame_idx"], r["frame_bytes"]) for r in out)) == \
+               sorted(((r["media_ref"], r["frame_idx"], r["frame_bytes"]) for r in again))
