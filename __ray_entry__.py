@@ -28,7 +28,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from docling_serve_ray.ops import dedup, media_ops, relational, similarity, text, wrap
+    from docling_serve_ray.ops import (
+        cluster,
+        dedup,
+        media_ops,
+        relational,
+        similarity,
+        text,
+        wrap,
+    )
 
     return {
         # --- conversion / extraction (flagship family) ---
@@ -52,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "simhash_dedup": dedup.simhash_dedup,
+        "neardup_clusters": cluster.neardup_clusters,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -187,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         MINHASH_PAIRS_SQL,
         SIMHASH_PAIRS_SQL,
     )
+    from docling_serve_ray.ops.cluster import NEARDUP_CLUSTERS_SQL
     from docling_serve_ray.ops.media_ops import MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
@@ -250,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
+        "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "ann_topk": ANN_TOPK_SQL,
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

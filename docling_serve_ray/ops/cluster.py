@@ -1,0 +1,296 @@
+"""Near-dup cluster resolution: verified pair lists → connected components
+→ keeper assignment.
+
+Every near-dup op in this suite (minhash / simhash / ngram-jaccard /
+embedding) stops at a verified PAIR list; a training-data pipeline needs the
+transitive closure of those pairs — "which rows do I drop" — mirroring
+``exact_dedup``'s min-keeper rule (reference analog: the options-hash dedup
+in docling-serve's ``docling_conversion.py`` is per-key exact only; the
+transitive step has no reference counterpart and is this suite's own rung).
+
+Algorithm — distributed min-label propagation with pointer doubling (no
+driver-side union-find, no whole-graph materialization):
+
+- State is a (node, label) Dataset; labels start as the node's own id and
+  only ever decrease, always holding some node id of the same component.
+- Each round runs two bucketed grouped reduces (ops/shuffle.bucketed_group_agg
+  — hash-partitioned, vectorized pandas per bucket):
+    1. *edge propagation*: group (label rows ∪ both-direction edge rows) by
+       node; the group min label is pushed to every neighbor, and each node
+       keeps the min of what it receives (classic hash-join label
+       propagation — one hop per round).
+    2. *pointer doubling*: relabel every node by label(label(node)) via a
+       single grouped reduce keyed on the label value (every label IS a node
+       id, so its row is in the same group). This halves chain depth, giving
+       O(log diameter) rounds overall instead of O(diameter).
+- Convergence is detected with a scalar ``sum("changed")`` (the only value
+  that ever reaches the driver); each round's label table is materialized so
+  the iterative lineage stays one round deep.
+
+Scale shape at 10^12 docs: the label table holds only nodes that appear in
+at least one verified pair (two int64s per row); edges are the verified pair
+list (already thin). Both shuffle by hashed node id through bounded buckets;
+per-round cost is two thin all-to-alls over pair-ish-sized data, and round
+count is logarithmic in the largest cluster's diameter (real near-dup
+clusters are near-cliques, so 1-2 rounds in practice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+def _edge_rows(
+    pairs: ray.data.Dataset, a_col: str, b_col: str
+) -> ray.data.Dataset:
+    """Verified (a, b) pairs → both-direction (src, dst) edge rows."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[a_col].astype("int64")
+        bb = b[b_col].astype("int64")
+        return pd.DataFrame(
+            {
+                "src": pd.concat([a, bb], ignore_index=True),
+                "dst": pd.concat([bb, a], ignore_index=True),
+            }
+        )
+
+    return pairs.map_batches(explode, batch_format="pandas")
+
+
+def _initial_labels(
+    edges: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """Distinct nodes of the edge list, labelled with their own id."""
+    from .shuffle import bucketed_group_agg
+
+    nodes = edges.map_batches(
+        lambda b: pd.DataFrame({"node": b["src"].astype("int64")}),
+        batch_format="pandas",
+    )
+    return bucketed_group_agg(
+        nodes,
+        ["node"],
+        lambda g: g.drop_duplicates("node").assign(label=lambda d: d["node"]),
+        partial_fn=lambda b: b.drop_duplicates("node"),
+        num_buckets=num_buckets,
+    )
+
+
+def _propagate_round(
+    labels: ray.data.Dataset, edges: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """One edge-propagation round → (node, label, changed) rows.
+
+    Sentinels keep the union schema flat (all int64): label rows carry
+    dst = -1; edge rows carry lab = INT64MAX (node ids are non-negative, so
+    neither collides with data)."""
+    from .shuffle import bucketed_group_agg
+
+    lab_rows = labels.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["node"].astype("int64"),
+                "dst": np.int64(-1),
+                "lab": b["label"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    edge_rows = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["src"].astype("int64"),
+                "dst": b["dst"].astype("int64"),
+                "lab": np.int64(_I64MAX),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def push_min(g: pd.DataFrame) -> pd.DataFrame:
+        # group min over 'lab' is each key's current label (exactly one
+        # label row per key); broadcast it to every neighbor of the key
+        m = g.groupby("key")["lab"].transform("min")
+        is_self = g["dst"].to_numpy() < 0
+        return pd.DataFrame(
+            {
+                "node": np.where(is_self, g["key"], g["dst"]),
+                "cand": m.to_numpy(),
+                # only the self row remembers the old label (for 'changed')
+                "old": np.where(is_self, g["lab"], np.int64(_I64MAX)),
+            }
+        )
+
+    cands = bucketed_group_agg(
+        lab_rows.union(edge_rows), ["key"], push_min, num_buckets=num_buckets
+    )
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False).agg(
+            label=("cand", "min"), old=("old", "min")
+        )
+        return pd.DataFrame(
+            {
+                "node": out["node"].astype("int64"),
+                "label": out["label"].astype("int64"),
+                "changed": (out["label"] != out["old"]).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(cands, ["node"], take_min, num_buckets=num_buckets)
+
+
+def _pointer_double(
+    labels: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """(node, label) → (node, label(label(node))) in ONE grouped reduce.
+
+    Every label value is itself a node id (labels start as ids and move only
+    by min over existing labels), so grouping request rows keyed on the
+    label value co-locates them with that node's own label row."""
+    from .shuffle import bucketed_group_agg
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        node = b["node"].astype("int64")
+        label = b["label"].astype("int64")
+        # request row: "node asks for label(label(node))" + self row that
+        # answers "label(key)" for key == node
+        return pd.DataFrame(
+            {
+                "key": pd.concat([label, node], ignore_index=True),
+                "req": pd.concat(
+                    [node, pd.Series(np.int64(-1), index=node.index)],
+                    ignore_index=True,
+                ),
+                "lab": pd.concat(
+                    [pd.Series(np.int64(_I64MAX), index=node.index), label],
+                    ignore_index=True,
+                ),
+            }
+        )
+
+    def answer(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key")["lab"].transform("min")  # label(key)
+        req = g["req"].to_numpy() >= 0
+        return pd.DataFrame(
+            {
+                "node": g["req"].to_numpy()[req],
+                "label": m.to_numpy()[req],
+            }
+        )
+
+    rows = labels.map_batches(split, batch_format="pandas")
+    return bucketed_group_agg(rows, ["key"], answer, num_buckets=num_buckets)
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_buckets: int = 64,
+    max_rounds: int = 30,
+) -> ray.data.Dataset:
+    """Pair list → (doc_id, cluster_id, is_keeper) for every doc appearing
+    in at least one pair. cluster_id = min doc_id of the component (the
+    keeper, mirroring exact_dedup's rule); is_keeper is int64 0/1.
+
+    max_rounds bounds the propagate+double loop; with doubling the label
+    depth at round r covers chains of length ~2^r, so 30 rounds handle any
+    graph this side of 10^9-long chains. Raises if not converged (never
+    silently emits partial closures)."""
+    edges = _edge_rows(pairs, a_col, b_col).materialize()
+    labels = _initial_labels(edges, num_buckets).materialize()
+
+    for _ in range(max_rounds):
+        stepped = _propagate_round(labels, edges, num_buckets).materialize()
+        changed = stepped.sum("changed")
+        labels = stepped.drop_columns(["changed"])
+        if not changed:
+            break
+        labels = _pointer_double(labels, num_buckets).materialize()
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].astype("int64"),
+                "cluster_id": b["label"].astype("int64"),
+                "is_keeper": (b["node"] == b["label"]).astype("int64"),
+            }
+        )
+
+    return labels.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# neardup_clusters query: minhash-verified pairs → components → keepers
+# ---------------------------------------------------------------------------
+
+# Transitive closure of the exact-Jaccard >= 0.7 pair set (the minhash op's
+# verified output — LSH-parameter-independent, see ops/dedup.py) via a
+# recursive CTE: reach(node, r) holds every (node, reachable id); the
+# component id is the min reachable id. Clusters in the augmented test
+# corpus are tiny (pairs/triples), so closure cardinality stays trivial.
+NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM (
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' extra token appended'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+      FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-3)) AS i)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = inter.doc_a
+    JOIN cnt cb ON cb.doc_id = inter.doc_b
+    WHERE inter_n * 1.0 / (ca.n + cb.n - inter_n) >= 0.7
+  )
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+)
+SELECT node AS doc_id,
+       MIN(r) AS cluster_id,
+       CAST(CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+def neardup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """The 'rows to drop' deliverable: minhash-verified near-dup pairs →
+    distributed connected components → (doc_id, cluster_id, is_keeper).
+    Drop set = rows with is_keeper = 0."""
+    from .dedup import minhash_dedup
+
+    pairs = minhash_dedup(sf_dir).select_columns(["doc_a", "doc_b"])
+    return connected_components(pairs)
