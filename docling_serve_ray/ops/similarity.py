@@ -84,9 +84,9 @@ def _normalize(X: np.ndarray) -> np.ndarray:
     return X / np.linalg.norm(X, axis=1, keepdims=True)
 
 
-def ann_topk(sf_dir: str) -> ray.data.Dataset:
-    """Top-5 cosine neighbors for query vectors vec_id < 10 → (qid, vec_id,
-    rank). Broadcast queries, per-batch matmul + partial top-k, final merge."""
+def _query_vectors(sf_dir: str) -> list:
+    """The tiny query set (vec_id < TOPK_NUM_QUERIES), read with a
+    row-group-pushdown filter and sorted by id."""
     import pyarrow.compute as pc
 
     q_rows = ray.data.read_parquet(
@@ -95,6 +95,13 @@ def ann_topk(sf_dir: str) -> ray.data.Dataset:
         filter=(pc.field("vec_id") < TOPK_NUM_QUERIES),  # row-group pushdown
     ).take_all()
     q_rows.sort(key=lambda r: r["vec_id"])
+    return q_rows
+
+
+def ann_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 cosine neighbors for query vectors vec_id < 10 → (qid, vec_id,
+    rank). Broadcast queries, per-batch matmul + partial top-k, final merge."""
+    q_rows = _query_vectors(sf_dir)
     qids = np.array([r["vec_id"] for r in q_rows])
     Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
     ref = ray.put((qids, Q))
@@ -279,57 +286,116 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
 IVF_NLIST = 10
 
 
-def ivf_topk(sf_dir: str, nprobe: int = IVF_NLIST) -> ray.data.Dataset:
-    """IVF-partitioned cosine top-k — the scale path for similarity search:
-    vectors are assigned to nlist centroid cells; a query scores only the
-    vectors in its nprobe nearest cells. With nprobe == nlist (the default
-    here, so the SQL oracle of the exact search applies) the result equals
-    brute force; at 10^12-vector scale one sets nprobe << nlist and each
-    cell is its own partition of the Dataset, pruning the batches read.
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """nlist normalized centroids via a fully distributed reduce: per-batch
+    partial (sum, count) rows → groupby(label) merge (nlist groups — tiny,
+    native groupby is fine at that cardinality) → take_all() of exactly
+    nlist final rows. Nothing batch-count-sized ever reaches the driver."""
 
-    Centroids come from a distributed pass (per-batch partial sums — the
-    same combiner as label_centroids), so the index build is itself a
-    Dataset pipeline, not a driver-side fit."""
-    import pyarrow.compute as pc
-
-    # --- index build: centroids via distributed partial sums ---
     def partials(batch: pa.Table) -> pd.DataFrame:
         labels = batch["label"].to_numpy(zero_copy_only=False)
         _, X = _batch_matrix(batch)
         rows = []
         for lab in np.unique(labels):
             sel = X[labels == lab]
-            rows.append({"label": int(lab), "sum_vec": sel.sum(axis=0).tolist(), "cnt": int(sel.shape[0])})
+            rows.append(
+                {"label": int(lab), "sum_vec": sel.sum(axis=0).tolist(), "cnt": int(sel.shape[0])}
+            )
         return pd.DataFrame(rows)
 
-    parts = (
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(np.stack(g["sum_vec"].to_list()), axis=0)
+        n = int(g["cnt"].sum())
+        return pd.DataFrame(
+            {"label": [int(g["label"].iloc[0])], "centroid": [(total / n).tolist()]}
+        )
+
+    rows = (
         _emb(sf_dir, columns=("vec_id", "embedding", "label"))
         .map_batches(partials, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
         .take_all()
     )
-    agg: dict[int, tuple[np.ndarray, int]] = {}
-    for r in parts:
-        v, c = agg.get(r["label"], (np.zeros(len(r["sum_vec"])), 0))
-        agg[r["label"]] = (v + np.array(r["sum_vec"]), c + int(r["cnt"]))
-    cents = np.stack([v / c for _, (v, c) in sorted(agg.items())])
-    cents = _normalize(cents)
+    rows.sort(key=lambda r: r["label"])
+    return _normalize(np.array([r["centroid"] for r in rows], dtype=np.float64))
 
-    # --- queries + their probed cells ---
-    q_rows = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filter=(pc.field("vec_id") < TOPK_NUM_QUERIES),
-    ).take_all()
-    q_rows.sort(key=lambda r: r["vec_id"])
+
+def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
+    """Build the physical IVF layout: assign every vector to its nearest
+    centroid cell and write the table cell-partitioned
+    (``index_dir/cell=K/*.parquet``). Probing then reads ONLY the probed
+    cells' directories — nprobe/nlist of the bytes, real IO pruning, not an
+    in-task filter. Returns the centroid matrix.
+
+    At 10^12-vector scale this is the one-off clustered rewrite every IVF
+    index pays; partitioned parquet keeps it resumable and each cell
+    independently readable."""
+    cents = _normalize(_ivf_centroids(sf_dir))
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(ref)
+        _, X = _batch_matrix(batch)
+        cell = np.argmax(_normalize(X) @ cents_.T, axis=1).astype(np.int32)
+        # 'cell' becomes the hive partition key (consumed by the writer);
+        # 'cell_id' stays a data column so probed reads keep the assignment
+        batch = batch.append_column("cell", pa.array(cell))
+        return batch.append_column("cell_id", pa.array(cell))
+
+    _emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"], mode="overwrite"
+    )
+    return cents
+
+
+def _probed_cell_paths(index_dir: str, cells: np.ndarray) -> list[str]:
+    """Parquet files of the probed cells only (read_parquet wants file
+    paths when given a list)."""
+    import glob
+    import os
+
+    files: list[str] = []
+    for c in np.unique(cells):
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))
+        )
+    return files
+
+
+def ivf_topk(
+    sf_dir: str, nprobe: int = IVF_NLIST, index_dir: str | None = None
+) -> ray.data.Dataset:
+    """IVF-partitioned cosine top-k — the scale path for similarity search.
+
+    Build: distributed centroid reduce (_ivf_centroids) + clustered rewrite
+    (ivf_build) into ``index_dir/cell=K/`` partitions. Query: each query
+    probes its nprobe nearest cells; the scan reads ONLY the union of probed
+    cell directories, so nprobe < nlist physically skips (nlist-nprobe)/nlist
+    of the index bytes (asserted in tests/test_ops IVF pruning test). With
+    nprobe == nlist (the default) every cell is read and the result equals
+    brute force — the exact-search SQL oracle applies."""
+    import hashlib
+    import os
+
+    if index_dir is None:
+        key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        index_dir = f"/tmp/docling_ray_ivf/{key}"
+    cents = ivf_build(sf_dir, index_dir)
+
+    q_rows = _query_vectors(sf_dir)
     qids = np.array([r["vec_id"] for r in q_rows])
     Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
     probe_cells = np.argsort(-(Q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    ref = ray.put((qids, Q, cents, probe_cells))
+    ref = ray.put((qids, Q, probe_cells))
 
     def per_batch(batch: pa.Table) -> pd.DataFrame:
-        qids_, Q_, cents_, probes_ = ray.get(ref)
-        ids, X = _batch_matrix(batch)
+        qids_, Q_, probes_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+        flat = batch["embedding"].combine_chunks()
+        X = np.asarray(flat.flatten(), dtype=np.float64).reshape(len(ids), -1)
         Xn = _normalize(X)
-        cell = np.argmax(Xn @ cents_.T, axis=1)  # IVF assignment
         out = []
         for qi, qid in enumerate(qids_):
             allowed = np.isin(cell, probes_[qi])
@@ -354,5 +420,7 @@ def ivf_topk(sf_dir: str, nprobe: int = IVF_NLIST) -> ray.data.Dataset:
             }
         )
 
-    cands = _emb(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+    paths = _probed_cell_paths(index_dir, probe_cells)
+    scan = ray.data.read_parquet(paths, columns=["vec_id", "cell_id", "embedding"])
+    cands = scan.map_batches(per_batch, batch_format="pyarrow")
     return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")

@@ -22,7 +22,9 @@ SUBSET = [
     "lang_id",
     "exact_dedup",
     "minhash_dedup",
+    "neardup_clusters",
     "ann_topk",
+    "ivf_topk",
     "label_centroids",
     "agg_pricing",
     "join_revenue",
@@ -73,6 +75,39 @@ def test_entry_contract(ray_session):
     assert ds.count() > 0
     names = [f.name for f in ds.schema().base_schema]
     assert names == ["doc_id", "kind", "text", "media_ref", "offset"]
+
+
+def test_ivf_physical_pruning(ray_session, tmp_path):
+    """nprobe < nlist must SKIP index bytes on disk, not filter in-task:
+    the probed cell directories are a strict subset of the index."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from docling_serve_ray.ops import similarity as sim
+
+    idx = str(tmp_path / "ivf_idx")
+    cents = sim.ivf_build(SF, idx)
+    assert cents.shape[0] == sim.IVF_NLIST
+
+    q_rows = sim._query_vectors(SF)
+    Q = sim._normalize(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    )
+    probe2 = np.argsort(-(Q @ cents.T), axis=1)[:, :2]
+
+    all_files = set(glob.glob(os.path.join(idx, "cell=*", "*.parquet")))
+    probed_files = set(sim._probed_cell_paths(idx, probe2))
+    assert probed_files and probed_files < all_files
+    probed_bytes = sum(os.path.getsize(f) for f in probed_files)
+    total_bytes = sum(os.path.getsize(f) for f in all_files)
+    assert probed_bytes < total_bytes
+
+    # the pruned query still runs end-to-end and emits ranked rows
+    out = sim.ivf_topk(SF, nprobe=2, index_dir=idx).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"qid", "vec_id", "rank"}
 
 
 def test_simhash_rows_only(ray_session):
