@@ -455,6 +455,13 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
         aug = _augment_neardup(batch)
         ids = np.asarray(aug["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         hash_arrays = [_shingle_hashes(t) for t in aug["text"].to_pylist()]
+        # zero-shingle docs (<3 tokens) all share the all-max signature →
+        # identical keys in EVERY band → O(k²) candidate blowup on short-doc
+        # corpora; they can never pass the Jaccard threshold (union would
+        # need their empty set), so skip their band rows entirely
+        nonempty = np.array([len(h) > 0 for h in hash_arrays], dtype=bool)
+        ids = ids[nonempty]
+        hash_arrays = [h for h in hash_arrays if len(h)]
         keys = _band_keys(_batch_signatures(hash_arrays, seeds))  # (n, bands)
         n = len(ids)
         return pa.table(

@@ -127,6 +127,13 @@ def agg_pricing(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+# Broadcast a dimension table only while one worker's copy stays cheap; a
+# TPC-H customer table SCALES with the corpus (~10^9 rows / ~10 GB per
+# worker at 100 TB), so past this bound the ops fall back to the
+# hash-partitioned Dataset.join they share with join_priority_revenue.
+BROADCAST_MAX_BYTES = 1 << 30
+
+
 def _customer_lookup(sf_dir: str, value_col: str):
     """Small-side lookup: sorted (keys, values) numpy arrays for a
     vectorized searchsorted probe — broadcast via ray.put ONCE and read
@@ -141,12 +148,36 @@ def _customer_lookup(sf_dir: str, value_col: str):
 
 
 def _lookup(ref, probe: np.ndarray) -> np.ndarray:
+    """searchsorted probe WITH presence check: a key absent from the lookup
+    yields None/NaN (matching the dict.map semantics this replaced) instead
+    of silently returning an adjacent key's value."""
     keys, values = ray.get(ref)
-    return values[np.searchsorted(keys, probe)]
+    idx = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    hit = keys[idx] == probe
+    out = values[idx]
+    if out.dtype == object or out.dtype.kind in "US":
+        return np.where(hit, out, None)
+    return np.where(hit, out.astype("float64"), np.nan)
 
 
-def join_revenue(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer (broadcast) → revenue by market segment."""
+def _customer_small_enough(sf_dir: str, threshold_bytes: int) -> bool:
+    from .shuffle import input_bytes_estimate
+
+    est = input_bytes_estimate(f"{sf_dir}/customer.parquet")
+    return bool(est) and est <= threshold_bytes
+
+
+def join_revenue(
+    sf_dir: str, *, broadcast_threshold_bytes: int = BROADCAST_MAX_BYTES
+) -> ray.data.Dataset:
+    """orders ⋈ customer → revenue by market segment. Join strategy is
+    size-gated: broadcast-probe while the customer table fits comfortably in
+    a worker (≤ broadcast_threshold_bytes estimated in-memory), else the
+    hash-partitioned Dataset.join path (same shape as
+    join_priority_revenue). Both paths produce identical output (forced in
+    tests)."""
+    if not _customer_small_enough(sf_dir, broadcast_threshold_bytes):
+        return _join_revenue_hash(sf_dir)
     ref = ray.put(_customer_lookup(sf_dir, "c_mktsegment"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -179,10 +210,56 @@ def join_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def top_orders(sf_dir: str) -> ray.data.Dataset:
+def _join_revenue_hash(sf_dir: str) -> ray.data.Dataset:
+    """Hash-join fallback for join_revenue when customer is too big to
+    broadcast: orders ⋈ customer via the hash-partitioned Dataset.join,
+    then the standard partial → small-groupby aggregate."""
+    from .shuffle import input_bytes_estimate, join_partitions
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    c = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = o.join(c, "inner", P, on=("o_custkey",), right_on=("c_custkey",), **jkw)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64")
+        return (
+            pd.DataFrame({"c_mktsegment": batch["c_mktsegment"], "price_c": cents})
+            .groupby("c_mktsegment", as_index=False)
+            .agg(p_rev=("price_c", "sum"), p_cnt=("price_c", "size"))
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_rev", alias_name="rev"), Sum("p_cnt", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "revenue_c": b["rev"].astype("int64"),
+                "n_orders": b["n_orders"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def top_orders(
+    sf_dir: str, *, broadcast_threshold_bytes: int = BROADCAST_MAX_BYTES
+) -> ray.data.Dataset:
     """Global top-10 orders by totalprice with customer name: per-batch
-    k-selection → global sort of the tiny candidate set → limit."""
-    ref = ray.put(_customer_lookup(sf_dir, "c_name"))
+    k-selection → global sort of the tiny candidate set → limit. The
+    customer-name attachment is size-gated like join_revenue: broadcast
+    probe under the threshold, else a hash join of the K winner rows
+    against the customer table."""
     K = 10
 
     def per_batch_top(batch: pd.DataFrame) -> pd.DataFrame:
@@ -196,6 +273,11 @@ def top_orders(sf_dir: str) -> ray.data.Dataset:
     cands = ds.map_batches(per_batch_top, batch_format="pandas")
     top = cands.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(K)
 
+    if not _customer_small_enough(sf_dir, broadcast_threshold_bytes):
+        return _top_orders_attach_hash(sf_dir, top)
+
+    ref = ray.put(_customer_lookup(sf_dir, "c_name"))
+
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -206,6 +288,32 @@ def top_orders(sf_dir: str) -> ray.data.Dataset:
         )
 
     return top.map_batches(finalize, batch_format="pandas")
+
+
+def _top_orders_attach_hash(sf_dir: str, top: ray.data.Dataset) -> ray.data.Dataset:
+    """Attach c_name to the K winner rows with a hash-partitioned join —
+    the fallback when customer cannot be broadcast (the customer side
+    shuffles once; the probe side is K rows)."""
+    from .shuffle import input_bytes_estimate, join_partitions
+
+    c = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/customer.parquet")
+    )
+    j = top.join(c, "inner", P, on=("o_custkey",), right_on=("c_custkey",), **jkw)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "c_name": batch["c_name"],
+                "totalprice_c": np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
 
 
 def events_window(sf_dir: str) -> ray.data.Dataset:

@@ -99,8 +99,15 @@ def scaled_num_buckets(
 
 def input_bytes_estimate(*paths: str, decompression_factor: int = 4) -> int:
     """In-memory size estimate for parquet inputs from their on-disk size
-    (parquet→Arrow decompression runs ~2-6× on text-heavy tables)."""
+    (parquet→Arrow decompression runs ~2-6× on text-heavy tables).
+
+    Returns 0 — with a WARNING — when no local bytes are visible (remote
+    URIs, unexpanded globs): callers treat 0 as "unknown" and fall back to
+    conservative defaults (scaled_num_buckets → lo, join gate → hash path),
+    but a silent 0 would defeat byte-scaled sizing exactly in remote
+    deployments, so it must be loud."""
     import os
+    import warnings
 
     total = 0
     for p in paths:
@@ -109,6 +116,13 @@ def input_bytes_estimate(*paths: str, decompression_factor: int = 4) -> int:
                 total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         elif os.path.exists(p):
             total += os.path.getsize(p)
+    if total == 0 and paths:
+        warnings.warn(
+            f"input_bytes_estimate: no local bytes found for {paths!r} — "
+            "byte-scaled sizing falls back to conservative defaults; pass a "
+            "known size or a Dataset metadata estimate for remote inputs",
+            stacklevel=2,
+        )
     return total * decompression_factor
 
 

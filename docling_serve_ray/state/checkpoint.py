@@ -124,6 +124,10 @@ def run_partitioned(
             rec is not None
             and rec.get("input_fingerprint") == part.fingerprint
             and rec.get("options_hash", "") == options_hash
+            # a format change must force reprocessing — otherwise resuming a
+            # parquet-published out_dir with lance leaves a mixed directory
+            # a lance reader cannot consume
+            and rec.get("output_format", "parquet") == output_format
         ):
             skipped.append(part.pid)
             manifest.append(rec)
@@ -157,6 +161,7 @@ def run_partitioned(
             "input_files": [os.path.basename(f) for f in part.files],
             "input_fingerprint": part.fingerprint,
             "options_hash": options_hash,
+            "output_format": output_format,
             "input_bytes": part.bytes,
             "row_count": row_count,
             "wall_s": round(wall, 3),

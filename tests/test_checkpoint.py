@@ -294,3 +294,35 @@ class TestJobEntrypoint:
         assert r3.returncode == 0, r3.stderr[-2000:]
         s3 = json.loads(r3.stdout.strip().splitlines()[-1])
         assert s3["total_rows"] == 200 and s3["partitions"] == 4
+
+
+class TestOutputFormatInvalidation:
+    def test_format_change_reprocesses(self, ray_session, small_corpus, tmp_path):
+        """Checkpoint reuse keys on output_format too: a partition published
+        under another format must not be skipped (otherwise a parquet→lance
+        resume leaves a mixed directory a lance reader cannot consume).
+        pylance is absent here, so the lance-published state is simulated by
+        rewriting the recorded output_format in _SUCCESS.json."""
+        import glob
+        import json
+        import os
+
+        from docling_serve_ray.pipelines.convert import build_convert_pipeline, read_input
+        from docling_serve_ray.state.checkpoint import run_partitioned
+
+        files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))[:2]
+        out = str(tmp_path / "out")
+        fn = lambda fs: build_convert_pipeline(read_input(fs))  # noqa: E731
+
+        s1 = run_partitioned(files, out, fn, num_partitions=2)
+        assert s1["skipped"] == []
+        s2 = run_partitioned(files, out, fn, num_partitions=2)
+        assert sorted(s2["skipped"]) == [0, 1]
+
+        # simulate partitions published under a different output format
+        for success in glob.glob(out + "/part=*/_SUCCESS.json"):
+            rec = json.load(open(success))
+            rec["output_format"] = "lance"
+            json.dump(rec, open(success, "w"))
+        s3 = run_partitioned(files, out, fn, num_partitions=2)
+        assert s3["skipped"] == []  # format mismatch → full reprocess

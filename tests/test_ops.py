@@ -77,6 +77,78 @@ def test_entry_contract(ray_session):
     assert names == ["doc_id", "kind", "text", "media_ref", "offset"]
 
 
+@pytest.mark.parametrize("name", ["join_revenue", "top_orders"])
+def test_size_gated_join_hash_path(ray_session, duck, name):
+    """Forcing the broadcast gate shut (threshold 0 bytes) must route
+    through the hash-partitioned join and still match the oracle —
+    the 100-TB path where the customer table cannot be broadcast."""
+    import __ray_entry__ as entrymod
+
+    from docling_serve_ray.ops import relational
+
+    fn = getattr(relational, name)
+    res = fn(SF, broadcast_threshold_bytes=0)
+    ray_df = _canon(res.to_pandas())
+    ora_df = _canon(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert len(ray_df) == len(ora_df)
+    assert _hash(ray_df) == _hash(ora_df)
+
+
+def test_lookup_missing_key_yields_none(ray_session):
+    """ADVICE r02: a probe key absent from the lookup must yield None, not
+    an adjacent key's value (and must not raise past the max key)."""
+    import numpy as np
+    import ray as _ray
+
+    from docling_serve_ray.ops.relational import _lookup
+
+    keys = np.array([10, 20, 30], dtype="int64")
+    vals = np.array(["a", "b", "c"], dtype=object)
+    ref = _ray.put((keys, vals))
+    out = _lookup(ref, np.array([20, 15, 5, 99], dtype="int64"))
+    assert out.tolist() == ["b", None, None, None]
+
+
+def test_minhash_skips_zero_shingle_docs(ray_session, tmp_path):
+    """Docs with <3 tokens have no shingles and must emit NO band rows:
+    with many such docs the all-max signature would otherwise collide in
+    every band (O(k²) candidates). Output must stay exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import minhash_dedup
+
+    ids = list(range(1, 301))
+    # every doc tiny (1 token → zero shingles) and DISTINCT, so the
+    # deterministic near-dup augmentation cannot create identical copies
+    texts = [f"ok{i}" for i in ids]
+    # two real near-dups to prove the path still works
+    ids += [1001, 1002]
+    long = " ".join(f"tok{i}" for i in range(30))
+    texts += [long, long + " tail"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    out = minhash_dedup(str(tmp_path)).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy().tolist()))
+    assert (1001, 1002) in pairs
+    # no pair may involve a zero-shingle doc (ids ≤ 300 or their augments)
+    tiny = set(range(1, 301)) | {i + 2_000_000 for i in range(1, 301)}
+    assert all(a not in tiny and b not in tiny for a, b in pairs)
+
+
+def test_input_bytes_estimate_warns_on_missing_path():
+    import warnings
+
+    from docling_serve_ray.ops.shuffle import input_bytes_estimate
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert input_bytes_estimate("/nonexistent/remote/path.parquet") == 0
+    assert any("no local bytes" in str(x.message) for x in w)
+
+
 def test_ivf_physical_pruning(ray_session, tmp_path):
     """nprobe < nlist must SKIP index bytes on disk, not filter in-task:
     the probed cell directories are a strict subset of the index."""
