@@ -88,15 +88,33 @@ def _md5_64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little", signed=False)
 
 
+# Per-process token→hash memo: corpus vocabularies repeat heavily (words by
+# orders of magnitude, shingles by duplication + the near-dup augmentation,
+# and minhash hashes every shingle TWICE — band rows and the verify-side
+# shingle-set table). Values are bit-identical (_md5_64 fills misses); the
+# cap bounds worker memory and simply resets on overflow (memo, not state).
+_MD5_MEMO: dict = {}
+_MD5_MEMO_CAP = 1 << 21
+
+
+def _md5_64_memo(s: str) -> int:
+    h = _MD5_MEMO.get(s)
+    if h is None:
+        if len(_MD5_MEMO) >= _MD5_MEMO_CAP:
+            _MD5_MEMO.clear()
+        h = _MD5_MEMO[s] = _md5_64(s)
+    return h
+
+
 def _shingle_hashes(text: str) -> np.ndarray:
-    """Distinct 3-word shingles → uint64 hashes."""
+    """Distinct 3-word shingles → uint64 hashes (memoized per process)."""
     words = text.split(" ")
     shingles = {
         " ".join(words[i : i + SHINGLE_K]) for i in range(len(words) - SHINGLE_K + 1)
     }
     if not shingles:
         return np.empty(0, dtype=np.uint64)
-    return np.fromiter((_md5_64(s) for s in shingles), dtype=np.uint64)
+    return np.fromiter((_md5_64_memo(s) for s in shingles), dtype=np.uint64)
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +557,7 @@ def _simhash(text: str) -> int:
     counts = Counter(text.split(" "))
     if not counts:
         return 0
-    hs = np.fromiter((_md5_64(w) for w in counts), dtype=np.uint64, count=len(counts))
+    hs = np.fromiter((_md5_64_memo(w) for w in counts), dtype=np.uint64, count=len(counts))
     tf = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     bits = ((hs[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)).astype(
         np.int64
