@@ -106,7 +106,9 @@ def convert_document(
         if len(payload) > options.max_file_size:
             raise ValueError("max_file_size exceeded")
         if fmt == "html":
-            spans = extract_html(payload.decode("utf-8"), doc_id)
+            spans = extract_html(
+                payload.decode("utf-8"), doc_id, backend=options.html_backend
+            )
         elif fmt == "pdf":
             doc = parsed_doc if parsed_doc is not None else parse_payload(payload)
             if len(doc.get("pages", [])) > options.max_num_pages:
@@ -177,6 +179,102 @@ def convert_document(
         # (responses.py:31-36): per-document wall seconds
         "processing_time": round(_time.monotonic() - t_start, 6),
     }
+
+
+def _timeout_row(doc_id: str, fmt: str, lang: str, options: JobOptions, wall: float) -> dict:
+    """Output row for a preemptively killed document: the reference marks
+    over-budget documents PARTIAL_SUCCESS (convert.py:238-245); here the
+    parse was hard-stopped so no spans exist."""
+    empty_exports = {
+        "md_content": "", "text_content": "", "doctags_content": "",
+        "html_content": "", "json_content": "",
+    }
+    return {
+        **empty_exports,
+        "doc_id": doc_id,
+        "spans": [],
+        "format": fmt,
+        "lang": lang,
+        "ocr_mode": "",
+        "status": "partial_success",
+        "errors": [
+            f"document_timeout exceeded ({options.document_timeout}s): "
+            "parse subprocess killed (preemptive_timeout)"
+        ],
+        "num_spans": 0,
+        "processing_time": round(wall, 6),
+    }
+
+
+def _preemptive_child(conn, kernel, args, kwargs) -> None:
+    try:
+        conn.send(kernel(*args, **kwargs))
+    except Exception as exc:  # surfaced as a failure row by the parent
+        conn.send({"__child_error__": f"{type(exc).__name__}: {exc}"})
+    finally:
+        conn.close()
+
+
+def convert_document_preemptive(
+    doc_id: str,
+    fmt: str,
+    payload: bytes,
+    lang: str,
+    options: JobOptions,
+    reverse_codebook,
+    *,
+    kernel=convert_document,
+    **kwargs,
+) -> dict:
+    """Preemptive per-document timeout (TODO #5 / VERDICT r02 #7): run the
+    conversion kernel in a fork-spawned subprocess and HARD-KILL it at
+    ``options.document_timeout`` seconds, emitting a partial_success row.
+
+    The post-hoc marking in convert_document stays the default — the
+    deterministic stand-in kernels cannot hang. This path exists for real
+    parser backends (a wedged PDF library blocks its Ray actor forever and
+    post-hoc marking never runs); ``kernel`` is injectable so tests can
+    drive it with a deliberately slow kernel. Fork keeps the per-doc cost at
+    ~1 ms (no interpreter re-import); the child ships its row dict back over
+    a pipe."""
+    import multiprocessing as _mp
+    import time as _time
+
+    timeout = options.document_timeout
+    if not options.preemptive_timeout or timeout == float("inf"):
+        return kernel(doc_id, fmt, payload, lang, options, reverse_codebook, **kwargs)
+
+    t0 = _time.monotonic()
+    ctx = _mp.get_context("fork")
+    parent_conn, child_conn = ctx.Pipe(duplex=False)
+    proc = ctx.Process(
+        target=_preemptive_child,
+        args=(
+            child_conn,
+            kernel,
+            (doc_id, fmt, payload, lang, options, reverse_codebook),
+            kwargs,
+        ),
+    )
+    proc.start()
+    child_conn.close()
+    try:
+        if parent_conn.poll(timeout):
+            row = parent_conn.recv()
+        else:
+            proc.kill()
+            return _timeout_row(doc_id, fmt, lang, options, _time.monotonic() - t0)
+    except EOFError:  # child died without sending (crash/OOM-kill)
+        row = {"__child_error__": "parse subprocess died without result"}
+    finally:
+        proc.join()
+        parent_conn.close()
+    if "__child_error__" in row:
+        base = _timeout_row(doc_id, fmt, lang, options, _time.monotonic() - t0)
+        base["status"] = "failure"
+        base["errors"] = [row["__child_error__"]]
+        return base
+    return row
 
 
 def make_exports(spans: list[dict], options: JobOptions, doc_id: str = "") -> dict:

@@ -431,32 +431,41 @@ GROUP BY doc_id
 """
 
 
-def decontaminate(sf_dir: str) -> ray.data.Dataset:
+def decontaminate(sf_dir: str, eval_path: str | None = None) -> ray.data.Dataset:
     """(doc_id, n_hits) for every training doc sharing ≥1 distinct 4-gram
-    with the eval set — n_hits = number of DISTINCT shared 4-grams."""
+    with the eval set — n_hits = number of DISTINCT shared 4-grams.
+
+    eval_path: parquet file/dir with a ``text`` column holding the held-out
+    benchmark — the real deployment shape (benchmark suites are MBs, read
+    from their own small file). When None, the stand-in eval set is carved
+    from the corpus itself (doc_id % 97 == 0, mirrored in DECON_SQL)."""
     import ray
 
-    # eval rows are filtered distributedly; only the (small) eval side is
-    # collected to the driver. A real deployment reads the benchmark from
-    # its own small file instead of filtering the corpus.
-    ev = (
-        _docs(sf_dir)
-        .map_batches(
-            lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    if eval_path is not None:
+        ev = ray.data.read_parquet(eval_path, columns=["text"]).to_pandas()
+    else:
+        # stand-in: eval rows filtered distributedly; only the (small) eval
+        # side is collected to the driver
+        ev = (
+            _docs(sf_dir)
+            .map_batches(
+                lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
     eval_grams: set = set()
     for txt in ev["text"]:
         w = txt.split(" ")
         eval_grams |= {" ".join(w[i : i + DECON_K]) for i in range(len(w) - DECON_K + 1)}
     ref = ray.put(eval_grams)
 
+    exclude_standin_eval = eval_path is None
+
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         grams_ref = ray.get(ref)
         out_d, out_n = [], []
         for d, txt in zip(batch["doc_id"], batch["text"]):
-            if d % 97 == 0:
+            if exclude_standin_eval and d % 97 == 0:
                 continue
             w = txt.split(" ")
             hits = {

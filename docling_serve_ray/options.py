@@ -47,6 +47,14 @@ class JobOptions:
                                 # convert.py:238-245); Python work is not
                                 # preemptible, so enforcement is post-hoc:
                                 # over-budget docs are marked partial_success
+    preemptive_timeout: bool = False  # escape hatch for hang-prone REAL
+                                # parser backends: run each document's parse
+                                # in a kill-able subprocess and hard-stop it
+                                # at document_timeout (kernels/document.py:
+                                # convert_document_preemptive). Default off:
+                                # the deterministic stand-in kernels cannot
+                                # hang, and the fork+pipe round trip costs
+                                # ~1 ms/doc
 
     # --- enrichment (reference convert.py:307-381) ---
     do_picture_description: bool = True
@@ -60,6 +68,12 @@ class JobOptions:
     #   by joining the media sidecar table (bytes are not available at
     #   serialization time by design: they stay out of the convert path)
     image_export_mode: str = "referenced"
+
+    # --- parser backend seam (kernels/html.py HTML_PARSERS) ---
+    html_backend: str = "fast"  # fast | stdlib | expat — expat is the
+                                # real-foreign-engine smoke path (libexpat C
+                                # parser); a docling/bs4/lxml client plugs in
+                                # at the same seam
 
     # --- post-processing (reference convert.py:456-466, worker.py:238-257) ---
     enable_bidi_processing: bool = True

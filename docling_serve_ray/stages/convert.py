@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..kernels.document import analyze_document, convert_document
+from ..kernels.document import (
+    analyze_document,
+    convert_document,
+    convert_document_preemptive,
+)
 from ..options import JobOptions
 from ..schema import OUTPUT_SCHEMA, SPANS_TYPE
 
@@ -67,8 +71,11 @@ class ConvertActor:
             if "ocr_mode" in batch.column_names
             else [None] * len(doc_ids)
         )
+        # preemptive_timeout routes each doc through a kill-able subprocess
+        # (hang-prone real backends); default is the in-process kernel
+        conv = convert_document_preemptive if opts.preemptive_timeout else convert_document
         rows = [
-            convert_document(d, f, p, l, opts, self.reverse_codebook, ocr_mode=m)
+            conv(d, f, p, l, opts, self.reverse_codebook, ocr_mode=m)
             for d, f, p, l, m in zip(doc_ids, fmts, payloads, langs, modes)
         ]
         return rows_to_output_table(rows)

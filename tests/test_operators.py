@@ -176,6 +176,58 @@ class TestDocumentTimeout:
         out = convert_document(d["doc_id"], d["format"], d["payload"], d["lang"], JobOptions(), REV)
         assert out["status"] == "success"
 
+    def test_preemptive_kills_hanging_kernel_within_budget(self):
+        """VERDICT r02 #7: a deliberately hanging kernel must come back
+        partial_success within the timeout budget — the subprocess is
+        hard-killed, not awaited (post-hoc marking can never do this)."""
+        import time as _time
+
+        from docling_serve_ray.kernels.document import convert_document_preemptive
+
+        def hanging_kernel(*a, **kw):
+            _time.sleep(60)
+
+        d = generate_doc(3)
+        opts = JobOptions(document_timeout=0.5, preemptive_timeout=True)
+        t0 = _time.monotonic()
+        out = convert_document_preemptive(
+            d["doc_id"], d["format"], d["payload"], d["lang"], opts, REV,
+            kernel=hanging_kernel,
+        )
+        wall = _time.monotonic() - t0
+        assert out["status"] == "partial_success"
+        assert "subprocess killed" in out["errors"][0]
+        assert out["spans"] == []
+        assert wall < 5  # killed at ~0.5s, far within the 60s hang
+
+    def test_preemptive_fast_doc_unchanged(self):
+        """A document finishing inside the budget must produce the exact
+        row of the in-process kernel (same spans, success)."""
+        from docling_serve_ray.kernels.document import convert_document_preemptive
+
+        d = generate_doc(4)
+        opts = JobOptions(document_timeout=30.0, preemptive_timeout=True)
+        out = convert_document_preemptive(
+            d["doc_id"], d["format"], d["payload"], d["lang"], opts, REV,
+        )
+        assert out["status"] == "success"
+        assert out["spans"] == d["expected_spans"]
+
+    def test_preemptive_child_crash_is_failure_row(self):
+        from docling_serve_ray.kernels.document import convert_document_preemptive
+
+        def crashing_kernel(*a, **kw):
+            raise RuntimeError("wedged parser")
+
+        d = generate_doc(5)
+        opts = JobOptions(document_timeout=10.0, preemptive_timeout=True)
+        out = convert_document_preemptive(
+            d["doc_id"], d["format"], d["payload"], d["lang"], opts, REV,
+            kernel=crashing_kernel,
+        )
+        assert out["status"] == "failure"
+        assert "wedged parser" in out["errors"][0]
+
 
 class TestBase64Ingest:
     def test_decode_then_convert(self, ray_session):

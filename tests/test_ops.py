@@ -138,6 +138,46 @@ def test_minhash_skips_zero_shingle_docs(ray_session, tmp_path):
     assert all(a not in tiny and b not in tiny for a, b in pairs)
 
 
+def test_decontaminate_from_eval_file(ray_session, tmp_path):
+    """VERDICT r02 #6: decontaminate accepts a standalone eval-set parquet
+    (the real deployment shape) — hits are counted against ITS 4-grams and
+    no corpus rows are excluded as stand-in eval docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import decontaminate
+
+    # corpus: doc 1 contains the eval 4-gram, doc 2 doesn't, doc 97*?=0
+    # would be excluded by the stand-in rule but must NOT be here
+    corpus = {
+        1: "alpha beta gamma delta epsilon",
+        2: "totally unrelated words only here",
+        97: "alpha beta gamma delta zeta",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(corpus), pa.int64()),
+                "text": list(corpus.values()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    evalp = tmp_path / "eval.parquet"
+    pq.write_table(pa.table({"text": ["alpha beta gamma delta"]}), evalp)
+
+    out = (
+        decontaminate(str(tmp_path), eval_path=str(evalp))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # both docs sharing the 4-gram flagged — including doc 97 (no stand-in
+    # exclusion when the eval set is external)
+    assert out["doc_id"].tolist() == [1, 97]
+    assert out["n_hits"].tolist() == [1, 1]
+
+
 def test_input_bytes_estimate_warns_on_missing_path():
     import warnings
 
