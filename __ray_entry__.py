@@ -30,6 +30,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from docling_serve_ray.ops import (
         cluster,
+        curation,
         dedup,
         media_ops,
         relational,
@@ -61,6 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
+        "dedup_apply": curation.dedup_apply,
+        # --- corpus curation ---
+        "quality_filter": curation.quality_filter,
+        "weighted_mix": curation.weighted_mix,
+        "corpus_stats": curation.corpus_stats,
+        "dup_ngram_coverage": curation.dup_ngram_coverage,
+        "keyword_search": curation.keyword_search,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -197,6 +205,14 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_PAIRS_SQL,
     )
     from docling_serve_ray.ops.cluster import NEARDUP_CLUSTERS_SQL
+    from docling_serve_ray.ops.curation import (
+        CORPUS_STATS_SQL,
+        DEDUP_APPLY_SQL,
+        DUP_NGRAM_COVERAGE_SQL,
+        KEYWORD_SEARCH_SQL,
+        QUALITY_FILTER_SQL,
+        WEIGHTED_MIX_SQL,
+    )
     from docling_serve_ray.ops.media_ops import MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
@@ -261,6 +277,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
+        "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
+        "quality_filter": QUALITY_FILTER_SQL,
+        "weighted_mix": WEIGHTED_MIX_SQL,
+        "corpus_stats": CORPUS_STATS_SQL,
+        "dup_ngram_coverage": DUP_NGRAM_COVERAGE_SQL,
+        "keyword_search": KEYWORD_SEARCH_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

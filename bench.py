@@ -36,7 +36,9 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_dedup",
     "ngram_jaccard_dedup",
+    "neardup_clusters",
     "ann_topk",
+    "ivf_topk",
     "embedding_neardup",
     "label_centroids",
     "agg_pricing",

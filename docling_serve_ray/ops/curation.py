@@ -1,0 +1,543 @@
+"""Corpus-curation operators: the filter / mix / audit / apply stages a
+large-scale training-data pipeline runs between raw ingest and tokenization.
+
+- quality_filter      Gopher-style composite heuristic rules (per-doc flags)
+- weighted_mix        deterministic per-source sampling (dataset mixing)
+- corpus_stats        per-(source, lang) corpus audit aggregates
+- dup_ngram_coverage  duplicated-5-gram coverage signal (Lee et al. 2022,
+                      "Deduplicating Training Data Makes LMs Better" —
+                      public-paper method, re-expressed as two thin shuffles)
+- keyword_search      inverted-scan term search, integer TF ranking
+- dedup_apply         the END-TO-END dedup deliverable: corpus → exact-hash
+                      dedup → minhash near-dup pairs → connected components
+                      → surviving doc_ids ("rows to keep")
+
+Every rule constant is mirrored literally in the SQL twins below; all
+integer outputs (micro-scaled where ratios are needed) keep the value-hash
+comparison fp-exact.
+
+Scale notes (100-TB design):
+- quality_filter / weighted_mix are stateless vectorized map_batches — no
+  shuffle at all; mixing uses hash-of-stable-id (no RNG, no coordination).
+- corpus_stats: per-batch partial aggregates ride a (source, lang)-bucketed
+  reduce; the shuffle carries one partial row per (batch × group).
+- dup_ngram_coverage: positional 5-grams carry (hash, doc_id, n_pos) — the
+  classic two-pass DF computation: bucketed DF count on the hash, then a
+  bucketed per-doc sum. Both shuffles carry int64 triples, never text.
+- dedup_apply moves payload exactly twice: the survivor semi-join (ids ⋈
+  docs) and minhash's candidate verification joins — both hash-partitioned
+  Dataset.joins with cluster-scaled partitions. The final anti-join is a
+  sentinel-tag bucketed group over ids only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .text import STOPWORDS
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored literally in the SQL twins)
+# ---------------------------------------------------------------------------
+
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 5000
+QF_MIN_MEAN_WORD_LEN = 3   # inclusive lower bound, integer-safe comparison
+QF_MAX_MEAN_WORD_LEN = 10  # inclusive upper bound
+QF_MIN_STOPWORDS = 2
+NGRAM_N = 5
+SEARCH_TERMS = ("spark", "hash", "merge", "sort")
+SEARCH_TOP_K = 20
+MIX_SALT = ":mix"
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# quality_filter — Gopher-style composite heuristics
+# ---------------------------------------------------------------------------
+
+QUALITY_FILTER_SQL = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS words
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(words) AS n_tokens,
+         n_chars - (len(words) - 1) AS sum_tok,
+         len(list_filter(words, w -> w IN ('the','a','and','of','to'))) AS n_stop,
+         len(list_distinct(words)) AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 5000 THEN 1 ELSE 0 END AS BIGINT) AS r_nwords,
+  CAST(CASE WHEN sum_tok >= 3 * n_tokens AND sum_tok <= 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+  CAST(CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_distinct,
+  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 5000
+             AND sum_tok >= 3 * n_tokens AND sum_tok <= 10 * n_tokens
+             AND n_stop >= 2
+             AND 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM f
+"""
+
+
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc heuristic quality gates in the Gopher / C4 style (public
+    rule families): word-count window, mean-word-length window (integer
+    cross-multiplied — no float ratio), minimum stopword evidence, and a
+    repetition gate (≥ half the tokens distinct). Emits one flag column per
+    rule plus the conjunction, so downstream pipelines can tune by rule.
+    Stateless vectorized map_batches — at 100 TB this is a pure streaming
+    scan with no shuffle."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        n_chars = batch["text"].str.len().astype("int64")
+        sum_tok = n_chars - (n_tokens - 1)  # single-space-join invariant
+        stops = set(STOPWORDS)
+        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stops)).astype("int64")
+        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+
+        r_nwords = ((n_tokens >= QF_MIN_WORDS) & (n_tokens <= QF_MAX_WORDS)).astype("int64")
+        r_wordlen = (
+            (sum_tok >= QF_MIN_MEAN_WORD_LEN * n_tokens)
+            & (sum_tok <= QF_MAX_MEAN_WORD_LEN * n_tokens)
+        ).astype("int64")
+        r_stop = (n_stop >= QF_MIN_STOPWORDS).astype("int64")
+        r_distinct = (2 * n_distinct >= n_tokens).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "r_nwords": r_nwords,
+                "r_wordlen": r_wordlen,
+                "r_stop": r_stop,
+                "r_distinct": r_distinct,
+                "passes": (r_nwords & r_wordlen & r_stop & r_distinct).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# weighted_mix — deterministic per-source sampling (dataset mixing)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MIX_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1)) - 1
+      < 3 + (CAST(substr(source, 4) AS INTEGER) % 10)
+"""
+
+
+def weighted_mix(sf_dir: str) -> ray.data.Dataset:
+    """Per-source sampling for dataset mixing: source ``srcN`` keeps a
+    (3 + N % 10)/16 fraction of its rows (a stand-in weight table — the
+    rule is the operator; a real pipeline feeds its own weights). The keep
+    decision hashes the stable doc_id (salted so it is independent of the
+    train/val/test split hash), so the mix is reproducible across runs,
+    engines and shard layouts — no RNG, no shuffle, no coordination."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hv = batch["doc_id"].map(
+            lambda d: int(hashlib.md5((str(d) + MIX_SALT).encode()).hexdigest()[0], 16)
+        )
+        rate16 = 3 + (batch["source"].str.slice(3).astype("int64") % 10)
+        keep = hv < rate16
+        return batch.loc[keep, ["doc_id", "source"]]
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_stats — per-(source, lang) audit aggregates
+# ---------------------------------------------------------------------------
+
+CORPUS_STATS_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY source, lang
+"""
+
+
+def corpus_stats(sf_dir: str) -> ray.data.Dataset:
+    """Corpus audit: per-(source, lang) doc/token/char totals and token
+    extrema — the report a data pipeline publishes per ingest batch.
+    Map-side partial aggregation (one row per group per batch) → bucketed
+    merge; the shuffle carries partials, never documents."""
+    from .shuffle import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = batch["text"].str.split(" ").str.len().astype("int64")
+        n_chars = batch["text"].str.len().astype("int64")
+        g = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "n_docs": np.int64(1),
+                "sum_tokens": n_tokens,
+                "sum_chars": n_chars,
+                "min_tokens": n_tokens,
+                "max_tokens": n_tokens,
+            }
+        )
+        return g.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            sum_tokens=("sum_tokens", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            min_tokens=("min_tokens", "min"),
+            max_tokens=("max_tokens", "max"),
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            sum_tokens=("sum_tokens", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            min_tokens=("min_tokens", "min"),
+            max_tokens=("max_tokens", "max"),
+        )
+
+    return bucketed_group_agg(
+        _docs(sf_dir, columns=("source", "lang", "text")),
+        ["source", "lang"],
+        final,
+        partial_fn=partial,
+        num_buckets=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_coverage — duplicated-5-gram coverage (Lee et al. 2022 signal)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_COVERAGE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+ng AS (
+  SELECT doc_id, array_to_string(words[i+1 : i+5], ' ') AS ngram
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words) - 5)) AS i)
+  WHERE len(words) >= 5
+),
+df AS (SELECT ngram, COUNT(DISTINCT doc_id) AS df FROM ng GROUP BY ngram)
+SELECT ng.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions
+FROM ng JOIN df USING (ngram)
+GROUP BY ng.doc_id
+"""
+
+
+def dup_ngram_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc duplicated-n-gram coverage: how many of a document's
+    positional 5-grams also occur in at least one OTHER document (the
+    exact-substring duplication signal of Lee et al. 2022; a high ratio
+    marks boilerplate / template text for removal before training).
+
+    Emits integers (n_ngrams, dup_positions) so the comparison stays
+    fp-exact; coverage = dup_positions / n_ngrams downstream.
+
+    Two thin shuffles: (hash, doc_id, n_pos) rows → bucketed distinct-doc
+    DF count on the 64-bit n-gram hash (same collision budget as the
+    n-gram Jaccard op) → bucketed per-doc position sums. Text never leaves
+    the first map stage."""
+    from .dedup import _md5_64_memo
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def ngram_rows(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        hs_out: list[np.ndarray] = []
+        np_out: list[np.ndarray] = []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = t.split(" ")
+            if len(words) < NGRAM_N:
+                continue
+            grams = [
+                " ".join(words[j : j + NGRAM_N])
+                for j in range(len(words) - NGRAM_N + 1)
+            ]
+            h = np.fromiter(
+                (_md5_64_memo(g) for g in grams), dtype=np.uint64, count=len(grams)
+            )
+            uh, counts = np.unique(h, return_counts=True)
+            ids_out.append(np.full(len(uh), i, dtype=np.int64))
+            hs_out.append(uh.view(np.int64))
+            np_out.append(counts.astype(np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs_out)),
+                "doc_id": pa.array(np.concatenate(ids_out)),
+                "n_pos": pa.array(np.concatenate(np_out)),
+            }
+        )
+
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    )
+    rows = _docs(sf_dir).map_batches(ngram_rows, batch_format="pyarrow")
+
+    # DF per n-gram hash (rows are already distinct per (h, doc) → group
+    # size == distinct-doc count), then flag and push back to the doc side.
+    def df_final(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("h")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_pos": g["n_pos"].astype("int64"),
+                "dup_pos": np.where(df > 1, g["n_pos"], 0).astype("int64"),
+            }
+        )
+
+    flagged = bucketed_group_agg(rows, ["h"], df_final, num_buckets=nb)
+
+    def doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("doc_id", as_index=False).agg(
+            n_ngrams=("n_pos", "sum"), dup_positions=("dup_pos", "sum")
+        )
+
+    def doc_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_ngrams=("n_ngrams", "sum"), dup_positions=("dup_positions", "sum")
+        )
+        out["n_ngrams"] = out["n_ngrams"].astype("int64")
+        out["dup_positions"] = out["dup_positions"].astype("int64")
+        return out
+
+    return bucketed_group_agg(
+        flagged, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
+    )
+
+
+# ---------------------------------------------------------------------------
+# keyword_search — integer TF ranking over an inverted scan
+# ---------------------------------------------------------------------------
+
+KEYWORD_SEARCH_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('spark','hash','merge','sort')))
+              AS BIGINT) AS score
+  FROM documents
+)
+SELECT doc_id, score FROM s
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def keyword_search(sf_dir: str) -> ray.data.Dataset:
+    """Term search: total occurrences of the query terms per doc (integer
+    TF score — deterministic, fp-free), global top-20 by (score DESC,
+    doc_id ASC). The (score, doc_id) sort key is unique, so the top-k cut
+    is deterministic on both sides.
+
+    Per-batch partial top-k (each batch forwards at most k candidate rows)
+    → tiny global sort → limit. At 100 TB the sort input is k × n_batches
+    rows, not the corpus."""
+    terms = set(SEARCH_TERMS)
+
+    def score_top(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        score = toks.map(lambda ws: sum(1 for w in ws if w in terms)).astype("int64")
+        out = pd.DataFrame({"doc_id": batch["doc_id"], "score": score})
+        out = out[out["score"] > 0]
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(SEARCH_TOP_K)
+
+    return (
+        _docs(sf_dir)
+        .map_batches(score_top, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(SEARCH_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_apply — end-to-end: exact dedup → near-dup clusters → kept ids
+# ---------------------------------------------------------------------------
+
+# The one deliverable a training pipeline actually consumes: which rows
+# survive BOTH exact and near-dup deduplication. The corpus is augmented
+# with BOTH copy families (exact at %7 → +1M, near at %10 → +2M, both
+# derived from ORIGINAL rows — mirrored literally below), exact-hash dedup
+# keeps the min doc_id per content, then minhash pairs over the survivors
+# feed connected components whose non-keepers are dropped.
+DEDUP_APPLY_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra token appended'
+  FROM documents WHERE doc_id % 10 = 0
+),
+surv_ids AS (SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+s AS (SELECT a.doc_id, a.text FROM aug a JOIN surv_ids USING (doc_id)),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM s),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-3)) AS i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_a
+  JOIN cnt cb ON cb.doc_id = inter.doc_b
+  WHERE inter_n * 1.0 / (ca.n + cb.n - inter_n) >= 0.7
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+drops AS (
+  SELECT node FROM reach GROUP BY node HAVING node != MIN(r)
+)
+SELECT s.doc_id FROM s
+LEFT JOIN drops ON s.doc_id = drops.node
+WHERE drops.node IS NULL
+"""
+
+
+def _augment_both(batch: pa.Table) -> pa.Table:
+    """BOTH copy families, each derived from the original rows only (an
+    exact copy is never near-copied and vice versa — matches the SQL)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_id, out_text = list(ids), list(texts)
+    for i, t in zip(ids, texts):
+        if i % 7 == 0:
+            out_id.append(i + 1_000_000)
+            out_text.append(t)
+        if i % 10 == 0:
+            out_id.append(i + 2_000_000)
+            out_text.append(t + " extra token appended")
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def dedup_apply(sf_dir: str) -> ray.data.Dataset:
+    """Corpus → deduplicated corpus, end to end. Returns the surviving
+    doc_ids (the thin deliverable; re-joining payloads is one more hash
+    join for callers that want full rows).
+
+    Stages (all distributed; payload crosses the wire only in the survivor
+    semi-join and minhash's verification joins):
+      1. exact: md5(text) → bucketed min-keeper per content hash,
+      2. survivors: keeper ids ⋈ augmented docs (hash-partitioned join),
+      3. near: ops/dedup.minhash_pairs over survivors (LSH + exact-Jaccard
+         verify at τ = 0.7),
+      4. ops/cluster.connected_components → non-keeper drop ids,
+      5. anti-join survivors ∖ drops via a sentinel-tag bucketed group
+         over ids only."""
+    from .cluster import connected_components
+    from .dedup import minhash_pairs
+    from .shuffle import (
+        bucketed_group_agg,
+        input_bytes_estimate,
+        join_partitions,
+        scaled_num_buckets,
+    )
+
+    size = input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    nb = scaled_num_buckets(size)
+    docs = _docs(sf_dir).map_batches(_augment_both, batch_format="pyarrow")
+
+    # 1. exact-hash keepers — shuffle carries (fp, doc_id) pairs only
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]})
+
+    def min_keeper(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fp", as_index=False)["doc_id"].min()
+        return out[["doc_id"]]
+
+    surv_ids = bucketed_group_agg(
+        docs.map_batches(fp_rows, batch_format="pyarrow"),
+        ["fp"],
+        min_keeper,
+        partial_fn=lambda b: b.groupby("fp", as_index=False)["doc_id"].min(),
+        num_buckets=nb,
+    )
+
+    # 2. survivor payload semi-join (ids are thin; docs stream through)
+    P, jkw = join_partitions(size_bytes=size)
+    survivors = surv_ids.join(
+        docs, "inner", P, on=("doc_id",), right_on=("doc_id",),
+        left_suffix="", right_suffix="_r", **jkw,
+    ).select_columns(["doc_id", "text"]).materialize()
+    # materialize: three consumers below (band rows, shingle sets via
+    # minhash_pairs, and the final anti-join) would otherwise re-execute
+    # the read + exact-dedup lineage three times
+
+    # 3.-4. near-dup pairs → components → drop ids
+    pairs = minhash_pairs(survivors, size_bytes=size)
+    labels = connected_components(pairs)
+    drops = labels.map_batches(
+        lambda b: b.loc[b["is_keeper"] == 0, ["doc_id"]], batch_format="pandas"
+    )
+
+    # 5. anti-join survivors ∖ drops (sentinel-tag bucketed group on ids)
+    keep_rows = survivors.select_columns(["doc_id"]).map_batches(
+        lambda b: b.assign(t=np.int64(0)), batch_format="pandas"
+    )
+    drop_rows = drops.map_batches(
+        lambda b: b.assign(t=np.int64(1)), batch_format="pandas"
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("doc_id")["t"].transform("max") == 0
+        out = g.loc[keep & (g["t"] == 0), ["doc_id"]]
+        return out.astype({"doc_id": "int64"})
+
+    return bucketed_group_agg(
+        keep_rows.union(drop_rows), ["doc_id"], anti, num_buckets=nb
+    )

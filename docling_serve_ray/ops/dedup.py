@@ -452,10 +452,15 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
     return acc
 
 
-def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
-    """MinHash(128) + LSH(32 bands × 4 rows) candidates, verified with
-    EXACT Jaccard ≥ 0.7 — the final pair set is LSH-parameter-independent
-    (given recall), which is what makes the shared SQL oracle valid.
+def minhash_pairs(
+    docs: ray.data.Dataset, *, size_bytes: int | None = None
+) -> ray.data.Dataset:
+    """MinHash(128) + LSH(32 bands × 4 rows) candidates over an arbitrary
+    (doc_id, text) Dataset, verified with EXACT Jaccard ≥ 0.7 — the final
+    pair set is LSH-parameter-independent (given recall), which is what
+    makes the shared SQL oracle valid. Core of ``minhash_dedup`` (file +
+    augmentation wrapper) and reused mid-pipeline by
+    ``ops/curation.dedup_apply``.
 
     Fully distributed, including verification: candidate pairs are joined
     (hash-partitioned Dataset.join, ops/shuffle.join_pair_payloads) against
@@ -470,9 +475,8 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     seeds, _ = _perm_params()
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        aug = _augment_neardup(batch)
-        ids = np.asarray(aug["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        hash_arrays = [_shingle_hashes(t) for t in aug["text"].to_pylist()]
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        hash_arrays = [_shingle_hashes(t) for t in batch["text"].to_pylist()]
         # zero-shingle docs (<3 tokens) all share the all-max signature →
         # identical keys in EVERY band → O(k²) candidate blowup on short-doc
         # corpora; they can never pass the Jaccard threshold (union would
@@ -490,18 +494,37 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    from .shuffle import band_pair_candidates, input_bytes_estimate, join_pair_payloads
+    def sets(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch["doc_id"],
+                "hashes": pa.array(
+                    [_shingle_hashes(t).tobytes() for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
 
-    bands = _docs(sf_dir).map_batches(
-        band_rows, batch_format="pyarrow", batch_size=256
-    )
+    from .shuffle import band_pair_candidates, join_pair_payloads
+
+    bands = docs.map_batches(band_rows, batch_format="pyarrow", batch_size=256)
     cand = band_pair_candidates(bands, ["band_id", "band_key"], "doc_id")
     joined = join_pair_payloads(
         cand,
-        _shingle_set_table(sf_dir),
-        size_bytes=input_bytes_estimate(f"{sf_dir}/documents.parquet"),
+        docs.map_batches(sets, batch_format="pyarrow"),
+        size_bytes=size_bytes,
     )
     return _exact_jaccard_verify(joined, MINHASH_THRESHOLD)
+
+
+def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """File-level wrapper: augmented documents table → minhash_pairs."""
+    from .shuffle import input_bytes_estimate
+
+    docs = _docs(sf_dir).map_batches(_augment_neardup, batch_format="pyarrow")
+    return minhash_pairs(
+        docs, size_bytes=input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    )
 
 
 # ---------------------------------------------------------------------------

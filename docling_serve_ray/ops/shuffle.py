@@ -202,16 +202,54 @@ def join_pair_payloads(
     Non-key payload columns keep their name from the first join and get a
     ``_b`` suffix from the second (Ray suffixes only on collision; callers
     resolve defensively). ``size_bytes`` sizes the join partition count
-    (see join_partitions)."""
+    (see join_partitions).
+
+    Both sides are seeded with one matching sentinel row (pair (-1, -1)
+    and payload id -1 with null payload): doc ids are non-negative, so the
+    sentinel joins only itself and is filtered from the output — but it
+    guarantees every join stage's aggregator receives at least one typed
+    row even when NO candidates exist. A fully empty join side otherwise
+    reaches Acero as a schema-less table and fails key-field resolution
+    (ArrowInvalid "No match ... FieldRef") — a no-duplicates-found corpus
+    must be a valid result, not a crash."""
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    cand_sent = _rd.from_arrow(
+        _pa.table(
+            {a_col: _pa.array([-1], _pa.int64()), b_col: _pa.array([-1], _pa.int64())}
+        )
+    )
+    cand = cand.select_columns([a_col, b_col]).union(cand_sent)
+    pschema = payload_ds.schema()  # executes one upstream block (cheap)
+    psent = _rd.from_arrow(
+        _pa.Table.from_arrays(
+            [
+                _pa.array([-1], _pa.int64())
+                if f == id_col
+                else _pa.array([None], t)
+                for f, t in zip(pschema.names, pschema.types)
+            ],
+            names=list(pschema.names),
+        )
+    )
+    payload_ds = payload_ds.union(psent)
     P, jkw = join_partitions(size_bytes=size_bytes)
     j1 = cand.join(
         payload_ds, "inner", P, on=(a_col,), right_on=(id_col,),
         left_suffix="", right_suffix="_a", **jkw,
     )
-    return j1.join(
+    j2 = j1.join(
         payload_ds, "inner", P, on=(b_col,), right_on=(id_col,),
         left_suffix="", right_suffix="_b", **jkw,
     )
+
+    def drop_sentinel(batch: "_pa.Table") -> "_pa.Table":
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.not_equal(batch[a_col], -1))
+
+    return j2.map_batches(drop_sentinel, batch_format="pyarrow")
 
 
 def join_partitions(cap: int = 16, size_bytes: int | None = None) -> tuple[int, dict]:
@@ -234,4 +272,12 @@ def join_partitions(cap: int = 16, size_bytes: int | None = None) -> tuple[int, 
     P = max(2, min(cap, ncpu // 2))
     if size_bytes is not None:
         P = max(2, min(P, -(-size_bytes // (256 * 1024 * 1024))))
+        if size_bytes < 64 * 1024 * 1024:
+            # Tiny inputs take ONE partition: with sparse join inputs a
+            # multi-partition hash join can hand an aggregator zero rows,
+            # and its schema-less empty table breaks Acero's key-field
+            # resolution (ArrowInvalid "No match ... FieldRef"). One
+            # partition can't be empty unless the whole side is, and the
+            # per-partition aggregator tax disappears with it.
+            P = 1
     return P, {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
