@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "label_centroids": similarity.label_centroids,
+        "kmeans": similarity.kmeans,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_SQL,
         EMBEDDING_NEARDUP_SQL,
+        KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
     )
     from docling_serve_ray.ops.text import (
@@ -287,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "kmeans": KMEANS_SQL,  # chained-CTE Lloyd iterations, integer output
         "agg_pricing": AGG_PRICING_SQL,
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,

@@ -424,3 +424,166 @@ def ivf_topk(
     scan = ray.data.read_parquet(paths, columns=["vec_id", "cell_id", "embedding"])
     cands = scan.map_batches(per_batch, batch_format="pyarrow")
     return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# KMeans (Lloyd's) — distributed iterative clustering with an exact oracle
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # fixed iteration count keeps the op deterministic
+
+# Chained-CTE twin: init from the k lowest vec_ids, then each Lloyd
+# iteration is one assignment CTE (argmin over squared L2 in DOUBLE,
+# ties broken by lowest cluster index) + one update CTE (per-(cluster,
+# pos) mean; empty clusters keep the previous centroid via COALESCE).
+# Output is the integer assignment under the final centroids — float
+# arithmetic differs from numpy only in last-bit summation order, far
+# below any real argmin gap, so the integer result is engine-exact.
+_KMEANS_ITER_SQL = """
+d{i} AS (
+  SELECT x.vec_id, c.cluster, SUM((x.v - c.val) * (x.v - c.val)) AS dist
+  FROM x JOIN cen{prev} c ON x.pos = c.pos
+  GROUP BY x.vec_id, c.cluster
+),
+a{i} AS (
+  SELECT vec_id, cluster FROM d{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+cen{i} AS (
+  SELECT c.cluster, c.pos, COALESCE(u.val, c.val) AS val
+  FROM cen{prev} c LEFT JOIN (
+    SELECT a{i}.cluster, x.pos, AVG(x.v) AS val
+    FROM a{i} JOIN x USING (vec_id) GROUP BY a{i}.cluster, x.pos
+  ) u ON u.cluster = c.cluster AND u.pos = c.pos
+)"""
+
+
+def _kmeans_sql() -> str:
+    iters = ",\n".join(
+        _KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, KMEANS_ITERS + 1)
+    )
+    t = KMEANS_ITERS
+    return f"""
+WITH x AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+cen0 AS (SELECT c0.cluster, x.pos, x.v AS val FROM c0 JOIN x USING (vec_id)),
+{iters},
+df AS (
+  SELECT x.vec_id, c.cluster, SUM((x.v - c.val) * (x.v - c.val)) AS dist
+  FROM x JOIN cen{t} c ON x.pos = c.pos
+  GROUP BY x.vec_id, c.cluster
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM df
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+
+KMEANS_SQL = None  # filled below (module import time, pure string work)
+
+
+def kmeans(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Lloyd's KMeans: k = 8, 2 fixed iterations,
+    deterministic init (the k lowest vec_ids' vectors — ids are dense from
+    0 in this corpus, so the init read is a row-group-pushdown filter, not
+    a sort). Returns (vec_id, cluster) under the final centroids.
+
+    Scale shape: per iteration ONE streaming pass assigns each batch to
+    the current centroids (float64 matmul form ||x||² - 2xCᵀ + ||c||² is
+    avoided — plain (x-c)² sums keep bit-parity with the SQL twin) and
+    emits per-(batch, cluster) partial sum rows; a bucketed reduce merges
+    them to k rows; only the k × dim centroid matrix ever reaches the
+    driver (the iterative state — NOT the data). Assignments stream out in
+    a final pass. Empty clusters keep their previous centroid."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_group_agg
+
+    init_rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") < KMEANS_K),  # row-group pushdown
+        )
+        .sort("vec_id")
+        .take_all()
+    )
+    centroids = np.asarray([r["embedding"] for r in init_rows], dtype=np.float64)
+
+    def assign(X: np.ndarray, cen: np.ndarray) -> np.ndarray:
+        # (n, k) squared-L2 via explicit differences — matches the SQL
+        # twin's SUM((x-c)^2) term order
+        d = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # ties -> lowest cluster index (both sides)
+
+    for _ in range(KMEANS_ITERS):
+        cen = centroids  # tiny (k × dim float64) — closure-captured
+
+        def partials(batch: pa.Table, cen=cen) -> pd.DataFrame:
+            _, X = _batch_matrix(batch)
+            lab = assign(X, cen)
+            rows = []
+            for c in np.unique(lab):
+                sel = X[lab == c]
+                rows.append(
+                    {
+                        "cluster": int(c),
+                        "sum_vec": sel.sum(axis=0).tobytes(),
+                        "cnt": int(sel.shape[0]),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for c, grp in g.groupby("cluster"):
+                total = np.sum(
+                    np.stack(
+                        [np.frombuffer(b, dtype=np.float64) for b in grp["sum_vec"]]
+                    ),
+                    axis=0,
+                )
+                out.append(
+                    {
+                        "cluster": int(c),
+                        "sum_vec": total.tobytes(),
+                        "cnt": int(grp["cnt"].sum()),
+                    }
+                )
+            return pd.DataFrame(out)
+
+        reduced = bucketed_group_agg(
+            _emb(sf_dir).map_batches(partials, batch_format="pyarrow"),
+            ["cluster"],
+            merge,
+            num_buckets=KMEANS_K,
+        ).take_all()  # k rows — the O(k × dim) iterative state only
+
+        new_cen = centroids.copy()  # empty cluster -> keep previous
+        for r in reduced:
+            new_cen[r["cluster"]] = (
+                np.frombuffer(r["sum_vec"], dtype=np.float64) / r["cnt"]
+            )
+        centroids = new_cen
+
+    cen_final = centroids
+
+    def final_assign(batch: pa.Table) -> pd.DataFrame:
+        ids, X = _batch_matrix(batch)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cluster": assign(X, cen_final).astype("int64"),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(final_assign, batch_format="pyarrow")
+
+
+KMEANS_SQL = _kmeans_sql()

@@ -26,6 +26,13 @@ SUBSET = [
     "ann_topk",
     "ivf_topk",
     "label_centroids",
+    "kmeans",
+    "quality_filter",
+    "weighted_mix",
+    "corpus_stats",
+    "dup_ngram_coverage",
+    "keyword_search",
+    "dedup_apply",
     "agg_pricing",
     "join_revenue",
     "top_orders",
