@@ -464,7 +464,7 @@ def _augment_both(batch: pa.Table) -> pa.Table:
     )
 
 
-def dedup_apply(sf_dir: str) -> ray.data.Dataset:
+def dedup_apply(sf_dir: str, *, survivor_spill_dir: str | None = None) -> ray.data.Dataset:
     """Corpus → deduplicated corpus, end to end. Returns the surviving
     doc_ids (the thin deliverable; re-joining payloads is one more hash
     join for callers that want full rows).
@@ -477,7 +477,16 @@ def dedup_apply(sf_dir: str) -> ray.data.Dataset:
          verify at τ = 0.7),
       4. ops/cluster.connected_components → non-keeper drop ids,
       5. anti-join survivors ∖ drops via a sentinel-tag bucketed group
-         over ids only."""
+         over ids only.
+
+    The survivor table feeds THREE consumers (band rows, shingle sets,
+    final anti-join), so it is pinned once instead of re-executing the
+    read + exact-dedup lineage three times. Default is
+    ``materialize()`` (object store, spills under pressure — fine up to
+    cluster-memory-scale corpora); pass ``survivor_spill_dir`` to
+    checkpoint survivors to partitioned parquet and stream each consumer
+    from storage instead — the 100-TB configuration, where pinning the
+    whole corpus in the object store is the wrong residency."""
     from .cluster import connected_components
     from .dedup import minhash_pairs
     from .shuffle import (
@@ -513,10 +522,12 @@ def dedup_apply(sf_dir: str) -> ray.data.Dataset:
     survivors = surv_ids.join(
         docs, "inner", P, on=("doc_id",), right_on=("doc_id",),
         left_suffix="", right_suffix="_r", **jkw,
-    ).select_columns(["doc_id", "text"]).materialize()
-    # materialize: three consumers below (band rows, shingle sets via
-    # minhash_pairs, and the final anti-join) would otherwise re-execute
-    # the read + exact-dedup lineage three times
+    ).select_columns(["doc_id", "text"])
+    if survivor_spill_dir is not None:
+        survivors.write_parquet(survivor_spill_dir)
+        survivors = ray.data.read_parquet(survivor_spill_dir)
+    else:
+        survivors = survivors.materialize()
 
     # 3.-4. near-dup pairs → components → drop ids
     pairs = minhash_pairs(survivors, size_bytes=size)

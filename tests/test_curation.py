@@ -134,6 +134,21 @@ class TestDedupApply:
         # 2 dropped by exact stage; 3 clustered with 1 -> min-keeper 1; 5 free
         assert kept == [1, 5]
 
+    def test_survivor_spill_dir_matches_materialize(self, ray_session, tmp_path):
+        from docling_serve_ray.ops.curation import dedup_apply
+
+        base = " ".join(f"w{i} t{i % 5}" for i in range(20))
+        rows = [(1, base + " uniq-one"), (2, base + " uniq-one"), (5, base + " uniq-five")]
+        (tmp_path / "sf").mkdir(exist_ok=True)
+        sf = _write_docs(tmp_path / "sf", rows)
+        a = sorted(dedup_apply(sf).to_pandas()["doc_id"].tolist())
+        b = sorted(
+            dedup_apply(sf, survivor_spill_dir=str(tmp_path / "spill"))
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert a == b
+
     def test_no_duplicates_keeps_everything(self, ray_session, tmp_path):
         """A corpus with zero near-dup pairs must be a valid result, not a
         crash: the empty candidate side reaches Ray's hash join as a
