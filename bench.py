@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "ivf_topk",
     "embedding_neardup",
     "label_centroids",
+    "kmeans",
+    "dup_ngram_coverage",
+    "dedup_apply",
     "agg_pricing",
     "join_revenue",
     "events_window",

@@ -330,7 +330,27 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
 
     At 10^12-vector scale this is the one-off clustered rewrite every IVF
     index pays; partitioned parquet keeps it resumable and each cell
-    independently readable."""
+    independently readable. The build is amortized: a manifest records the
+    source fingerprint (size + mtime + nlist) and the centroid matrix, and
+    an up-to-date index is reused instead of rebuilt — queries after the
+    first pay only the probed-cell reads."""
+    import json
+    import os
+
+    manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
+    fp = None
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        fp = f"{st.st_size}:{st.st_mtime_ns}:{IVF_NLIST}"
+    except OSError:
+        pass  # non-local source: no cheap fingerprint, always rebuild
+    if fp is not None and os.path.exists(manifest):
+        try:
+            m = json.load(open(manifest))
+            if m.get("fingerprint") == fp:
+                return np.array(m["centroids"], dtype=np.float64)
+        except (ValueError, KeyError):
+            pass  # torn manifest: rebuild
     cents = _normalize(_ivf_centroids(sf_dir))
     ref = ray.put(cents)
 
@@ -346,6 +366,10 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
     _emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["cell"], mode="overwrite"
     )
+    if fp is not None:
+        json.dump(
+            {"fingerprint": fp, "centroids": cents.tolist()}, open(manifest, "w")
+        )
     return cents
 
 

@@ -229,6 +229,34 @@ def test_ivf_physical_pruning(ray_session, tmp_path):
     assert set(out.columns) == {"qid", "vec_id", "rank"}
 
 
+def test_ivf_index_reuse(ray_session, tmp_path):
+    """An up-to-date index (manifest fingerprint matches the source) is
+    reused, not rebuilt; a stale fingerprint forces a rebuild."""
+    import json
+    import os
+
+    import numpy as np
+
+    from docling_serve_ray.ops import similarity as sim
+
+    idx = str(tmp_path / "ivf_idx")
+    c1 = sim.ivf_build(SF, idx)
+    manifest = os.path.join(idx, "_IVF_MANIFEST.json")
+    assert os.path.exists(manifest)
+    # tag one cell dir; a reuse must leave it in place
+    marker = os.path.join(idx, "cell=0", "_marker")
+    open(marker, "w").write("x")
+    c2 = sim.ivf_build(SF, idx)
+    assert np.array_equal(c1, c2)
+    assert os.path.exists(marker)  # not rebuilt
+    # stale fingerprint -> rebuild (marker wiped by overwrite)
+    m = json.load(open(manifest))
+    m["fingerprint"] = "stale"
+    json.dump(m, open(manifest, "w"))
+    sim.ivf_build(SF, idx)
+    assert not os.path.exists(marker)
+
+
 def test_simhash_rows_only(ray_session):
     import __ray_entry__ as entrymod
 
