@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": relational.grouped_quantiles,
         "events_window": relational.events_window,
         "sessionize": relational.sessionize,
+        "asof_join": relational.asof_join,
+        "range_join": relational.range_join,
         "distinct_brand_types": relational.distinct_brand_types,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -217,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.media_ops import MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
+        ASOF_JOIN_SQL,
+        RANGE_JOIN_SQL,
         JOIN_PRIORITY_REVENUE_SQL,
         SESSIONIZE_SQL,
         DISTINCT_BRAND_TYPES_SQL,
@@ -298,6 +302,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": GROUPED_QUANTILES_SQL,
         "events_window": EVENTS_WINDOW_SQL,
         "sessionize": SESSIONIZE_SQL,
+        "asof_join": ASOF_JOIN_SQL,
+        "range_join": RANGE_JOIN_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

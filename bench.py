@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "agg_pricing",
     "join_revenue",
     "events_window",
+    "asof_join",
+    "range_join",
     "top_tokens",
     "chunk_documents",
 ]

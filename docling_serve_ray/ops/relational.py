@@ -633,3 +633,171 @@ def grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
     # returnflag cardinality is tiny: the final per-group reduce sees the
     # merged histogram (distinct values), never raw rows
     return hist.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+
+
+# --- as-of join (time-series attribution) -----------------------------------
+#
+# Ray Data has no ASOF join (the reference has no joins at all — its data
+# plane is per-document; SURVEY.md §2.4). Implemented as the canonical
+# distributed as-of: hash-partition BOTH sides on the equi-key (user), then
+# one vectorized pandas merge_asof per bucket. One shuffle total; within a
+# bucket both sides of each key are complete, so the time lookup is local.
+# Partitioning assumption (documented contract): all events of one user fit
+# one bucket task — bucket count scales with input bytes, so per-bucket frame
+# size stays bounded as the corpus grows.
+#
+# Tie-break is explicit so the oracle can mirror it exactly: among clicks
+# with the same timestamp the max event_id wins (right side is sorted by
+# (ts, event_id) ascending and merge_asof takes the last equal-ts row; the
+# SQL orders c.ts DESC, c.event_id DESC and takes row 1). No-match rows keep
+# the purchase with sentinel -1 (CSV-stable across engines, unlike NULL).
+ASOF_JOIN_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.event_id, c.event_id AS c_eid, c.ts AS c_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT p.event_id, p.user_id,
+       CAST(COALESCE(m.c_eid, -1) AS BIGINT) AS click_event_id,
+       CAST(COALESCE(date_diff('microsecond', m.c_ts, p.ts), -1) AS BIGINT) AS lag_us
+FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+"""
+
+
+def asof_join(sf_dir: str) -> ray.data.Dataset:
+    """Attribution as-of join: each purchase event joined to the same
+    user's most recent click at-or-before it (backward as-of, exact
+    matches allowed). Output is all purchases; unmatched rows carry
+    click_event_id = lag_us = -1."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(["purchase", "click"]),
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.loc[g["event_type"] == "purchase", ["event_id", "user_id", "ts"]]
+        c = g.loc[g["event_type"] == "click", ["event_id", "user_id", "ts"]]
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_event_id": pd.Series(dtype="int64"),
+                    "lag_us": pd.Series(dtype="int64"),
+                }
+            )
+        p = p.sort_values("ts", kind="stable")
+        # ascending (ts, event_id) → merge_asof's last-equal-ts row is the
+        # max event_id: the documented tie-break
+        c = c.sort_values(["ts", "event_id"], kind="stable")
+        c = c.assign(c_ts=c["ts"])
+        m = pd.merge_asof(
+            p, c, on="ts", by="user_id", direction="backward", suffixes=("", "_c")
+        )
+        matched = m["c_ts"].notna()
+        lag = np.full(len(m), -1, dtype="int64")
+        lag[matched.to_numpy()] = (
+            (m.loc[matched, "ts"].to_numpy() - m.loc[matched, "c_ts"].to_numpy())
+            .astype("timedelta64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "click_event_id": m["event_id_c"].fillna(-1).astype("int64"),
+                "lag_us": lag,
+            }
+        )
+
+    return bucketed_group_agg(
+        ds,
+        ["user_id"],
+        per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )
+
+
+# --- range join (sliding preceding window) -----------------------------------
+#
+# Band/interval join: for each purchase, aggregate all events of the same
+# user in the half-open window [ts - 1h, ts). Same single-shuffle
+# hash-partition-by-key shape as asof_join; within a bucket the window
+# lookup is two vectorized searchsorted calls over a composite
+# (user, time) key plus a prefix-sum read — no per-row or per-user Python
+# loop, and never a per-user cross join (the naive merge-then-filter
+# materializes |orders_u| × |events_u| rows per user; this stays linear).
+RANGE_JOIN_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_prev_1h,
+       CAST(COALESCE(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS sum_prev_value_c
+FROM p LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def range_join(sf_dir: str) -> ray.data.Dataset:
+    """Preceding-window activity per purchase: count + value-cents sum of
+    ALL events of the same user in [purchase_ts - 1h, purchase_ts).
+    Window bounds: lower inclusive, upper exclusive (an event sharing the
+    purchase's exact timestamp — including the purchase itself — is out)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        if not is_p.any():
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_prev_1h": pd.Series(dtype="int64"),
+                    "sum_prev_value_c": pd.Series(dtype="int64"),
+                }
+            )
+        # composite monotone key: user index × stride + µs offset, stride >
+        # max offset + window so windows can never cross a user boundary
+        uid = g["user_id"].to_numpy()
+        uidx = np.cumsum(np.r_[0, uid[1:] != uid[:-1]]).astype("int64")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        rel = ts_us - ts_us.min()
+        stride = int(rel.max()) + RANGE_WINDOW_US + 2
+        comp = uidx * stride + rel
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        p_comp = comp[is_p]
+        lo = np.searchsorted(comp, p_comp - RANGE_WINDOW_US, side="left")
+        hi = np.searchsorted(comp, p_comp, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[is_p],
+                "user_id": uid[is_p],
+                "n_prev_1h": (hi - lo).astype("int64"),
+                "sum_prev_value_c": csum[hi] - csum[lo],
+            }
+        )
+
+    return bucketed_group_agg(
+        ds,
+        ["user_id"],
+        per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )

@@ -37,6 +37,8 @@ SUBSET = [
     "join_revenue",
     "top_orders",
     "events_window",
+    "asof_join",
+    "range_join",
 ]
 
 
@@ -266,3 +268,81 @@ def test_simhash_rows_only(ray_session):
     assert (df["hamming"] <= 3).all()
     # engineered near-dup copies must be found
     assert ((df["doc_b"] - df["doc_a"]) == 2_000_000).any()
+
+
+def _adversarial_events(tmp_path):
+    """Events crafted at the asof/range edge cases: same-µs click ties, a
+    purchase with no preceding click, an event exactly at the window's lower
+    bound (in) and one exactly at the purchase ts (out), a click-less user."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: tied clicks at t=100 (ids 1 < 2 — max id must win), purchase
+        # at the same instant (exact match allowed), earlier purchase at t=50
+        # with no click at-or-before it
+        (1, 1, base + 100 * s, "click", 1.0),
+        (2, 1, base + 100 * s, "click", 2.0),
+        (3, 1, base + 100 * s, "purchase", 10.0),
+        (4, 1, base + 50 * s, "purchase", 20.0),
+        # user 2: click exactly 1h before the purchase (window lower bound is
+        # inclusive → counted; asof lag exactly 3600s), a 'view' sharing the
+        # purchase's exact ts (upper bound exclusive → NOT counted)
+        (5, 2, base, "click", 3.0),
+        (6, 2, base + 3600 * s, "purchase", 30.0),
+        (7, 2, base + 3600 * s, "view", 4.0),
+        # user 3: purchase with no events at all around it
+        (8, 3, base + 500 * s, "purchase", 40.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    return con
+
+
+def test_asof_join_adversarial(ray_session, tmp_path):
+    from docling_serve_ray.ops.relational import ASOF_JOIN_SQL, asof_join
+
+    con = _adversarial_events(tmp_path)
+    got = _canon(asof_join(str(tmp_path)).to_pandas())
+    want = _canon(con.sql(ASOF_JOIN_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_id = got.set_index("event_id")
+    assert by_id.loc[3, "click_event_id"] == 2  # tie → max event_id
+    assert by_id.loc[3, "lag_us"] == 0  # exact-ts match allowed
+    assert by_id.loc[4, "click_event_id"] == -1  # no preceding click
+    assert by_id.loc[6, "lag_us"] == 3600 * 1_000_000
+    assert by_id.loc[8, "click_event_id"] == -1
+
+
+def test_range_join_adversarial(ray_session, tmp_path):
+    from docling_serve_ray.ops.relational import RANGE_JOIN_SQL, range_join
+
+    con = _adversarial_events(tmp_path)
+    got = _canon(range_join(str(tmp_path)).to_pandas())
+    want = _canon(con.sql(RANGE_JOIN_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_id = got.set_index("event_id")
+    # purchase 3: clicks 1+2 share its exact ts (upper bound exclusive →
+    # out); only purchase 4 (t=50) is inside the window
+    assert by_id.loc[3, "n_prev_1h"] == 1
+    assert by_id.loc[3, "sum_prev_value_c"] == 2000
+    assert by_id.loc[4, "n_prev_1h"] == 0
+    # purchase 6: click 5 sits exactly at ts-1h (inclusive); view 7 shares
+    # the purchase's ts (exclusive)
+    assert by_id.loc[6, "n_prev_1h"] == 1
+    assert by_id.loc[6, "sum_prev_value_c"] == 300
+    assert by_id.loc[8, "n_prev_1h"] == 0
