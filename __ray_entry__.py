@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.fingerprint,
         "dataset_split": text.dataset_split,
         "top_tokens": text.top_tokens,
+        "hll_tokens": text.hll_tokens,
         "chunk_documents": text.chunk_documents,
         "stratified_sample": text.stratified_sample,
         "pii_scrub": text.pii_scrub,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         CHUNK_DOCUMENTS_SQL,
         DATASET_SPLIT_SQL,
         DECON_SQL,
+        HLL_TOKENS_SQL,
         PII_SCRUB_SQL,
         REPETITION_SCORE_SQL,
         STRATIFIED_SAMPLE_SQL,
@@ -273,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
         "dataset_split": DATASET_SPLIT_SQL,
         "top_tokens": TOP_TOKENS_SQL,
+        "hll_tokens": HLL_TOKENS_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_scrub": PII_SCRUB_SQL,

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "top_tokens",
+    "hll_tokens",
     "chunk_documents",
 ]
 

@@ -484,3 +484,99 @@ def decontaminate(sf_dir: str, eval_path: str | None = None) -> ray.data.Dataset
         )
 
     return _docs(sf_dir).map_batches(probe, batch_format="pandas")
+
+
+# --- HyperLogLog register sketch ---------------------------------------------
+#
+# Distributed approximate-distinct over the token domain. The deliverable is
+# the REGISTER TABLE (the mergeable sketch itself — what a 100-TB pipeline
+# ships between stages and unions across corpora), not the scalar estimate:
+# registers are integers and bit-exact across engines, while the estimate's
+# harmonic mean depends on float summation order. ``hll_estimate`` derives
+# the scalar from the registers on the driver (4096 rows — trivially small).
+#
+# Scale shape: per-batch distinct→hash→per-register max is a combiner (each
+# batch emits ≤ m rows no matter its size), so the one shuffle carries
+# ≤ batches × m partial rows into a fixed-size bucketed max. Register math
+# is integer-only: bit length via frexp on exact <2^53 floats (numpy) and
+# via shift-smear + bit_count (SQL) — float log2 mis-floors near powers of
+# two, so neither side uses it.
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers, relative error ≈ 1.04/√m ≈ 1.6%
+
+HLL_TOKENS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+r AS (
+  SELECT CAST(md5_number_upper(tok) >> 52 AS BIGINT) AS register,
+         md5_number_upper(tok) & ((CAST(1 AS UBIGINT) << 52) - 1) AS rem
+  FROM toks
+),
+-- iterative bit-smear (each step shifts the PREVIOUS result — a single OR
+-- of shifts of the original value misses bits), then popcount = bit length
+s1 AS (SELECT register, rem | (rem >> 1) AS x FROM r),
+s2 AS (SELECT register, x | (x >> 2) AS x FROM s1),
+s3 AS (SELECT register, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT register, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT register, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT register, x | (x >> 32) AS x FROM s5)
+SELECT register, CAST(53 - MIN(bit_count(x)) AS BIGINT) AS rho
+FROM s6 GROUP BY register
+"""
+
+
+def hll_tokens(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog register sketch (p=12) of the corpus's distinct tokens:
+    (register, rho) rows, register = top 12 bits of the token's 64-bit md5
+    fold, rho = 1 + leading-zero count of the remaining 52 bits (53 when
+    they are all zero), maxed per register across the corpus."""
+    from .dedup import _md5_64_memo
+    from .shuffle import bucketed_group_agg
+
+    mask52 = np.uint64((1 << 52) - 1)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        uniq = np.unique(np.asarray(toks, dtype=object))
+        if len(uniq) == 0:
+            return pd.DataFrame(
+                {
+                    "register": pd.Series(dtype="int64"),
+                    "rho": pd.Series(dtype="int64"),
+                }
+            )
+        h = np.fromiter(
+            (_md5_64_memo(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        reg = (h >> np.uint64(52)).astype("int64")
+        rem = h & mask52
+        # bit length: float64 conversion is exact below 2^53, so frexp's
+        # exponent IS the bit length (0 for rem == 0)
+        bitlen = np.frexp(rem.astype("float64"))[1].astype("int64")
+        rho = 53 - bitlen
+        out = pd.DataFrame({"register": reg, "rho": rho})
+        return out.groupby("register", as_index=False)["rho"].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("register", as_index=False)["rho"].max()
+        return out.astype({"register": "int64", "rho": "int64"})
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    # the key domain is fixed (m=4096) — a small fixed bucket count keeps
+    # per-bucket frames at batches × m/64 rows regardless of corpus size
+    return bucketed_group_agg(ds, ["register"], merge, num_buckets=64)
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
+    """Standard bias-corrected HLL estimate from a (register, rho) table
+    (absent registers are zeros). Driver-side: m rows, never distributed."""
+    m = 1 << p
+    rho = np.zeros(m, dtype="int64")
+    rho[registers["register"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-rho.astype("float64")))
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting, small range
+    return float(est)

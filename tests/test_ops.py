@@ -39,6 +39,7 @@ SUBSET = [
     "events_window",
     "asof_join",
     "range_join",
+    "hll_tokens",
 ]
 
 
@@ -346,3 +347,32 @@ def test_range_join_adversarial(ray_session, tmp_path):
     assert by_id.loc[6, "n_prev_1h"] == 1
     assert by_id.loc[6, "sum_prev_value_c"] == 300
     assert by_id.loc[8, "n_prev_1h"] == 0
+
+
+def test_hll_estimate_accuracy(ray_session, tmp_path):
+    """The register sketch must estimate a KNOWN distinct-token count
+    within HLL's theoretical error (≈1.6% at p=12; assert 5%)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import hll_estimate, hll_tokens
+
+    n_distinct, per_doc = 20_000, 40
+    toks = [f"w{i}" for i in range(n_distinct)]
+    texts = [
+        " ".join(toks[i : i + per_doc]) for i in range(0, n_distinct, per_doc)
+    ]
+    # repeat docs: duplicates must not move the distinct estimate
+    texts = texts * 3
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    regs = hll_tokens(str(tmp_path)).to_pandas()
+    est = hll_estimate(regs)
+    assert abs(est - n_distinct) / n_distinct < 0.05, est
