@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup,
         "label_centroids": similarity.label_centroids,
         "kmeans": similarity.kmeans,
+        "semantic_dedup": similarity.semantic_dedup,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         EMBEDDING_NEARDUP_SQL,
         KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
+        SEMANTIC_DEDUP_SQL,
     )
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
@@ -297,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "kmeans": KMEANS_SQL,  # chained-CTE Lloyd iterations, integer output
+        "semantic_dedup": SEMANTIC_DEDUP_SQL,
         "agg_pricing": AGG_PRICING_SQL,
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "label_centroids",
     "kmeans",
+    "semantic_dedup",
     "dup_ngram_coverage",
     "dedup_apply",
     "agg_pricing",

@@ -483,19 +483,21 @@ cen{i} AS (
 )"""
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes(src: str) -> str:
+    """The Lloyd-iteration CTE chain over table/CTE ``src``, ending in
+    ``lab(vec_id, cluster)`` — composable so other oracles (semantic_dedup)
+    can cluster an augmented table with the exact same arithmetic."""
     iters = ",\n".join(
         _KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, KMEANS_ITERS + 1)
     )
     t = KMEANS_ITERS
-    return f"""
-WITH x AS (
+    return f"""x AS (
   SELECT vec_id, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS v
-  FROM embeddings, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
+  FROM {src}, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
-  FROM embeddings WHERE vec_id < {KMEANS_K}
+  FROM {src} WHERE vec_id < {KMEANS_K}
 ),
 cen0 AS (SELECT c0.cluster, x.pos, x.v AS val FROM c0 JOIN x USING (vec_id)),
 {iters},
@@ -503,10 +505,19 @@ df AS (
   SELECT x.vec_id, c.cluster, SUM((x.v - c.val) * (x.v - c.val)) AS dist
   FROM x JOIN cen{t} c ON x.pos = c.pos
   GROUP BY x.vec_id, c.cluster
-)
-SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM df
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
-"""
+),
+lab AS (
+  SELECT vec_id, cluster FROM df
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+
+
+def _kmeans_sql() -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes("embeddings")
+        + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM lab"
+    )
 
 
 KMEANS_SQL = None  # filled below (module import time, pure string work)
@@ -525,6 +536,33 @@ def kmeans(sf_dir: str) -> ray.data.Dataset:
     them to k rows; only the k × dim centroid matrix ever reaches the
     driver (the iterative state — NOT the data). Assignments stream out in
     a final pass. Empty clusters keep their previous centroid."""
+    cen_final = _lloyd_centroids(sf_dir)
+
+    def final_assign(batch: pa.Table) -> pd.DataFrame:
+        ids, X = _batch_matrix(batch)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cluster": _kmeans_assign(X, cen_final).astype("int64"),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(final_assign, batch_format="pyarrow")
+
+
+def _kmeans_assign(X: np.ndarray, cen: np.ndarray) -> np.ndarray:
+    # (n, k) squared-L2 via explicit differences — matches the SQL
+    # twin's SUM((x-c)^2) term order
+    d = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)  # ties -> lowest cluster index (both sides)
+
+
+def _lloyd_centroids(sf_dir: str, *, aug: bool = False) -> np.ndarray:
+    """KMEANS_ITERS Lloyd iterations; returns the final k × dim centroid
+    matrix (the only state that ever reaches the driver). ``aug`` runs the
+    iterations over the copy-augmented table (semantic_dedup's view); the
+    init rows are the k lowest vec_ids, which augmentation never adds to,
+    so the pushdown init read is shared."""
     import pyarrow.compute as pc
 
     from .shuffle import bucketed_group_agg
@@ -540,18 +578,14 @@ def kmeans(sf_dir: str) -> ray.data.Dataset:
     )
     centroids = np.asarray([r["embedding"] for r in init_rows], dtype=np.float64)
 
-    def assign(X: np.ndarray, cen: np.ndarray) -> np.ndarray:
-        # (n, k) squared-L2 via explicit differences — matches the SQL
-        # twin's SUM((x-c)^2) term order
-        d = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        return d.argmin(axis=1)  # ties -> lowest cluster index (both sides)
-
     for _ in range(KMEANS_ITERS):
         cen = centroids  # tiny (k × dim float64) — closure-captured
 
         def partials(batch: pa.Table, cen=cen) -> pd.DataFrame:
-            _, X = _batch_matrix(batch)
-            lab = assign(X, cen)
+            ids, X = _batch_matrix(batch)
+            if aug:
+                _, X = _augment_embeddings(ids.astype(np.int64), X)
+            lab = _kmeans_assign(X, cen)
             rows = []
             for c in np.unique(lab):
                 sel = X[lab == c]
@@ -596,18 +630,99 @@ def kmeans(sf_dir: str) -> ray.data.Dataset:
             )
         centroids = new_cen
 
-    cen_final = centroids
-
-    def final_assign(batch: pa.Table) -> pd.DataFrame:
-        ids, X = _batch_matrix(batch)
-        return pd.DataFrame(
-            {
-                "vec_id": ids.astype("int64"),
-                "cluster": assign(X, cen_final).astype("int64"),
-            }
-        )
-
-    return _emb(sf_dir).map_batches(final_assign, batch_format="pyarrow")
+    return centroids
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+# --- semantic dedup (SemDeDup-style) -----------------------------------------
+
+SEMANTIC_TAU = 0.99
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+{_kmeans_ctes("aug")},
+drops AS (
+  SELECT DISTINCT lb.vec_id AS b
+  FROM lab la JOIN lab lb ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id
+  JOIN aug ea ON ea.vec_id = la.vec_id
+  JOIN aug eb ON eb.vec_id = lb.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {SEMANTIC_TAU}
+)
+SELECT l.vec_id, CAST(l.cluster AS BIGINT) AS cluster
+FROM lab l LEFT JOIN drops d ON l.vec_id = d.b
+WHERE d.b IS NULL
+"""
+
+
+def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication: Lloyd-cluster the
+    (copy-augmented) embeddings, then within each cluster drop every
+    vector that has a lower-id near-duplicate (cosine ≥ 0.99). Returns the
+    surviving (vec_id, cluster) rows.
+
+    The greedy lower-id rule (not connected components) is the documented
+    contract — it is what the pairwise SQL twin expresses, and on dup
+    GROUPS it keeps exactly the min id, like exact_dedup's keeper.
+
+    Scale shape: clustering is the kmeans op's streaming passes (driver
+    holds only k × dim floats); the one data shuffle hash-partitions
+    (vector, id, cluster) rows by cluster, and each cluster's pair scan is
+    one normalized matmul. Quadratic cost is per-cluster by construction
+    — SemDeDup's defining trade: k must scale with n (k ≈ n / desired
+    cluster size) so |cluster|² stays bounded; the threshold-far-from-data
+    note on EMBEDDING_NEARDUP_SQL applies here too (τ sits in the copy-vs-
+    random gap, so DuckDB's float32 cosine cannot flip a pair)."""
+    from .shuffle import bucketed_group_agg
+
+    cen_final = _lloyd_centroids(sf_dir, aug=True)
+
+    def vec_rows(batch: pa.Table) -> pd.DataFrame:
+        ids, X = _batch_matrix(batch)
+        ids, X = _augment_embeddings(ids.astype(np.int64), X)
+        lab = _kmeans_assign(X, cen_final)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cluster": lab.astype("int64"),
+                "vec": [x.tobytes() for x in X],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c, grp in g.groupby("cluster"):
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            X = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in grp["vec"].to_numpy()[order]]
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                S = (Xn @ Xn.T) >= SEMANTIC_TAU  # NaN (zero vector) → False
+            keep = ~np.triu(S, 1).any(axis=0)  # drop j with any similar i<j
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids[keep],
+                        "cluster": np.full(int(keep.sum()), c, dtype="int64"),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    ds = _emb(sf_dir).map_batches(vec_rows, batch_format="pyarrow")
+    return bucketed_group_agg(ds, ["cluster"], per_bucket, num_buckets=KMEANS_K)

@@ -27,6 +27,7 @@ SUBSET = [
     "ivf_topk",
     "label_centroids",
     "kmeans",
+    "semantic_dedup",
     "quality_filter",
     "weighted_mix",
     "corpus_stats",
@@ -376,3 +377,73 @@ def test_hll_estimate_accuracy(ray_session, tmp_path):
     regs = hll_tokens(str(tmp_path)).to_pandas()
     est = hll_estimate(regs)
     assert abs(est - n_distinct) / n_distinct < 0.05, est
+
+
+def test_semantic_dedup_drop_semantics(ray_session, tmp_path):
+    """Crafted clusters: an exact copy pair, a near pair straddling τ from
+    above, and a sub-τ pair — only juniors of ≥τ pairs may be dropped, and
+    the output must match the SQL twin on the same table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.similarity import (
+        KMEANS_K,
+        SEMANTIC_DEDUP_SQL,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    # ids 0..K-1 seed the centroids; keep them random and far apart
+    X = rng.normal(size=(KMEANS_K, dim))
+    ids = list(range(KMEANS_K))
+    nxt = KMEANS_K
+    # near pair ABOVE τ: v and v + tiny noise (cos ≈ 0.9999); ids chosen
+    # %10 != 0 so the built-in copy augmentation doesn't also hit them
+    v = rng.normal(size=dim)
+    X = np.vstack([X, v, v + 0.001 * rng.normal(size=dim)])
+    near_a, near_b = nxt + 3, nxt + 4  # 11, 12 → no %10 collision
+    ids += [near_a, near_b]
+    # pair BELOW τ: cos ≈ 0.95 (tilt by ~18°)
+    w = rng.normal(size=dim)
+    w2 = 0.95 * w + np.sqrt(1 - 0.95**2) * np.linalg.norm(w) * _unit_orth(rng, w)
+    X = np.vstack([X, w, w2])
+    sub_a, sub_b = nxt + 5, nxt + 6  # 13, 14
+    ids += [sub_a, sub_b]
+    # id 20: %10 == 0 → augmentation makes 1000020 an exact copy (dropped)
+    X = np.vstack([X, rng.normal(size=dim)])
+    ids.append(20)
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in X], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = semantic_dedup(str(tmp_path)).to_pandas().sort_values("vec_id")
+    kept = set(got["vec_id"])
+    assert near_a in kept and near_b not in kept  # junior of the ≥τ pair
+    assert sub_a in kept and sub_b in kept  # sub-τ pair survives
+    assert 20 in kept and 1000020 not in kept  # exact copy dropped
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = _canon(con.sql(SEMANTIC_DEDUP_SQL).df())
+    pd.testing.assert_frame_equal(_canon(got), want, check_dtype=False)
+
+
+def _unit_orth(rng, w):
+    """A unit vector orthogonal to w."""
+    import numpy as np
+
+    r = rng.normal(size=w.shape)
+    r -= (r @ w) / (w @ w) * w
+    return r / np.linalg.norm(r)
