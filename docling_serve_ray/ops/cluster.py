@@ -291,6 +291,10 @@ def neardup_clusters(sf_dir: str) -> ray.data.Dataset:
     distributed connected components → (doc_id, cluster_id, is_keeper).
     Drop set = rows with is_keeper = 0."""
     from .dedup import minhash_dedup
+    from .shuffle import input_bytes_estimate, scaled_num_buckets
 
     pairs = minhash_dedup(sf_dir).select_columns(["doc_a", "doc_b"])
-    return connected_components(pairs)
+    # pair volume scales with the corpus (dup rate × size): byte-scale the
+    # component buckets off the input rather than the fixed default
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    return connected_components(pairs, num_buckets=nb)

@@ -529,9 +529,10 @@ def dedup_apply(sf_dir: str, *, survivor_spill_dir: str | None = None) -> ray.da
     else:
         survivors = survivors.materialize()
 
-    # 3.-4. near-dup pairs → components → drop ids
+    # 3.-4. near-dup pairs → components → drop ids (buckets byte-scaled:
+    # pair volume grows with the corpus)
     pairs = minhash_pairs(survivors, size_bytes=size)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, num_buckets=nb)
     drops = labels.map_batches(
         lambda b: b.loc[b["is_keeper"] == 0, ["doc_id"]], batch_format="pandas"
     )
