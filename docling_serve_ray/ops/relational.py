@@ -747,13 +747,21 @@ GROUP BY p.event_id, p.user_id
 """
 
 RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+# composite-key ceiling; patchable in tests to force the segment fallback
+_RANGE_COMP_MAX = np.iinfo(np.int64).max
 
 
-def range_join(sf_dir: str) -> ray.data.Dataset:
+def range_join(
+    sf_dir: str, *, comp_max: int = _RANGE_COMP_MAX
+) -> ray.data.Dataset:
     """Preceding-window activity per purchase: count + value-cents sum of
     ALL events of the same user in [purchase_ts - 1h, purchase_ts).
     Window bounds: lower inclusive, upper exclusive (an event sharing the
-    purchase's exact timestamp — including the purchase itself — is out)."""
+    purchase's exact timestamp — including the purchase itself — is out).
+
+    ``comp_max`` caps the composite (user, time) key; buckets whose
+    users × time-span would exceed it take the per-user-segment fallback
+    (tests shrink it to force that path)."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
@@ -780,9 +788,35 @@ def range_join(sf_dir: str) -> ray.data.Dataset:
         ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         rel = ts_us - ts_us.min()
         stride = int(rel.max()) + RANGE_WINDOW_US + 2
-        comp = uidx * stride + rel
         cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
         csum = np.concatenate(([0], np.cumsum(cents)))
+        if int(uidx[-1]) >= (comp_max - stride) // stride:
+            # users-per-bucket × time-span would overflow the composite key
+            # (possible only when bucket scaling is defeated, e.g. remote
+            # paths with unknown byte size): fall back to per-user segments
+            # — a loop over users, searchsorted within each user's slice.
+            starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1, len(uid)]
+            outs = []
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg_p = is_p[s:e]
+                if not seg_p.any():
+                    continue
+                t = ts_us[s:e]
+                pt = t[seg_p]
+                lo = np.searchsorted(t, pt - RANGE_WINDOW_US, side="left") + s
+                hi = np.searchsorted(t, pt, side="left") + s
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": g["event_id"].to_numpy()[s:e][seg_p],
+                            "user_id": uid[s:e][seg_p],
+                            "n_prev_1h": (hi - lo).astype("int64"),
+                            "sum_prev_value_c": csum[hi] - csum[lo],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+        comp = uidx * stride + rel
         p_comp = comp[is_p]
         lo = np.searchsorted(comp, p_comp - RANGE_WINDOW_US, side="left")
         hi = np.searchsorted(comp, p_comp, side="left")

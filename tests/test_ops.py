@@ -447,3 +447,15 @@ def _unit_orth(rng, w):
     r = rng.normal(size=w.shape)
     r -= (r @ w) / (w @ w) * w
     return r / np.linalg.norm(r)
+
+
+def test_range_join_segment_fallback(ray_session, tmp_path):
+    """Shrinking the composite-key ceiling forces the per-user-segment
+    fallback; output must be identical to the vectorized path and the SQL
+    twin."""
+    from docling_serve_ray.ops.relational import RANGE_JOIN_SQL, range_join
+
+    con = _adversarial_events(tmp_path)
+    got = _canon(range_join(str(tmp_path), comp_max=1).to_pandas())
+    want = _canon(con.sql(RANGE_JOIN_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
