@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": text.dataset_split,
         "top_tokens": text.top_tokens,
         "hll_tokens": text.hll_tokens,
+        "cms_tokens": text.cms_tokens,
         "chunk_documents": text.chunk_documents,
         "stratified_sample": text.stratified_sample,
         "pii_scrub": text.pii_scrub,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
         DATASET_SPLIT_SQL,
+        CMS_TOKENS_SQL,
         DECON_SQL,
         HLL_TOKENS_SQL,
         PII_SCRUB_SQL,
@@ -278,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": DATASET_SPLIT_SQL,
         "top_tokens": TOP_TOKENS_SQL,
         "hll_tokens": HLL_TOKENS_SQL,
+        "cms_tokens": CMS_TOKENS_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_scrub": PII_SCRUB_SQL,

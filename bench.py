@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "range_join",
     "top_tokens",
     "hll_tokens",
+    "cms_tokens",
     "chunk_documents",
 ]
 

@@ -580,3 +580,90 @@ def hll_estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         return float(m * np.log(m / zeros))  # linear counting, small range
     return float(est)
+
+
+# --- Count-Min sketch --------------------------------------------------------
+#
+# The additive companion to the HLL sketch: a d × w counter grid estimating
+# token OCCURRENCE counts (point queries, heavy-hitter screening) that
+# merges across corpora by plain cell-wise addition. Counters are exact
+# integers, so the register table is bit-identical across engines — the
+# sketch itself is the deliverable, ``cms_estimate`` answers point queries
+# driver-side (min over the d hashed cells; classic one-sided overestimate).
+#
+# Scale shape: per-batch token value_counts → at most d × w partial rows per
+# batch regardless of batch size (the combiner), one bucketed integer-sum
+# merge. Same fixed-key-domain argument as hll_tokens.
+CMS_D = 4
+CMS_W = 1024
+
+CMS_TOKENS_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+h AS (
+  SELECT r.r AS sketch_row,
+         CAST(md5_number_upper(cnt.tok || ':cms' || r.r) % {CMS_W} AS BIGINT) AS col,
+         cnt.c
+  FROM cnt, (SELECT UNNEST(generate_series(0, {CMS_D - 1})) AS r) r
+)
+SELECT sketch_row, col, CAST(SUM(c) AS BIGINT) AS total
+FROM h GROUP BY sketch_row, col
+"""
+
+
+def cms_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Count-Min sketch (d=4, w=1024) of token occurrence counts:
+    (sketch_row, col, total) cells, col = md5-fold of token salted with the
+    row index, totals summed over the corpus."""
+    from .dedup import _md5_64_memo
+    from .shuffle import bucketed_group_agg
+
+    w = np.uint64(CMS_W)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        if len(uniq) == 0:
+            return pd.DataFrame(
+                {
+                    "sketch_row": pd.Series(dtype="int64"),
+                    "col": pd.Series(dtype="int64"),
+                    "total": pd.Series(dtype="int64"),
+                }
+            )
+        outs = []
+        for r in range(CMS_D):
+            salt = f":cms{r}"
+            cols = (
+                np.fromiter(
+                    (_md5_64_memo(t + salt) for t in uniq),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                % w
+            ).astype("int64")
+            part = pd.DataFrame(
+                {"sketch_row": np.int64(r), "col": cols, "total": counts}
+            )
+            outs.append(part.groupby(["sketch_row", "col"], as_index=False).sum())
+        return pd.concat(outs, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["sketch_row", "col"], as_index=False)["total"].sum()
+        return out.astype({"sketch_row": "int64", "col": "int64", "total": "int64"})
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(ds, ["sketch_row", "col"], merge, num_buckets=64)
+
+
+def cms_estimate(sketch: pd.DataFrame, token: str) -> int:
+    """Point-frequency estimate: min over the d hashed cells (absent cell →
+    0). One-sided: never underestimates the true count."""
+    from .dedup import _md5_64
+
+    cells = sketch.set_index(["sketch_row", "col"])["total"]
+    est = []
+    for r in range(CMS_D):
+        col = int(_md5_64(token + f":cms{r}") % CMS_W)
+        est.append(int(cells.get((r, col), 0)))
+    return min(est)

@@ -41,6 +41,7 @@ SUBSET = [
     "asof_join",
     "range_join",
     "hll_tokens",
+    "cms_tokens",
 ]
 
 
@@ -459,3 +460,30 @@ def test_range_join_segment_fallback(ray_session, tmp_path):
     got = _canon(range_join(str(tmp_path), comp_max=1).to_pandas())
     want = _canon(con.sql(RANGE_JOIN_SQL).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cms_estimate_properties(ray_session, tmp_path):
+    """Count-Min estimates never underestimate, and are exact when the
+    sketch is collision-free (tiny vocabulary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import cms_estimate, cms_tokens
+
+    texts = ["apple apple banana", "apple cherry", "banana banana banana"]
+    true = {"apple": 3, "banana": 4, "cherry": 1}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sketch = cms_tokens(str(tmp_path)).to_pandas()
+    for tok, n in true.items():
+        est = cms_estimate(sketch, tok)
+        assert est >= n
+        assert est == n  # 3 tokens in 4×1024 cells: collision-free
+    assert cms_estimate(sketch, "absent-token") >= 0
