@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.top_tokens,
         "hll_tokens": text.hll_tokens,
         "cms_tokens": text.cms_tokens,
+        "regex_token_count": text.regex_token_count,
+        "rolling_fingerprint": text.rolling_fingerprint,
         "chunk_documents": text.chunk_documents,
         "stratified_sample": text.stratified_sample,
         "pii_scrub": text.pii_scrub,
@@ -247,7 +249,9 @@ def oracle_sql() -> dict[str, str]:
         DECON_SQL,
         HLL_TOKENS_SQL,
         PII_SCRUB_SQL,
+        REGEX_TOKEN_COUNT_SQL,
         REPETITION_SCORE_SQL,
+        ROLLING_FINGERPRINT_SQL,
         STRATIFIED_SAMPLE_SQL,
         TOP_TOKENS_SQL,
     )
@@ -281,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": TOP_TOKENS_SQL,
         "hll_tokens": HLL_TOKENS_SQL,
         "cms_tokens": CMS_TOKENS_SQL,
+        "regex_token_count": REGEX_TOKEN_COUNT_SQL,
+        "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_scrub": PII_SCRUB_SQL,

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "top_tokens",
     "hll_tokens",
     "cms_tokens",
+    "regex_token_count",
+    "rolling_fingerprint",
     "chunk_documents",
 ]
 

@@ -667,3 +667,101 @@ def cms_estimate(sketch: pd.DataFrame, token: str) -> int:
         col = int(_md5_64(token + f":cms{r}") % CMS_W)
         est.append(int(cells.get((r, col), 0)))
     return min(est)
+
+
+# --- regex (BPE-ish) token counting ------------------------------------------
+#
+# Character-class tokenization under a regex both engines interpret
+# identically: alpha runs, digit runs, and single non-alnum symbols (the
+# GPT-2-style pre-tokenizer family, minus unicode categories RE2 and
+# Python disagree on — the class [^A-Za-z0-9 ] treats every non-ASCII
+# char, tab and newline as one symbol token in BOTH engines, so there is
+# no \s/unicode divergence to paper over).
+RE_ALPHA = r"[A-Za-z]+"
+RE_NUM = r"[0-9]+"
+RE_SYM = r"[^A-Za-z0-9 ]"
+
+REGEX_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{RE_ALPHA}')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(text, '{RE_NUM}')) AS BIGINT) AS n_num,
+       CAST(len(regexp_extract_all(text, '{RE_SYM}')) AS BIGINT) AS n_sym,
+       CAST(len(regexp_extract_all(text, '{RE_ALPHA}')) +
+            len(regexp_extract_all(text, '{RE_NUM}')) +
+            len(regexp_extract_all(text, '{RE_SYM}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def regex_token_count(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish token counts per document: alpha-run, digit-run and symbol
+    tokens plus their total (what a byte-level BPE's pre-tokenizer would
+    feed the merge table). Vectorized pandas .str.count per class —
+    stateless streaming scan, no shuffle."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        n_alpha = t.str.count(RE_ALPHA).astype("int64")
+        n_num = t.str.count(RE_NUM).astype("int64")
+        n_sym = t.str.count(RE_SYM).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_alpha": n_alpha,
+                "n_num": n_num,
+                "n_sym": n_sym,
+                "n_bpe_tokens": n_alpha + n_num + n_sym,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# --- rolling-window fingerprint ----------------------------------------------
+#
+# Winnowing-style content fingerprint: the MIN 64-bit hash over 32-char
+# windows sampled every 8 chars. Unlike the whole-doc md5 (``fingerprint``),
+# the rolling fingerprint is stable under small appends/prepends whenever
+# the minimal window survives — the property plagiarism/near-dup screens
+# use. md5 per window is the SQL-reachable hash (a production impl would
+# use a true O(1)-slide Karp-Rabin; the sampling stride bounds cost here).
+# Emitted as a decimal string: the value is uint64 and DuckDB UBIGINT →
+# pandas dtype conversion is lossy for BIGINT-range comparisons.
+RFP_WINDOW = 32
+RFP_STRIDE = 8
+
+ROLLING_FINGERPRINT_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < {RFP_WINDOW} THEN [text]
+              ELSE list_transform(
+                     generate_series(1, length(text) - {RFP_WINDOW - 1}, {RFP_STRIDE}),
+                     i -> substr(text, i, {RFP_WINDOW}))
+         END AS wins
+  FROM documents
+)
+SELECT doc_id, CAST(MIN(md5_number_upper(win)) AS VARCHAR) AS rfp
+FROM (SELECT doc_id, UNNEST(wins) AS win FROM w)
+GROUP BY doc_id
+"""
+
+
+def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, rfp): min 64-bit md5 fold over sampled 32-char windows
+    (whole text when shorter), as a decimal string."""
+    from .dedup import _md5_64
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        rfps = []
+        for t in batch["text"]:
+            if len(t) < RFP_WINDOW:
+                rfps.append(str(_md5_64(t)))
+                continue
+            m = min(
+                _md5_64(t[i : i + RFP_WINDOW])
+                for i in range(0, len(t) - RFP_WINDOW + 1, RFP_STRIDE)
+            )
+            rfps.append(str(m))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "rfp": rfps})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")

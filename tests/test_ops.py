@@ -42,6 +42,8 @@ SUBSET = [
     "range_join",
     "hll_tokens",
     "cms_tokens",
+    "regex_token_count",
+    "rolling_fingerprint",
 ]
 
 
@@ -487,3 +489,50 @@ def test_cms_estimate_properties(ray_session, tmp_path):
         assert est >= n
         assert est == n  # 3 tokens in 4×1024 cells: collision-free
     assert cms_estimate(sketch, "absent-token") >= 0
+
+
+def test_regex_and_rolling_fp_adversarial(ray_session, tmp_path):
+    """Unicode, tabs/newlines, empty and near-identical docs: both engines
+    must agree codepoint-for-codepoint, and the rolling fingerprint must be
+    stable under a prepend that leaves the minimal window intact (the
+    property the whole-doc md5 fingerprint lacks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import (
+        REGEX_TOKEN_COUNT_SQL,
+        ROLLING_FINGERPRINT_SQL,
+        regex_token_count,
+        rolling_fingerprint,
+    )
+
+    texts = [
+        "abc 123 x!y",
+        "héllo wörld 漢字, tabs\tand\nnewlines",
+        "",
+        "a" * 100,
+        "prefix " + "a" * 100,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for fn, sql in (
+        (regex_token_count, REGEX_TOKEN_COUNT_SQL),
+        (rolling_fingerprint, ROLLING_FINGERPRINT_SQL),
+    ):
+        got = _canon(fn(str(tmp_path)).to_pandas())
+        want = _canon(con.sql(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    fp = rolling_fingerprint(str(tmp_path)).to_pandas().set_index("doc_id")["rfp"]
+    assert fp[3] == fp[4]  # min window of 'a'*100 survives the prepend
