@@ -695,16 +695,32 @@ def asof_join(sf_dir: str) -> ray.data.Dataset:
                 }
             )
         p = p.sort_values("ts", kind="stable")
+        # one sentinel click (event_id -1) per purchase user, earlier than
+        # every real timestamp: every purchase then matches SOMETHING, so
+        # merge_asof never introduces NaN and the id column stays int64
+        # end-to-end (a float64 round-trip would corrupt ids >= 2^53)
+        sentinel_ts = g["ts"].min() - pd.Timedelta(microseconds=1)
+        sent = pd.DataFrame(
+            {
+                "event_id": np.int64(-1),
+                "user_id": p["user_id"].unique(),
+                "ts": sentinel_ts,
+            }
+        ).astype({"ts": g["ts"].dtype})
         # ascending (ts, event_id) → merge_asof's last-equal-ts row is the
         # max event_id: the documented tie-break
-        c = c.sort_values(["ts", "event_id"], kind="stable")
+        c = pd.concat([sent, c], ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
         c = c.assign(c_ts=c["ts"])
         m = pd.merge_asof(
             p, c, on="ts", by="user_id", direction="backward", suffixes=("", "_c")
         )
-        matched = m["c_ts"].notna()
+        click_id = m["event_id_c"].to_numpy()
+        assert click_id.dtype == np.int64, click_id.dtype  # sentinel contract
+        matched = click_id >= 0
         lag = np.full(len(m), -1, dtype="int64")
-        lag[matched.to_numpy()] = (
+        lag[matched] = (
             (m.loc[matched, "ts"].to_numpy() - m.loc[matched, "c_ts"].to_numpy())
             .astype("timedelta64[us]")
             .astype("int64")
@@ -713,7 +729,7 @@ def asof_join(sf_dir: str) -> ray.data.Dataset:
             {
                 "event_id": m["event_id"].astype("int64"),
                 "user_id": m["user_id"].astype("int64"),
-                "click_event_id": m["event_id_c"].fillna(-1).astype("int64"),
+                "click_event_id": click_id,
                 "lag_us": lag,
             }
         )

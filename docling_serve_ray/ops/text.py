@@ -686,9 +686,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{RE_ALPHA}')) AS BIGINT) AS n_alpha,
        CAST(len(regexp_extract_all(text, '{RE_NUM}')) AS BIGINT) AS n_num,
        CAST(len(regexp_extract_all(text, '{RE_SYM}')) AS BIGINT) AS n_sym,
-       CAST(len(regexp_extract_all(text, '{RE_ALPHA}')) +
-            len(regexp_extract_all(text, '{RE_NUM}')) +
-            len(regexp_extract_all(text, '{RE_SYM}')) AS BIGINT) AS n_bpe_tokens
+       n_alpha + n_num + n_sym AS n_bpe_tokens
 FROM documents
 """
 
