@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
+        "embedding_clusters": cluster.embedding_clusters,
         "dedup_apply": curation.dedup_apply,
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
@@ -212,7 +213,10 @@ def oracle_sql() -> dict[str, str]:
         MINHASH_PAIRS_SQL,
         SIMHASH_PAIRS_SQL,
     )
-    from docling_serve_ray.ops.cluster import NEARDUP_CLUSTERS_SQL
+    from docling_serve_ray.ops.cluster import (
+        EMBEDDING_CLUSTERS_SQL,
+        NEARDUP_CLUSTERS_SQL,
+    )
     from docling_serve_ray.ops.curation import (
         CORPUS_STATS_SQL,
         DEDUP_APPLY_SQL,
@@ -297,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
+        "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,

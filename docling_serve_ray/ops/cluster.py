@@ -298,3 +298,58 @@ def neardup_clusters(sf_dir: str) -> ray.data.Dataset:
     # component buckets off the input rather than the fixed default
     nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
     return connected_components(pairs, num_buckets=nb)
+
+
+# ---------------------------------------------------------------------------
+# embedding_clusters query: embedding-LSH-verified pairs → components
+# ---------------------------------------------------------------------------
+
+# Same transitive-closure shape as NEARDUP_CLUSTERS_SQL, over the
+# exact-cosine >= 0.99 pair set of the copy-augmented embeddings table
+# (LSH-parameter-independent, see ops/similarity.embedding_neardup).
+EMBEDDING_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM (SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0) a,
+       (SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0) b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+),
+e AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb, pa FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+)
+SELECT node AS vec_id,
+       MIN(r) AS cluster_id,
+       CAST(CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+def embedding_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Cluster resolution over the embedding near-dup pair set — the same
+    connected-components + min-keeper step neardup_clusters applies to
+    minhash pairs (the pairs→drop-set rung for EVERY pair-emitting dedup
+    op; connected_components is column-agnostic)."""
+    from .similarity import embedding_neardup
+    from .shuffle import input_bytes_estimate, scaled_num_buckets
+
+    pairs = embedding_neardup(sf_dir)
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/embeddings.parquet"))
+    out = connected_components(
+        pairs, a_col="vec_a", b_col="vec_b", num_buckets=nb
+    )
+    return out.map_batches(
+        lambda b: b.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
+    )
