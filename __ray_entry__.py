@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         "kmeans": similarity.kmeans,
         "semantic_dedup": similarity.semantic_dedup,
+        "ann_topk_filtered": similarity.ann_topk_filtered,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         TOP_ORDERS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
+        ANN_TOPK_FILTERED_SQL,
         ANN_TOPK_SQL,
         EMBEDDING_NEARDUP_SQL,
         KMEANS_SQL,
@@ -314,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": LABEL_CENTROIDS_SQL,
         "kmeans": KMEANS_SQL,  # chained-CTE Lloyd iterations, integer output
         "semantic_dedup": SEMANTIC_DEDUP_SQL,
+        "ann_topk_filtered": ANN_TOPK_FILTERED_SQL,
         "agg_pricing": AGG_PRICING_SQL,
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,

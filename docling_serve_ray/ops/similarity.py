@@ -726,3 +726,74 @@ def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
 
     ds = _emb(sf_dir).map_batches(vec_rows, batch_format="pyarrow")
     return bucketed_group_agg(ds, ["cluster"], per_bucket, num_buckets=KMEANS_K)
+
+
+# --- filtered ANN -------------------------------------------------------------
+
+ANN_FILTER_LABELS = (2, 5)
+
+ANN_TOPK_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid AND e.label IN {ANN_FILTER_LABELS}
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT)
+         AS rank
+FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= 5
+"""
+
+
+def ann_topk_filtered(sf_dir: str) -> ray.data.Dataset:
+    """Filtered vector search: top-5 cosine neighbors restricted to a label
+    predicate (the metadata-filtered ANN every retrieval stack needs). The
+    label filter is pushed into the parquet read — row groups that contain
+    no matching label never leave storage — then the stage is ann_topk's
+    broadcast-queries + per-batch matmul + tiny merge, on the (smaller)
+    filtered stream. Same rank-not-sim output rule (DuckDB cosine is
+    float32; ranks are integer-stable because the corpus's similarity gaps
+    exceed that error)."""
+    import pyarrow.compute as pc
+
+    q_rows = _query_vectors(sf_dir)
+    qids = np.array([r["vec_id"] for r in q_rows])
+    Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    ref = ray.put((qids, Q))
+
+    def per_batch_topk(batch: pa.Table) -> pd.DataFrame:
+        qids_, Q_ = ray.get(ref)
+        ids, X = _batch_matrix(batch)
+        sims = Q_ @ _normalize(X).T
+        out = []
+        k = min(TOPK_K + 1, sims.shape[1])
+        for qi, qid in enumerate(qids_):
+            row = sims[qi]
+            idx = np.argpartition(-row, k - 1)[:k]
+            for j in idx:
+                if ids[j] != qid:
+                    out.append((int(qid), int(ids[j]), float(row[j])))
+        return pd.DataFrame(out, columns=["qid", "vec_id", "sim"])
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOPK_K)
+        return pd.DataFrame(
+            {
+                "qid": top["qid"].astype("int64"),
+                "vec_id": top["vec_id"].astype("int64"),
+                "rank": pd.Series(range(1, len(top) + 1), index=top.index, dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("label").isin(list(ANN_FILTER_LABELS)),
+    )
+    cands = ds.map_batches(per_batch_topk, batch_format="pyarrow")
+    return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
