@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
         "weighted_mix": curation.weighted_mix,
+        "normalize_text": curation.normalize_text,
         "corpus_stats": curation.corpus_stats,
         "dup_ngram_coverage": curation.dup_ngram_coverage,
         "keyword_search": curation.keyword_search,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         DEDUP_APPLY_SQL,
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
+        NORMALIZE_TEXT_SQL,
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
     )
@@ -307,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
+        "normalize_text": NORMALIZE_TEXT_SQL,
         "corpus_stats": CORPUS_STATS_SQL,
         "dup_ngram_coverage": DUP_NGRAM_COVERAGE_SQL,
         "keyword_search": KEYWORD_SEARCH_SQL,

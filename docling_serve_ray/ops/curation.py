@@ -553,3 +553,61 @@ def dedup_apply(sf_dir: str, *, survivor_spill_dir: str | None = None) -> ray.da
     return bucketed_group_agg(
         keep_rows.union(drop_rows), ["doc_id"], anti, num_buckets=nb
     )
+
+
+# ---------------------------------------------------------------------------
+# normalize_text — C4-style cleaning pass
+# ---------------------------------------------------------------------------
+
+# NFC + whitespace collapse + trim. Case folding is deliberately NOT part
+# of the rule: Python str.lower() applies full Unicode case mappings (e.g.
+# 'İ' → 'i̇', two codepoints) that SQL lower() does not replicate — an
+# engine-dependent transform can't carry an exact oracle.
+NORMALIZE_TEXT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS norm,
+         text
+  FROM documents
+)
+SELECT doc_id, norm AS text,
+       CAST(CASE WHEN norm = text THEN 0 ELSE 1 END AS BIGINT) AS changed,
+       CAST(length(text) - length(norm) AS BIGINT) AS n_chars_removed
+FROM n
+"""
+
+_WS_RE = None  # compiled lazily per process
+
+
+def normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic text normalization: Unicode NFC, runs of
+    space/tab/newline/CR collapsed to one space, leading/trailing
+    whitespace stripped. Emits the cleaned text plus changed flag and
+    chars-removed count (n_chars_removed is negative when NFC composition
+    lengthens the string). Stateless streaming map — regex compiled once
+    per process."""
+    import re
+    import unicodedata
+
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"[ \t\n\r]+")
+    ws = _WS_RE
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        orig = batch["text"]
+        norm = orig.map(
+            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t)).strip(" ")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "text": norm,
+                "changed": (norm != orig).astype("int64"),
+                "n_chars_removed": (
+                    orig.str.len() - norm.str.len()
+                ).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")

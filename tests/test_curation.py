@@ -172,3 +172,48 @@ class TestDedupApply:
         sf = _write_docs(tmp_path, [(70, base)])
         kept = sorted(dedup_apply(sf).to_pandas()["doc_id"].tolist())
         assert kept == [70]  # copies at 1000070 / 2000070 both dropped
+
+
+def test_normalize_text_adversarial(ray_session, tmp_path):
+    """Decomposed unicode composes (NFC), whitespace runs collapse,
+    padding trims, all-whitespace empties — identically to the SQL twin."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import NORMALIZE_TEXT_SQL, normalize_text
+
+    texts = [
+        "e\u0301cole",  # decomposed é → composed (shorter)
+        "a  b\tc\nd\r\ne",   # mixed whitespace runs
+        "  padded  ",
+        " \t\n ",            # all whitespace → empty
+        "already clean",
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        normalize_text(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(NORMALIZE_TEXT_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert got.loc[0, "text"] == "école"  # composed, one char shorter
+    assert got.loc[0, "changed"] == 1
+    assert got.loc[0, "n_chars_removed"] == 1
+    assert got.loc[1, "text"] == "a b c d e"
+    assert got.loc[3, "text"] == ""
+    assert got.loc[4, "changed"] == 0
