@@ -536,3 +536,68 @@ def test_regex_and_rolling_fp_adversarial(ray_session, tmp_path):
 
     fp = rolling_fingerprint(str(tmp_path)).to_pandas().set_index("doc_id")["rfp"]
     assert fp[3] == fp[4]  # min window of 'a'*100 survives the prepend
+
+
+def test_sketch_mergeability(ray_session, tmp_path):
+    """The sketches' core claim: merging two corpora's sketches equals the
+    sketch of the union — max per register (HLL), cell-wise sum (CMS)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import cms_tokens, hll_tokens
+
+    a_texts = [f"alpha{i} beta{i} shared{i % 5}" for i in range(40)]
+    b_texts = [f"gamma{i} shared{i % 5}" for i in range(40)]
+
+    def write(dirname, texts):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    da, db, du = (
+        write("a", a_texts),
+        write("b", b_texts),
+        write("u", a_texts + b_texts),
+    )
+
+    # HLL: merged = per-register max
+    ha = hll_tokens(da).to_pandas()
+    hb = hll_tokens(db).to_pandas()
+    hu = hll_tokens(du).to_pandas()
+    merged = (
+        pd.concat([ha, hb])
+        .groupby("register", as_index=False)["rho"]
+        .max()
+        .sort_values("register")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged, hu.sort_values("register").reset_index(drop=True), check_dtype=False
+    )
+
+    # CMS: merged = cell-wise sum
+    ca = cms_tokens(da).to_pandas()
+    cb = cms_tokens(db).to_pandas()
+    cu = cms_tokens(du).to_pandas()
+    msum = (
+        pd.concat([ca, cb])
+        .groupby(["sketch_row", "col"], as_index=False)["total"]
+        .sum()
+        .sort_values(["sketch_row", "col"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        msum,
+        cu.sort_values(["sketch_row", "col"]).reset_index(drop=True),
+        check_dtype=False,
+    )
