@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "asof_join": relational.asof_join,
         "range_join": relational.range_join,
+        "inactive_customers": relational.inactive_customers,
         "distinct_brand_types": relational.distinct_brand_types,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         DISTINCT_BRAND_TYPES_SQL,
         EVENTS_WINDOW_SQL,
         GROUPED_QUANTILES_SQL,
+        INACTIVE_CUSTOMERS_SQL,
         GROUPED_TOPK_SQL,
         JOIN_REVENUE_SQL,
         TOP_ORDERS_SQL,
@@ -330,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SESSIONIZE_SQL,
         "asof_join": ASOF_JOIN_SQL,
         "range_join": RANGE_JOIN_SQL,
+        "inactive_customers": INACTIVE_CUSTOMERS_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

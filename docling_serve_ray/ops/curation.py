@@ -537,21 +537,11 @@ def dedup_apply(sf_dir: str, *, survivor_spill_dir: str | None = None) -> ray.da
         lambda b: b.loc[b["is_keeper"] == 0, ["doc_id"]], batch_format="pandas"
     )
 
-    # 5. anti-join survivors ∖ drops (sentinel-tag bucketed group on ids)
-    keep_rows = survivors.select_columns(["doc_id"]).map_batches(
-        lambda b: b.assign(t=np.int64(0)), batch_format="pandas"
-    )
-    drop_rows = drops.map_batches(
-        lambda b: b.assign(t=np.int64(1)), batch_format="pandas"
-    )
+    # 5. anti-join survivors ∖ drops (shared sentinel-tag bucketed group)
+    from .shuffle import anti_join_ids
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.groupby("doc_id")["t"].transform("max") == 0
-        out = g.loc[keep & (g["t"] == 0), ["doc_id"]]
-        return out.astype({"doc_id": "int64"})
-
-    return bucketed_group_agg(
-        keep_rows.union(drop_rows), ["doc_id"], anti, num_buckets=nb
+    return anti_join_ids(
+        survivors.select_columns(["doc_id"]), drops, "doc_id", num_buckets=nb
     )
 
 

@@ -851,3 +851,42 @@ def range_join(
         per_bucket,
         num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
     )
+
+
+# --- anti-join ----------------------------------------------------------------
+
+INACTIVE_CUSTOMERS_SQL = """
+SELECT c.c_custkey
+FROM customer c
+LEFT JOIN (SELECT DISTINCT user_id FROM events) e ON e.user_id = c.c_custkey
+WHERE e.user_id IS NULL
+"""
+
+
+def inactive_customers(sf_dir: str) -> ray.data.Dataset:
+    """Customers with NO event activity — the distributed anti-join as a
+    first-class query (ops/shuffle.anti_join_ids: tag both sides, one
+    bucketed grouped reduce on the id; Dataset.join has no anti mode and
+    broadcasting the event-user set stops scaling once events outgrow a
+    worker's heap)."""
+    from .shuffle import anti_join_ids, input_bytes_estimate, scaled_num_buckets
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "key"}), batch_format="pandas"
+    )
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(
+        lambda b: b.rename(columns={"user_id": "key"}), batch_format="pandas"
+    )
+    nb = scaled_num_buckets(
+        input_bytes_estimate(
+            f"{sf_dir}/customer.parquet", f"{sf_dir}/events.parquet"
+        )
+    )
+    out = anti_join_ids(cust, ev, "key", num_buckets=nb)
+    return out.map_batches(
+        lambda b: b.rename(columns={"key": "c_custkey"}), batch_format="pandas"
+    )

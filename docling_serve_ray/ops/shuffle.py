@@ -281,3 +281,39 @@ def join_partitions(cap: int = 16, size_bytes: int | None = None) -> tuple[int, 
             # per-partition aggregator tax disappears with it.
             P = 1
     return P, {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
+
+
+def anti_join_ids(
+    keep: ray.data.Dataset,
+    drop: ray.data.Dataset,
+    id_col: str,
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """keep ∖ drop on an int64 id column — the distributed anti-join.
+
+    Shape: tag each side (0 = keep, 1 = drop), union, one bucketed grouped
+    reduce keyed on the id: a bucket holds every occurrence of each id it
+    sees, so "id has any drop row" is a local vectorized transform. One
+    thin shuffle of (id, tag) rows total; Dataset.join has no anti mode and
+    a broadcast set would ship the whole drop side to every task."""
+    import numpy as np
+
+    def tag(t: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {id_col: b[id_col].astype("int64"), "_t": np.int64(t)}
+            )
+
+        return f
+
+    rows = keep.map_batches(tag(0), batch_format="pandas").union(
+        drop.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        keep_mask = g.groupby(id_col)["_t"].transform("max") == 0
+        out = g.loc[keep_mask & (g["_t"] == 0), [id_col]]
+        return out.drop_duplicates(id_col).astype({id_col: "int64"})
+
+    return bucketed_group_agg(rows, [id_col], anti, num_buckets=num_buckets)
