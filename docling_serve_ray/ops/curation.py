@@ -142,19 +142,35 @@ WHERE strpos('0123456789abcdef',
 """
 
 
-def weighted_mix(sf_dir: str) -> ray.data.Dataset:
-    """Per-source sampling for dataset mixing: source ``srcN`` keeps a
-    (3 + N % 10)/16 fraction of its rows (a stand-in weight table — the
-    rule is the operator; a real pipeline feeds its own weights). The keep
-    decision hashes the stable doc_id (salted so it is independent of the
-    train/val/test split hash), so the mix is reproducible across runs,
-    engines and shard layouts — no RNG, no shuffle, no coordination."""
+def weighted_mix(
+    sf_dir: str, *, weights_path: str | None = None
+) -> ray.data.Dataset:
+    """Per-source sampling for dataset mixing. The keep decision hashes the
+    stable doc_id (salted so it is independent of the train/val/test split
+    hash), so the mix is reproducible across runs, engines and shard
+    layouts — no RNG, no shuffle, no coordination.
+
+    ``weights_path``: optional (source, rate16) parquet — the real
+    deployment shape: per-source keep rates out of 16, broadcast to every
+    task (weight tables are KB-scale). Sources absent from the table keep
+    nothing. Default is the stand-in rule ``srcN`` keeps (3 + N % 10)/16,
+    which the self-contained SQL oracle mirrors."""
+    rates_ref = None
+    if weights_path is not None:
+        import pyarrow.parquet as pq
+
+        wt = pq.read_table(weights_path).to_pydict()
+        rates_ref = ray.put(dict(zip(wt["source"], wt["rate16"])))
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         hv = batch["doc_id"].map(
             lambda d: int(hashlib.md5((str(d) + MIX_SALT).encode()).hexdigest()[0], 16)
         )
-        rate16 = 3 + (batch["source"].str.slice(3).astype("int64") % 10)
+        if rates_ref is None:
+            rate16 = 3 + (batch["source"].str.slice(3).astype("int64") % 10)
+        else:
+            rates = ray.get(rates_ref)
+            rate16 = batch["source"].map(lambda s: rates.get(s, 0))
         keep = hv < rate16
         return batch.loc[keep, ["doc_id", "source"]]
 

@@ -217,3 +217,27 @@ def test_normalize_text_adversarial(ray_session, tmp_path):
     assert got.loc[1, "text"] == "a b c d e"
     assert got.loc[3, "text"] == ""
     assert got.loc[4, "changed"] == 0
+
+
+def test_weighted_mix_explicit_weights_file(ray_session, tmp_path):
+    """weights_path parquet drives the rates (real deployment shape);
+    sources absent from the table keep nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import weighted_mix
+
+    rows = (
+        [(i, "t", "en", "keepall") for i in range(100)]
+        + [(i + 100, "t", "en", "keepnone") for i in range(100)]
+        + [(i + 200, "t", "en", "unlisted") for i in range(100)]
+    )
+    sf = _write_docs(tmp_path, rows)
+    wp = tmp_path / "weights.parquet"
+    pq.write_table(
+        pa.table({"source": ["keepall", "keepnone"], "rate16": [16, 0]}), wp
+    )
+    out = weighted_mix(sf, weights_path=str(wp)).to_pandas()
+    assert (out["source"] == "keepall").sum() == 100
+    assert (out["source"] == "keepnone").sum() == 0
+    assert (out["source"] == "unlisted").sum() == 0
