@@ -582,7 +582,9 @@ SELECT doc_id, norm AS text,
 FROM n
 """
 
-_WS_RE = None  # compiled lazily per process
+import re as _re
+
+_WS_RE = _re.compile(r"[ \t\n\r]+")
 
 
 def normalize_text(sf_dir: str) -> ray.data.Dataset:
@@ -590,14 +592,9 @@ def normalize_text(sf_dir: str) -> ray.data.Dataset:
     space/tab/newline/CR collapsed to one space, leading/trailing
     whitespace stripped. Emits the cleaned text plus changed flag and
     chars-removed count (n_chars_removed is negative when NFC composition
-    lengthens the string). Stateless streaming map — regex compiled once
-    per process."""
-    import re
+    lengthens the string). Stateless streaming map."""
     import unicodedata
 
-    global _WS_RE
-    if _WS_RE is None:
-        _WS_RE = re.compile(r"[ \t\n\r]+")
     ws = _WS_RE
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:

@@ -301,9 +301,11 @@ def anti_join_ids(
 
     def tag(t: int):
         def f(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {id_col: b[id_col].astype("int64"), "_t": np.int64(t)}
-            )
+            # per-batch distinct: the shuffle carries one row per distinct
+            # id per batch, not one per occurrence (a drop side with 10^9
+            # occurrences of few keys would otherwise ship whole)
+            ids = b[id_col].drop_duplicates().astype("int64")
+            return pd.DataFrame({id_col: ids, "_t": np.int64(t)})
 
         return f
 

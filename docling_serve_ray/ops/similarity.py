@@ -98,15 +98,24 @@ def _query_vectors(sf_dir: str) -> list:
     return q_rows
 
 
-def ann_topk(sf_dir: str) -> ray.data.Dataset:
-    """Top-5 cosine neighbors for query vectors vec_id < 10 → (qid, vec_id,
-    rank). Broadcast queries, per-batch matmul + partial top-k, final merge."""
+def _brute_topk(sf_dir: str, candidates: ray.data.Dataset) -> ray.data.Dataset:
+    """Shared brute-force core of ann_topk / ann_topk_filtered: broadcast
+    the query matrix, per-batch matmul + partial top-k over ``candidates``,
+    tiny per-query merge → (qid, vec_id, rank)."""
     q_rows = _query_vectors(sf_dir)
     qids = np.array([r["vec_id"] for r in q_rows])
     Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
     ref = ray.put((qids, Q))
 
     def per_batch_topk(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:  # filtered reads can yield empty fragments
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
         qids_, Q_ = ray.get(ref)
         ids, X = _batch_matrix(batch)
         sims = Q_ @ _normalize(X).T  # (nq, nb)
@@ -130,8 +139,14 @@ def ann_topk(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    cands = _emb(sf_dir).map_batches(per_batch_topk, batch_format="pyarrow")
+    cands = candidates.map_batches(per_batch_topk, batch_format="pyarrow")
     return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
+
+
+def ann_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 cosine neighbors for query vectors vec_id < 10 → (qid, vec_id,
+    rank). Broadcast queries, per-batch matmul + partial top-k, final merge."""
+    return _brute_topk(sf_dir, _emb(sf_dir))
 
 
 # Random-hyperplane LSH sizing for embedding_neardup. P(bit equal) for a
@@ -754,46 +769,16 @@ def ann_topk_filtered(sf_dir: str) -> ray.data.Dataset:
     """Filtered vector search: top-5 cosine neighbors restricted to a label
     predicate (the metadata-filtered ANN every retrieval stack needs). The
     label filter is pushed into the parquet read — row groups that contain
-    no matching label never leave storage — then the stage is ann_topk's
-    broadcast-queries + per-batch matmul + tiny merge, on the (smaller)
-    filtered stream. Same rank-not-sim output rule (DuckDB cosine is
-    float32; ranks are integer-stable because the corpus's similarity gaps
-    exceed that error)."""
+    no matching label never leave storage — then ann_topk's shared
+    broadcast-queries + per-batch matmul core (_brute_topk) runs on the
+    (smaller) filtered stream. Same rank-not-sim output rule (DuckDB cosine
+    is float32; ranks are integer-stable because the corpus's similarity
+    gaps exceed that error)."""
     import pyarrow.compute as pc
-
-    q_rows = _query_vectors(sf_dir)
-    qids = np.array([r["vec_id"] for r in q_rows])
-    Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
-    ref = ray.put((qids, Q))
-
-    def per_batch_topk(batch: pa.Table) -> pd.DataFrame:
-        qids_, Q_ = ray.get(ref)
-        ids, X = _batch_matrix(batch)
-        sims = Q_ @ _normalize(X).T
-        out = []
-        k = min(TOPK_K + 1, sims.shape[1])
-        for qi, qid in enumerate(qids_):
-            row = sims[qi]
-            idx = np.argpartition(-row, k - 1)[:k]
-            for j in idx:
-                if ids[j] != qid:
-                    out.append((int(qid), int(ids[j]), float(row[j])))
-        return pd.DataFrame(out, columns=["qid", "vec_id", "sim"])
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOPK_K)
-        return pd.DataFrame(
-            {
-                "qid": top["qid"].astype("int64"),
-                "vec_id": top["vec_id"].astype("int64"),
-                "rank": pd.Series(range(1, len(top) + 1), index=top.index, dtype="int64"),
-            }
-        )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
         filter=pc.field("label").isin(list(ANN_FILTER_LABELS)),
     )
-    cands = ds.map_batches(per_batch_topk, batch_format="pyarrow")
-    return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
+    return _brute_topk(sf_dir, ds)

@@ -85,7 +85,17 @@ class StreamingDedupIndex:
         self, ds: ray.data.Dataset, *, text_col: str = "text"
     ) -> ray.data.Dataset:
         """Append is_first (int64 0/1): 1 iff this row's content was never
-        seen before — across ALL datasets this index has processed."""
+        seen before — across ALL datasets this index has processed.
+
+        The result is MATERIALIZED before returning: the insert is a side
+        effect, so the transform must execute exactly once per call — a
+        lazy result re-executed by a second consumption (count() then
+        write_parquet()) would find every fingerprint already present and
+        mark genuinely-first rows 0. Remaining caveat (documented, not
+        solved): a Ray task retry after its shard inserts committed has
+        the same effect for that task's rows — at-least-once insertion is
+        inherent to side-effecting tasks; pipelines needing exactly-once
+        under worker loss should use the batch `exact_dedup` op."""
         shards = self.shards
         n = self.num_shards
 
@@ -107,7 +117,7 @@ class StreamingDedupIndex:
                 is_first[idx] = np.asarray(ref, dtype=np.int64)
             return batch.assign(is_first=is_first)
 
-        return ds.map_batches(f, batch_format="pandas")
+        return ds.map_batches(f, batch_format="pandas").materialize()
 
     def dedup(
         self, ds: ray.data.Dataset, *, text_col: str = "text"
