@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.asof_join,
         "range_join": relational.range_join,
         "inactive_customers": relational.inactive_customers,
+        "funnel_stages": relational.funnel_stages,
         "distinct_brand_types": relational.distinct_brand_types,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         SESSIONIZE_SQL,
         DISTINCT_BRAND_TYPES_SQL,
         EVENTS_WINDOW_SQL,
+        FUNNEL_STAGES_SQL,
         GROUPED_QUANTILES_SQL,
         INACTIVE_CUSTOMERS_SQL,
         GROUPED_TOPK_SQL,
@@ -333,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": ASOF_JOIN_SQL,
         "range_join": RANGE_JOIN_SQL,
         "inactive_customers": INACTIVE_CUSTOMERS_SQL,
+        "funnel_stages": FUNNEL_STAGES_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

@@ -890,3 +890,83 @@ def inactive_customers(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(
         lambda b: b.rename(columns={"key": "c_custkey"}), batch_format="pandas"
     )
+
+
+# --- funnel analysis (ordered sequence matching) -------------------------------
+
+FUNNEL_STAGES_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN s.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN s ON s.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+FUNNEL_SEQUENCE = ("signup", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-funnel analysis: per user, the furthest stage of
+    signup → click → purchase reached IN ORDER (each stage's earliest
+    event must be strictly after the previous stage's earliest qualifying
+    event). Stage 0 = user has events but never signed up.
+
+    The sequence-matching operator family (neither Ray Data nor the
+    reference has one). Same single-shuffle shape as sessionize: hash
+    -partition by user, then per bucket the stage times resolve with one
+    vectorized pass per stage (groupby-min + map; no per-user Python
+    loop)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        stage = pd.Series(np.int64(0), index=users["user_id"].to_numpy())
+        prev_t = None  # per-user time of the previous stage (pd.Series)
+        for depth, etype in enumerate(FUNNEL_SEQUENCE, start=1):
+            ev = g.loc[g["event_type"] == etype, ["user_id", "ts"]]
+            if prev_t is not None:
+                cutoff = ev["user_id"].map(prev_t)
+                ev = ev.loc[cutoff.notna().to_numpy() & (ev["ts"] > cutoff).to_numpy()]
+            if ev.empty:
+                break
+            t = ev.groupby("user_id")["ts"].min()
+            stage.loc[t.index] = np.int64(depth)
+            prev_t = t
+        return pd.DataFrame(
+            {
+                "user_id": stage.index.to_numpy().astype("int64"),
+                "funnel_stage": stage.to_numpy(),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds,
+        ["user_id"],
+        per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )

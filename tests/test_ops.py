@@ -601,3 +601,45 @@ def test_sketch_mergeability(ray_session, tmp_path):
         cu.sort_values(["sketch_row", "col"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_funnel_stage_ordering(ray_session, tmp_path):
+    """Stage order is strict: a purchase BEFORE the click must not count,
+    and equal timestamps do not advance (strictly-after semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import FUNNEL_STAGES_SQL, funnel_stages
+
+    base = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: full ordered funnel → stage 3
+        (1, 1, base, "signup"), (2, 1, base + s, "click"), (3, 1, base + 2 * s, "purchase"),
+        # user 2: purchase BEFORE its click → stage 2 only
+        (4, 2, base, "signup"), (5, 2, base + s, "purchase"), (6, 2, base + 2 * s, "click"),
+        # user 3: click at the SAME instant as signup → not strictly after → stage 1
+        (7, 3, base, "signup"), (8, 3, base, "click"),
+        # user 4: events but no signup → stage 0
+        (9, 4, base, "view"), (10, 4, base + s, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = funnel_stages(str(tmp_path)).to_pandas().set_index("user_id")["funnel_stage"]
+    assert got.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(FUNNEL_STAGES_SQL).df().set_index("user_id")["funnel_stage"]
+    assert got.sort_index().tolist() == want.sort_index().tolist()
