@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.top_tokens,
         "hll_tokens": text.hll_tokens,
         "cms_tokens": text.cms_tokens,
+        "bloom_tokens": text.bloom_tokens,
         "regex_token_count": text.regex_token_count,
         "rolling_fingerprint": text.rolling_fingerprint,
         "chunk_documents": text.chunk_documents,
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
         DATASET_SPLIT_SQL,
+        BLOOM_TOKENS_SQL,
         CMS_TOKENS_SQL,
         DECON_SQL,
         HLL_TOKENS_SQL,
@@ -297,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": TOP_TOKENS_SQL,
         "hll_tokens": HLL_TOKENS_SQL,
         "cms_tokens": CMS_TOKENS_SQL,
+        "bloom_tokens": BLOOM_TOKENS_SQL,
         "regex_token_count": REGEX_TOKEN_COUNT_SQL,
         "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,

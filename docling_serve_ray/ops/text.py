@@ -763,3 +763,102 @@ def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": batch["doc_id"], "rfp": rfps})
 
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# --- Bloom filter --------------------------------------------------------------
+#
+# Membership companion to the HLL (cardinality) and CMS (frequency)
+# sketches: a 2^15-bit array over the distinct-token domain, emitted as
+# (word, bits) uint64 rows — OR-mergeable across corpora and bit-exact
+# across engines. ``bloom_contains`` answers membership with no false
+# negatives (the decontamination screen shape: test a candidate's tokens
+# against a reference corpus's filter without shipping the corpus).
+# DuckDB's UBIGINT << overflow-checks at bit 63, so the twin shifts in
+# HUGEINT and casts back; bits travel as decimal VARCHAR on both sides
+# (the proven uint64-column comparison route, see rolling_fingerprint).
+BLOOM_K = 4
+BLOOM_BITS = 1 << 15  # 32768 bits = 512 words
+
+BLOOM_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+pos AS (
+  SELECT CAST(md5_number_upper(tok || ':bf' || r.r) % {BLOOM_BITS} AS BIGINT) AS p
+  FROM toks, (SELECT UNNEST(generate_series(0, {BLOOM_K - 1})) AS r) r
+),
+w AS (SELECT p >> 6 AS word, CAST(CAST(1 AS HUGEINT) << (p & 63) AS UBIGINT) AS b FROM pos)
+SELECT CAST(word AS BIGINT) AS word, CAST(bit_or(b) AS VARCHAR) AS bits
+FROM w GROUP BY word
+"""
+
+
+def bloom_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Bloom filter (k=4, m=2^15 bits) over the corpus's distinct tokens:
+    (word, bits) rows, word = bit-position >> 6, bits = OR of the set
+    bits in that 64-bit word (decimal string)."""
+    from .dedup import _md5_64_memo
+    from .shuffle import bucketed_group_agg
+
+    m = np.uint64(BLOOM_BITS)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        uniq = np.unique(np.asarray(toks, dtype=object))
+        if len(uniq) == 0:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype="int64"),
+                    "bits": pd.Series(dtype="uint64"),
+                }
+            )
+        outs = []
+        for r in range(BLOOM_K):
+            salt = f":bf{r}"
+            p = (
+                np.fromiter(
+                    (_md5_64_memo(t + salt) for t in uniq),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                % m
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "word": (p >> np.uint64(6)).astype("int64"),
+                        "bits": np.uint64(1) << (p & np.uint64(63)),
+                    }
+                )
+            )
+        part = pd.concat(outs, ignore_index=True)
+        return part.groupby("word", as_index=False)["bits"].agg(
+            np.bitwise_or.reduce
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", as_index=False)["bits"].agg(np.bitwise_or.reduce)
+        return pd.DataFrame(
+            {
+                "word": out["word"].astype("int64"),
+                "bits": out["bits"].map(str),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(ds, ["word"], merge, num_buckets=64)
+
+
+def bloom_contains(sketch: pd.DataFrame, token: str) -> bool:
+    """Membership probe: True iff every one of the k hashed bits is set
+    (no false negatives; false positives at the standard Bloom rate)."""
+    from .dedup import _md5_64
+
+    words = {
+        int(w): int(b) for w, b in zip(sketch["word"], sketch["bits"])
+    }
+    for r in range(BLOOM_K):
+        p = _md5_64(token + f":bf{r}") % BLOOM_BITS
+        if not (words.get(p >> 6, 0) >> (p & 63)) & 1:
+            return False
+    return True

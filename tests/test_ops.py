@@ -643,3 +643,59 @@ def test_funnel_stage_ordering(ray_session, tmp_path):
     )
     want = con.sql(FUNNEL_STAGES_SQL).df().set_index("user_id")["funnel_stage"]
     assert got.sort_index().tolist() == want.sort_index().tolist()
+
+
+def test_bloom_membership(ray_session, tmp_path):
+    """No false negatives for every inserted token; absent tokens mostly
+    rejected (k=4, m=2^15 — fp rate ~1e-8 at this fill); OR-merge of two
+    corpus filters equals the union filter."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import bloom_contains, bloom_tokens
+
+    def write(dirname, texts):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    a_toks = [f"present{i}" for i in range(200)]
+    b_toks = [f"other{i}" for i in range(200)]
+    da = write("a", [" ".join(a_toks[i : i + 10]) for i in range(0, 200, 10)])
+    db = write("b", [" ".join(b_toks[i : i + 10]) for i in range(0, 200, 10)])
+    du = write(
+        "u",
+        [" ".join(a_toks[i : i + 10]) for i in range(0, 200, 10)]
+        + [" ".join(b_toks[i : i + 10]) for i in range(0, 200, 10)],
+    )
+
+    sa = bloom_tokens(da).to_pandas()
+    assert all(bloom_contains(sa, t) for t in a_toks)  # no false negatives
+    absent_hits = sum(bloom_contains(sa, f"absent{i}") for i in range(500))
+    assert absent_hits <= 2  # fp rate at this fill is ~1e-8
+
+    # OR-merge property
+    sb = bloom_tokens(db).to_pandas()
+    su = bloom_tokens(du).to_pandas()
+    merged = (
+        pd.concat([sa, sb])
+        .assign(bits=lambda d: d["bits"].map(int))
+        .groupby("word", as_index=False)["bits"]
+        .agg(np.bitwise_or.reduce)
+        .assign(bits=lambda d: d["bits"].map(str))
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged, su.sort_values("word").reset_index(drop=True), check_dtype=False
+    )
