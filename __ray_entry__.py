@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": relational.range_join,
         "inactive_customers": relational.inactive_customers,
         "funnel_stages": relational.funnel_stages,
+        "retention_cohorts": relational.retention_cohorts,
         "distinct_brand_types": relational.distinct_brand_types,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         INACTIVE_CUSTOMERS_SQL,
         GROUPED_TOPK_SQL,
         JOIN_REVENUE_SQL,
+        RETENTION_COHORTS_SQL,
         TOP_ORDERS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
@@ -339,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": RANGE_JOIN_SQL,
         "inactive_customers": INACTIVE_CUSTOMERS_SQL,
         "funnel_stages": FUNNEL_STAGES_SQL,
+        "retention_cohorts": RETENTION_COHORTS_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

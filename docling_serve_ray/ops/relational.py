@@ -970,3 +970,61 @@ def funnel_stages(sf_dir: str) -> ray.data.Dataset:
         per_bucket,
         num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
     )
+
+
+# --- retention cohorts ----------------------------------------------------------
+
+RETENTION_COHORTS_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f JOIN a ON a.user_id = f.user_id
+GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
+"""
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by first-seen day, distinct
+    active users counted per (cohort_day, day_offset) — the retention
+    triangle every product pipeline publishes.
+
+    Two-level combine: hash-partition by user (each user's cohort and
+    active-day set resolve bucket-locally, one vectorized pass), emitting
+    one (cohort, offset) row per user-day; the final count is a tiny
+    grouped sum (cohorts × offsets cells ≪ users)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].dt.floor("D")
+        cohort = day.groupby(g["user_id"]).transform("min")
+        rows = pd.DataFrame(
+            {
+                "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+                "day_offset": ((day - cohort).dt.days).astype("int64"),
+                "user_id": g["user_id"],
+            }
+        ).drop_duplicates()  # one row per user per active day
+        out = rows.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return out.astype({"n_users": "int64"})
+
+    per_bucket = bucketed_group_agg(ds, ["user_id"], per_user_bucket, num_buckets=nb)
+
+    # final merge: cells are cohorts × offsets (tiny) — one more bucketed sum
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+        return out.astype({"day_offset": "int64", "n_users": "int64"})
+
+    return bucketed_group_agg(
+        per_bucket, ["cohort_day", "day_offset"], merge, num_buckets=64
+    )
