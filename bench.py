@@ -50,9 +50,12 @@ BENCH_QUERIES = [
     "events_window",
     "asof_join",
     "range_join",
+    "funnel_stages",
+    "retention_cohorts",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",
+    "bloom_tokens",
     "regex_token_count",
     "rolling_fingerprint",
     "chunk_documents",
