@@ -213,6 +213,14 @@ def _preemptive_child(conn, kernel, args, kwargs) -> None:
         conn.send({"__child_error__": f"{type(exc).__name__}: {exc}"})
     finally:
         conn.close()
+        # Skip interpreter teardown: a fork inside a Ray actor inherits
+        # gRPC/core-worker background threads whose locks may be held at
+        # fork time; exiting immediately after the pipe send minimizes the
+        # post-fork window where such a lock could deadlock the child (and
+        # be misreported as a document timeout).
+        import os as _os
+
+        _os._exit(0)
 
 
 def convert_document_preemptive(
@@ -236,7 +244,18 @@ def convert_document_preemptive(
     post-hoc marking never runs); ``kernel`` is injectable so tests can
     drive it with a deliberately slow kernel. Fork keeps the per-doc cost at
     ~1 ms (no interpreter re-import); the child ships its row dict back over
-    a pipe."""
+    a pipe.
+
+    Fork-safety caveat: forking inside a Ray actor worker duplicates a
+    process that runs gRPC / core-worker background threads, and a child
+    can inherit a lock held mid-operation at fork time — deadlocking before
+    the kernel runs, which the kill path then mislabels as a document
+    timeout (silent mislabeling, not a crash). Mitigations: this path is
+    default-off; the child calls ``os._exit`` right after the pipe send to
+    shrink the post-fork window; and the kernel itself is pure Python with
+    no Ray calls. For large ``document_timeout`` values prefer
+    ``ctx='spawn'`` / ``'forkserver'`` (amortized by the timeout) when
+    wiring a real, potentially-wedging parser backend."""
     import multiprocessing as _mp
     import time as _time
 

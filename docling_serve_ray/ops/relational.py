@@ -157,6 +157,12 @@ def _lookup(ref, probe: np.ndarray) -> np.ndarray:
     out = values[idx]
     if out.dtype == object or out.dtype.kind in "US":
         return np.where(hit, out, None)
+    if out.dtype.kind in "iu":
+        # Integer values must NOT round-trip through float64 to carry the
+        # missing-key NaN: values >= 2^53 would silently corrupt. Nullable
+        # masked extension array keeps exact integers and pd.NA for misses.
+        wide = "int64" if out.dtype.kind == "i" else "uint64"
+        return pd.arrays.IntegerArray(out.astype(wide), mask=~hit)
     return np.where(hit, out.astype("float64"), np.nan)
 
 

@@ -270,7 +270,10 @@ def join_partitions(cap: int = 16, size_bytes: int | None = None) -> tuple[int, 
     except Exception:
         ncpu = 4
     P = max(2, min(cap, ncpu // 2))
-    if size_bytes is not None:
+    if size_bytes:
+        # size_bytes == 0 means "unknown" (input_bytes_estimate's remote-URI
+        # fallback) — an unknown-size input must keep the CPU-scaled P, not
+        # be mistaken for a tiny one and funneled into a single aggregator.
         P = max(2, min(P, -(-size_bytes // (256 * 1024 * 1024))))
         if size_bytes < 64 * 1024 * 1024:
             # Tiny inputs take ONE partition: with sparse join inputs a

@@ -348,9 +348,19 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
     independently readable. The build is amortized: a manifest records the
     source fingerprint (size + mtime + nlist) and the centroid matrix, and
     an up-to-date index is reused instead of rebuilt — queries after the
-    first pay only the probed-cell reads."""
+    first pay only the probed-cell reads.
+
+    Concurrency-safe publish (ADVICE r03): the cell layout lives in a
+    VERSIONED data dir (``index_dir/v-<token>/cell=K/``); a rebuild writes a
+    fresh version dir and then atomically replaces the manifest (tmp +
+    ``os.replace``) to point at it, so a reader that resolved the manifest
+    keeps reading a complete old version while a rebuild runs beside it —
+    never a half-overwritten tree. Superseded versions are pruned
+    best-effort after a grace period."""
     import json
     import os
+    import time
+    import uuid
 
     manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
     fp = None
@@ -362,7 +372,11 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
     if fp is not None and os.path.exists(manifest):
         try:
             m = json.load(open(manifest))
-            if m.get("fingerprint") == fp:
+            if (
+                m.get("fingerprint") == fp
+                and m.get("version")
+                and os.path.isdir(os.path.join(index_dir, m["version"]))
+            ):
                 return np.array(m["centroids"], dtype=np.float64)
         except (ValueError, KeyError):
             pass  # torn manifest: rebuild
@@ -378,26 +392,61 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
         batch = batch.append_column("cell", pa.array(cell))
         return batch.append_column("cell_id", pa.array(cell))
 
+    version = f"v-{uuid.uuid4().hex[:12]}"
+    tmp_dir = os.path.join(index_dir, f".build-{version}")
     _emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"], mode="overwrite"
+        tmp_dir, partition_cols=["cell"], mode="overwrite"
     )
-    if fp is not None:
+    os.rename(tmp_dir, os.path.join(index_dir, version))  # complete tree appears at once
+    mtmp = f"{manifest}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(mtmp, "w") as f:
         json.dump(
-            {"fingerprint": fp, "centroids": cents.tolist()}, open(manifest, "w")
+            {"fingerprint": fp, "centroids": cents.tolist(), "version": version}, f
         )
+    os.replace(mtmp, manifest)  # readers flip versions atomically
+    # best-effort prune of superseded versions (grace period covers a
+    # concurrent reader that resolved the old manifest just before the flip)
+    now = time.time()
+    for name in os.listdir(index_dir):
+        p = os.path.join(index_dir, name)
+        if (
+            (name.startswith("v-") or name.startswith(".build-"))
+            and name != version
+            and os.path.isdir(p)
+        ):
+            try:
+                if now - os.path.getmtime(p) > 300:
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     return cents
+
+
+def ivf_data_dir(index_dir: str) -> str:
+    """Resolve the CURRENT versioned cell-partition dir of an IVF index
+    (the manifest's ``version`` entry; the manifest is replaced atomically
+    so this is race-free against a concurrent rebuild)."""
+    import json
+    import os
+
+    m = json.load(open(os.path.join(index_dir, "_IVF_MANIFEST.json")))
+    return os.path.join(index_dir, m["version"])
 
 
 def _probed_cell_paths(index_dir: str, cells: np.ndarray) -> list[str]:
     """Parquet files of the probed cells only (read_parquet wants file
-    paths when given a list)."""
+    paths when given a list). Resolves the current index version once, so
+    the whole probe reads one consistent snapshot."""
     import glob
     import os
 
+    data_dir = ivf_data_dir(index_dir)
     files: list[str] = []
     for c in np.unique(cells):
         files.extend(
-            sorted(glob.glob(os.path.join(index_dir, f"cell={int(c)}", "*.parquet")))
+            sorted(glob.glob(os.path.join(data_dir, f"cell={int(c)}", "*.parquet")))
         )
     return files
 
@@ -429,6 +478,12 @@ def ivf_topk(
     ref = ray.put((qids, Q, probe_cells))
 
     def per_batch(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            # an empty parquet fragment in a cell dir contributes nothing
+            # (reshape(0, -1) below would raise on a 0-row batch)
+            return pd.DataFrame({"qid": [], "vec_id": [], "sim": []}).astype(
+                {"qid": "int64", "vec_id": "int64", "sim": "float64"}
+            )
         qids_, Q_, probes_ = ray.get(ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         cell = batch["cell_id"].to_numpy(zero_copy_only=False)

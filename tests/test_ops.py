@@ -203,6 +203,50 @@ def test_input_bytes_estimate_warns_on_missing_path():
     assert any("no local bytes" in str(x.message) for x in w)
 
 
+def test_join_partitions_unknown_size_keeps_parallelism(ray_session):
+    """size_bytes == 0 means UNKNOWN (input_bytes_estimate's remote-URI
+    fallback), not tiny: an arbitrarily large remote input must keep the
+    CPU-scaled partition count, never be funneled into one aggregator
+    (ADVICE r03)."""
+    from docling_serve_ray.ops.shuffle import join_partitions
+
+    p_unknown, _ = join_partitions(size_bytes=0)
+    p_none, _ = join_partitions(size_bytes=None)
+    p_tiny, _ = join_partitions(size_bytes=1024)
+    assert p_unknown == p_none >= 2
+    assert p_tiny == 1
+
+
+def test_lookup_integer_values_exact():
+    """_lookup on an int64 value column must not round-trip through
+    float64: values >= 2^53 stay exact, misses surface as pd.NA
+    (ADVICE r03)."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_serve_ray.ops.relational import _lookup
+
+    big = 2**60 + 3  # not representable in float64
+    keys = np.array([1, 5, 9], dtype="int64")
+    values = np.array([big, 7, 11], dtype="int64")
+
+    class _FakeRef:  # duck-type ray.get passthrough
+        pass
+
+    import docling_serve_ray.ops.relational as rel
+
+    orig_get = rel.ray.get
+    rel.ray.get = lambda ref: ref if isinstance(ref, tuple) else orig_get(ref)
+    try:
+        out = _lookup((keys, values), np.array([1, 2, 9], dtype="int64"))
+    finally:
+        rel.ray.get = orig_get
+    assert str(out.dtype) == "Int64"
+    assert out[0] == big  # exact, no float corruption
+    assert out[1] is pd.NA
+    assert out[2] == 11
+
+
 def test_ivf_physical_pruning(ray_session, tmp_path):
     """nprobe < nlist must SKIP index bytes on disk, not filter in-task:
     the probed cell directories are a strict subset of the index."""
@@ -223,7 +267,9 @@ def test_ivf_physical_pruning(ray_session, tmp_path):
     )
     probe2 = np.argsort(-(Q @ cents.T), axis=1)[:, :2]
 
-    all_files = set(glob.glob(os.path.join(idx, "cell=*", "*.parquet")))
+    all_files = set(
+        glob.glob(os.path.join(sim.ivf_data_dir(idx), "cell=*", "*.parquet"))
+    )
     probed_files = set(sim._probed_cell_paths(idx, probe2))
     assert probed_files and probed_files < all_files
     probed_bytes = sum(os.path.getsize(f) for f in probed_files)
@@ -250,18 +296,24 @@ def test_ivf_index_reuse(ray_session, tmp_path):
     c1 = sim.ivf_build(SF, idx)
     manifest = os.path.join(idx, "_IVF_MANIFEST.json")
     assert os.path.exists(manifest)
-    # tag one cell dir; a reuse must leave it in place
-    marker = os.path.join(idx, "cell=0", "_marker")
+    v1 = sim.ivf_data_dir(idx)
+    # tag the current version's cell dir; a reuse must leave it in place
+    marker = os.path.join(v1, "cell=0", "_marker")
     open(marker, "w").write("x")
     c2 = sim.ivf_build(SF, idx)
     assert np.array_equal(c1, c2)
-    assert os.path.exists(marker)  # not rebuilt
-    # stale fingerprint -> rebuild (marker wiped by overwrite)
+    assert sim.ivf_data_dir(idx) == v1  # reused, not rebuilt
+    assert os.path.exists(marker)
+    # stale fingerprint -> rebuild publishes a NEW version; the old tree
+    # (with the marker) survives the grace period so a concurrent reader
+    # of the old snapshot is never yanked mid-probe
     m = json.load(open(manifest))
     m["fingerprint"] = "stale"
     json.dump(m, open(manifest, "w"))
     sim.ivf_build(SF, idx)
-    assert not os.path.exists(marker)
+    v2 = sim.ivf_data_dir(idx)
+    assert v2 != v1
+    assert not os.path.exists(os.path.join(v2, "cell=0", "_marker"))
 
 
 def test_simhash_rows_only(ray_session):
