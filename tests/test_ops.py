@@ -495,6 +495,71 @@ def test_semantic_dedup_drop_semantics(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_canon(got), want, check_dtype=False)
 
 
+def test_semantic_dedup_scaled_k_bounds_cluster_scan(ray_session):
+    """VERDICT r03 #1: k must scale with corpus size so the per-cluster
+    O(|cluster|²) scan stays bounded. Force a small target_cluster_size,
+    check (a) k scales, (b) the per-bucket reduce frames are bounded far
+    below the corpus (no task holds ~n/8 of the vectors), and (c) the
+    output still matches the equally-parameterized SQL twin exactly."""
+    import numpy as np
+
+    from docling_serve_ray.ops import similarity as sim
+
+    target = 16
+    k = sim._semantic_k(SF, target)
+    n = 500  # sf0.001 embeddings rows
+    assert k == (n + target - 1) // target  # 32 — scaled, not the floor 8
+    assert sim._semantic_k(SF, 10**9) == sim.KMEANS_K  # floor holds
+
+    # (b) bound the reduce frames: reproduce the op's bucket assignment
+    # (cluster label -> hash bucket) and assert the largest bucket holds a
+    # small fraction of the augmented corpus, not ~n/KMEANS_K
+    from docling_serve_ray.ops.shuffle import add_bucket_column
+
+    cen = sim._lloyd_centroids(SF, aug=True, k=k)
+    rows = sim._emb(SF).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids, X = sim._augment_embeddings(ids, X)
+    lab = sim._kmeans_assign(X, cen)
+    df = pd.DataFrame({"cluster": lab.astype("int64")})
+    bucketed = add_bucket_column(df, ["cluster"], k)
+    biggest = bucketed.groupby("_bucket").size().max()
+    n_aug = len(ids)
+    assert biggest < n_aug / 4, (biggest, n_aug)
+
+    # (c) exactness under the forced target, both sides parameterized
+    got = sim.semantic_dedup(SF, target_cluster_size=target).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = _canon(con.sql(sim._semantic_dedup_sql(target)).df())
+    pd.testing.assert_frame_equal(_canon(got), want, check_dtype=False)
+
+
+def test_pairwise_drop_mask_tiled_equals_full():
+    """The block-tiled pair scan must equal the full triu computation for
+    every block size, including blocks that straddle cluster boundaries."""
+    import numpy as np
+
+    from docling_serve_ray.ops.similarity import _pairwise_drop_mask
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(37, 8))
+    X[5] = X[2]  # exact dup -> 5 dropped
+    X[30] = X[7] + 1e-9  # near dup -> 30 dropped
+    X[12] = 0.0  # zero vector -> NaN row, never matches
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = (Xn @ Xn.T) >= 0.99
+    full = np.triu(S, 1).any(axis=0)
+    for block in (1, 2, 3, 8, 37, 64):
+        got = _pairwise_drop_mask(Xn, 0.99, block=block)
+        assert np.array_equal(got, full), block
+    assert full[5] and full[30] and not full[12] and not full[2]
+
+
 def _unit_orth(rng, w):
     """A unit vector orthogonal to w."""
     import numpy as np
