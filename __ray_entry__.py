@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_tokens": text.hll_tokens,
         "cms_tokens": text.cms_tokens,
         "bloom_tokens": text.bloom_tokens,
+        # distributed sketch unions: per-half sketches merged by the
+        # sketch monoid; oracle = whole-corpus sketch (exact mergeability)
+        "hll_union": text.hll_union,
+        "cms_union": text.cms_union,
+        "bloom_union": text.bloom_union,
         "regex_token_count": text.regex_token_count,
         "rolling_fingerprint": text.rolling_fingerprint,
         "chunk_documents": text.chunk_documents,
@@ -302,6 +307,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_tokens": HLL_TOKENS_SQL,
         "cms_tokens": CMS_TOKENS_SQL,
         "bloom_tokens": BLOOM_TOKENS_SQL,
+        # the union ops' oracle IS the whole-corpus sketch: a green row
+        # proves union(sketch(A), sketch(B)) == sketch(A ∪ B) bit-exactly
+        "hll_union": HLL_TOKENS_SQL,
+        "cms_union": CMS_TOKENS_SQL,
+        "bloom_union": BLOOM_TOKENS_SQL,
         "regex_token_count": REGEX_TOKEN_COUNT_SQL,
         "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,

@@ -526,11 +526,14 @@ FROM s6 GROUP BY register
 """
 
 
-def hll_tokens(sf_dir: str) -> ray.data.Dataset:
+def hll_tokens(sf_dir: str, *, docs: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """HyperLogLog register sketch (p=12) of the corpus's distinct tokens:
     (register, rho) rows, register = top 12 bits of the token's 64-bit md5
     fold, rho = 1 + leading-zero count of the remaining 52 bits (53 when
-    they are all zero), maxed per register across the corpus."""
+    they are all zero), maxed per register across the corpus.
+
+    ``docs`` overrides the document source (hll_union sketches each half
+    of the corpus independently through this seam)."""
     from .dedup import _md5_64_memo
     from .shuffle import bucketed_group_agg
 
@@ -562,7 +565,8 @@ def hll_tokens(sf_dir: str) -> ray.data.Dataset:
         out = g.groupby("register", as_index=False)["rho"].max()
         return out.astype({"register": "int64", "rho": "int64"})
 
-    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    src = docs if docs is not None else _docs(sf_dir)
+    ds = src.map_batches(partial, batch_format="pyarrow")
     # the key domain is fixed (m=4096) — a small fixed bucket count keeps
     # per-bucket frames at batches × m/64 rows regardless of corpus size
     return bucketed_group_agg(ds, ["register"], merge, num_buckets=64)
@@ -611,10 +615,11 @@ FROM h GROUP BY sketch_row, col
 """
 
 
-def cms_tokens(sf_dir: str) -> ray.data.Dataset:
+def cms_tokens(sf_dir: str, *, docs: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """Count-Min sketch (d=4, w=1024) of token occurrence counts:
     (sketch_row, col, total) cells, col = md5-fold of token salted with the
-    row index, totals summed over the corpus."""
+    row index, totals summed over the corpus. ``docs`` overrides the
+    document source (cms_union's per-half sketches)."""
     from .dedup import _md5_64_memo
     from .shuffle import bucketed_group_agg
 
@@ -652,7 +657,8 @@ def cms_tokens(sf_dir: str) -> ray.data.Dataset:
         out = g.groupby(["sketch_row", "col"], as_index=False)["total"].sum()
         return out.astype({"sketch_row": "int64", "col": "int64", "total": "int64"})
 
-    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    src = docs if docs is not None else _docs(sf_dir)
+    ds = src.map_batches(partial, batch_format="pyarrow")
     return bucketed_group_agg(ds, ["sketch_row", "col"], merge, num_buckets=64)
 
 
@@ -793,10 +799,11 @@ FROM w GROUP BY word
 """
 
 
-def bloom_tokens(sf_dir: str) -> ray.data.Dataset:
+def bloom_tokens(sf_dir: str, *, docs: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """Bloom filter (k=4, m=2^15 bits) over the corpus's distinct tokens:
     (word, bits) rows, word = bit-position >> 6, bits = OR of the set
-    bits in that 64-bit word (decimal string)."""
+    bits in that 64-bit word (decimal string). ``docs`` overrides the
+    document source (bloom_union's per-half sketches)."""
     from .dedup import _md5_64_memo
     from .shuffle import bucketed_group_agg
 
@@ -845,7 +852,8 @@ def bloom_tokens(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    src = docs if docs is not None else _docs(sf_dir)
+    ds = src.map_batches(partial, batch_format="pyarrow")
     return bucketed_group_agg(ds, ["word"], merge, num_buckets=64)
 
 
@@ -862,3 +870,82 @@ def bloom_contains(sketch: pd.DataFrame, token: str) -> bool:
         if not (words.get(p >> 6, 0) >> (p & 63)) & 1:
             return False
     return True
+
+
+# --- distributed sketch unions -------------------------------------------------
+#
+# The shape a 100-TB pipeline actually ships (VERDICT r03 #6): each corpus
+# shard builds its sketch INDEPENDENTLY (no cross-shard shuffle of raw
+# tokens), and the tiny fixed-size sketch tables are what travels — merged
+# by the sketch's own monoid (HLL register max, CMS cell add, Bloom word
+# OR). Here the two "shards" are the doc_id-parity halves of the corpus;
+# the oracle is the WHOLE-corpus sketch SQL, so each green row proves the
+# defining property union(sketch(A), sketch(B)) == sketch(A ∪ B) exactly,
+# not approximately.
+
+
+def _docs_half(sf_dir: str, parity: int) -> ray.data.Dataset:
+    """One parity half of the documents table. The parity predicate can't
+    prune row groups (both parities live everywhere), so it runs as a
+    vectorized Arrow filter right after the pruned column read."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), parity)
+        )
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def hll_union(sf_dir: str) -> ray.data.Dataset:
+    """Union of two independently-built half-corpus HLL sketches via
+    per-register MAX — bit-identical to sketching the whole corpus."""
+    from .shuffle import bucketed_group_agg
+
+    halves = hll_tokens(sf_dir, docs=_docs_half(sf_dir, 0)).union(
+        hll_tokens(sf_dir, docs=_docs_half(sf_dir, 1))
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("register", as_index=False)["rho"].max()
+        return out.astype({"register": "int64", "rho": "int64"})
+
+    return bucketed_group_agg(halves, ["register"], merge, num_buckets=16)
+
+
+def cms_union(sf_dir: str) -> ray.data.Dataset:
+    """Union of two independently-built half-corpus Count-Min sketches via
+    cell-wise ADD — integer-exact vs the whole-corpus sketch."""
+    from .shuffle import bucketed_group_agg
+
+    halves = cms_tokens(sf_dir, docs=_docs_half(sf_dir, 0)).union(
+        cms_tokens(sf_dir, docs=_docs_half(sf_dir, 1))
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["sketch_row", "col"], as_index=False)["total"].sum()
+        return out.astype({"sketch_row": "int64", "col": "int64", "total": "int64"})
+
+    return bucketed_group_agg(halves, ["sketch_row", "col"], merge, num_buckets=16)
+
+
+def bloom_union(sf_dir: str) -> ray.data.Dataset:
+    """Union of two independently-built half-corpus Bloom filters via
+    per-word bit OR — bit-identical to the whole-corpus filter. The half
+    sketches carry bits as decimal strings (the engine-portable uint64
+    route); the merge parses, ORs, and re-emits the same encoding."""
+    from .shuffle import bucketed_group_agg
+
+    halves = bloom_tokens(sf_dir, docs=_docs_half(sf_dir, 0)).union(
+        bloom_tokens(sf_dir, docs=_docs_half(sf_dir, 1))
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g.assign(b=g["bits"].map(lambda s: np.uint64(int(s))))
+        out = vals.groupby("word", as_index=False)["b"].agg(np.bitwise_or.reduce)
+        return pd.DataFrame(
+            {"word": out["word"].astype("int64"), "bits": out["b"].map(str)}
+        )
+
+    return bucketed_group_agg(halves, ["word"], merge, num_buckets=16)

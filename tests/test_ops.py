@@ -720,6 +720,35 @@ def test_sketch_mergeability(ray_session, tmp_path):
     )
 
 
+def test_sketch_union_ops_equal_whole_corpus(ray_session):
+    """The distributed union OPS (per-half sketches merged by the sketch
+    monoid) must equal the whole-corpus sketch bit-exactly, and the parity
+    halves must partition the corpus (disjoint + complete)."""
+    from docling_serve_ray.ops.text import (
+        _docs,
+        _docs_half,
+        bloom_tokens,
+        bloom_union,
+        cms_tokens,
+        cms_union,
+        hll_tokens,
+        hll_union,
+    )
+
+    n0 = _docs_half(SF, 0).count()
+    n1 = _docs_half(SF, 1).count()
+    assert n0 + n1 == _docs(SF).count() and n0 > 0 and n1 > 0
+
+    for union_op, whole_op, keys in (
+        (hll_union, hll_tokens, ["register"]),
+        (cms_union, cms_tokens, ["sketch_row", "col"]),
+        (bloom_union, bloom_tokens, ["word"]),
+    ):
+        got = union_op(SF).to_pandas().sort_values(keys).reset_index(drop=True)
+        want = whole_op(SF).to_pandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_funnel_stage_ordering(ray_session, tmp_path):
     """Stage order is strict: a purchase BEFORE the click must not count,
     and equal timestamps do not advance (strictly-after semantics)."""
