@@ -462,19 +462,76 @@ FROM s GROUP BY user_id, sid
 
 SESSION_GAP = pd.Timedelta(minutes=30)
 
+# Single-key skew guard (VERDICT r03 #5): byte-scaled buckets bound the
+# AVERAGE reduce frame of the keyed-log ops, but one pathological key (a
+# bot user holding half the corpus) still lands whole in one task. Each op
+# therefore (a) raises an informative error — not an OOM — when one key's
+# group exceeds max_group_rows on the default single-shuffle path, and
+# (b) offers a time-sliced path (slice_width=...) that shuffles by
+# (user, time-slice) so a hot user spreads over many tasks, with exact
+# boundary reconciliation: sessionize stitches boundary sessions,
+# range_join replicates a window-deep halo, asof_join forward-carries the
+# latest click. Oracle output is identical on every path (test-forced).
+DEFAULT_MAX_GROUP_ROWS = 5_000_000
 
-def sessionize(sf_dir: str) -> ray.data.Dataset:
+
+def _guard_group_rows(g: pd.DataFrame, keys: list, limit: int, op: str) -> None:
+    if len(g) <= limit:  # cheap short-circuit: a bucket smaller than the
+        return  # limit cannot contain an oversized group
+    sizes = g.groupby(keys, sort=False).size()
+    if int(sizes.max()) > limit:
+        hot = sizes.idxmax()
+        raise ValueError(
+            f"{op}: key {hot!r} holds {int(sizes.max())} rows "
+            f"(> max_group_rows={limit}); one reduce task would "
+            f"materialize it whole. Re-run with slice_width= (time-sliced "
+            f"skew path) or raise max_group_rows explicitly."
+        )
+
+
+def _fmt_session(out: pd.DataFrame) -> pd.DataFrame:
+    out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value_c"] = out["sum_value_c"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["user_id", "session_start", "n_events", "sum_value_c"]]
+
+
+def sessionize(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
     """Gap-based sessionization (30-min inactivity) per user — the
     stream-shaped operator family. Ray Data has no event-time windows
     (neither does the reference, SURVEY.md §2.4); the input is treated as a
     keyed log: bucketed groupby(user_id), in-group sort by (ts, event_id),
-    vectorized gap-diff → session ids → per-session aggregate. Ordering
-    assumption: all events of one user fit one group (bucket); the bucket
+    vectorized gap-diff → session ids → per-session aggregate. The bucket
     count scales with input bytes so a bucket's pandas frame stays bounded
-    (a fixed count would grow per-bucket size linearly with the corpus)."""
+    on average; a single key above ``max_group_rows`` raises instead of
+    OOMing, pointing at ``slice_width``.
+
+    slice_width (e.g. "1D"): the skew-proof path — shuffle by
+    (user, ts-floor(slice_width)) so a hot user's events spread across
+    tasks. Sessions are computed per slice; a session touching a slice
+    edge (within SESSION_GAP of it) is a BOUNDARY candidate and goes
+    through one thin per-user stitching reduce (candidates are ≤2 per
+    user-slice — bounded by the calendar, not the event count); interior
+    sessions are provably unmergeable (the nearest other-slice event is
+    > gap away) and ship straight to the output. Result is exactly the
+    single-shuffle output."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    if slice_width is not None:
+        return _sessionize_sliced(ds, slice_width, nb, max_group_rows)
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id"], max_group_rows, "sessionize")
         g = g.sort_values(["user_id", "ts", "event_id"])
         new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > SESSION_GAP
@@ -488,19 +545,95 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
             n_events=("event_id", "size"),
             sum_value_c=("_cents", "sum"),
         )
-        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_start", "n_events", "sum_value_c"]]
+        return _fmt_session(out)
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
-    )
-    return bucketed_group_agg(
-        ds,
+    return bucketed_group_agg(ds, ["user_id"], per_bucket, num_buckets=nb)
+
+
+def _sessionize_sliced(
+    ds: ray.data.Dataset, slice_width: str, nb: int, max_group_rows: int
+) -> ray.data.Dataset:
+    from .shuffle import bucketed_group_agg
+
+    width = pd.Timedelta(slice_width)
+    if width <= SESSION_GAP:
+        raise ValueError("slice_width must exceed the session gap")
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_slice=b["ts"].dt.floor(width))
+
+    def per_slice(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id", "_slice"], max_group_rows, "sessionize")
+        g = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+        key_change = g["user_id"].ne(g["user_id"].shift()) | g["_slice"].ne(
+            g["_slice"].shift()
+        )
+        gap_break = g["ts"].diff() > SESSION_GAP
+        sid = (key_change | gap_break).cumsum()
+        g = g.assign(
+            _sid=sid, _cents=np.floor(g["value"] * 100 + 0.5).astype("int64")
+        )
+        s = g.groupby(["user_id", "_slice", "_sid"], as_index=False).agg(
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            n_events=("event_id", "size"),
+            sum_value_c=("_cents", "sum"),
+        )
+        first_sid = s.groupby(["user_id", "_slice"])["_sid"].transform("min")
+        last_sid = s.groupby(["user_id", "_slice"])["_sid"].transform("max")
+        near_start = s["first_ts"] <= s["_slice"] + SESSION_GAP
+        near_end = s["last_ts"] >= s["_slice"] + (width - SESSION_GAP)
+        cand = ((s["_sid"] == first_sid) & near_start) | (
+            (s["_sid"] == last_sid) & near_end
+        )
+        return pd.DataFrame(
+            {
+                "user_id": s["user_id"].astype("int64"),
+                "first_ts": s["first_ts"],
+                "last_ts": s["last_ts"],
+                "n_events": s["n_events"].astype("int64"),
+                "sum_value_c": s["sum_value_c"].astype("int64"),
+                "_cand": cand.astype("int64"),
+            }
+        )
+
+    # session-level rows, far smaller than the event log; materialized once
+    # because both the interior and the stitching consumer read them
+    sessions = bucketed_group_agg(
+        ds.map_batches(add_slice, batch_format="pandas"),
+        ["user_id", "_slice"],
+        per_slice,
+        num_buckets=nb,
+    ).materialize()
+
+    def interior_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["_cand"] == 0, ["user_id", "first_ts", "n_events", "sum_value_c"]]
+        out = out.rename(columns={"first_ts": "session_start"})
+        return _fmt_session(out)
+
+    def cand_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["_cand"] == 1].drop(columns=["_cand"])
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "first_ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap_break = (g["first_ts"] - g["last_ts"].shift()) > SESSION_GAP
+        gid = (new_user | gap_break).cumsum()
+        out = g.assign(_gid=gid).groupby(["user_id", "_gid"], as_index=False).agg(
+            session_start=("first_ts", "min"),
+            n_events=("n_events", "sum"),
+            sum_value_c=("sum_value_c", "sum"),
+        )
+        return _fmt_session(out)
+
+    interior = sessions.map_batches(interior_rows, batch_format="pandas")
+    stitched = bucketed_group_agg(
+        sessions.map_batches(cand_rows, batch_format="pandas"),
         ["user_id"],
-        per_bucket,
-        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+        stitch,
+        num_buckets=min(nb, 16),
     )
+    return interior.union(stitched)
 
 
 GROUPED_TOPK_K = 3
@@ -673,11 +806,84 @@ FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
 """
 
 
-def asof_join(sf_dir: str) -> ray.data.Dataset:
+def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Shared as-of core: purchases merge_asof'd against clicks within one
+    reduce frame (sentinel keeps the id column int64 end-to-end). Used by
+    both the single-shuffle and the sliced+carry paths."""
+    p = g.loc[g["event_type"] == "purchase", ["event_id", "user_id", "ts"]]
+    c = g.loc[g["event_type"] == "click", ["event_id", "user_id", "ts"]]
+    if p.empty:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "click_event_id": pd.Series(dtype="int64"),
+                "lag_us": pd.Series(dtype="int64"),
+            }
+        )
+    p = p.sort_values("ts", kind="stable")
+    # one sentinel click (event_id -1) per purchase user, earlier than
+    # every real timestamp: every purchase then matches SOMETHING, so
+    # merge_asof never introduces NaN and the id column stays int64
+    # end-to-end (a float64 round-trip would corrupt ids >= 2^53)
+    sentinel_ts = g["ts"].min() - pd.Timedelta(microseconds=1)
+    sent = pd.DataFrame(
+        {
+            "event_id": np.int64(-1),
+            "user_id": p["user_id"].unique(),
+            "ts": sentinel_ts,
+        }
+    ).astype({"ts": g["ts"].dtype})
+    # ascending (ts, event_id) → merge_asof's last-equal-ts row is the
+    # max event_id: the documented tie-break
+    c = pd.concat([sent, c], ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="stable"
+    )
+    c = c.assign(c_ts=c["ts"])
+    m = pd.merge_asof(
+        p, c, on="ts", by="user_id", direction="backward", suffixes=("", "_c")
+    )
+    click_id = m["event_id_c"].to_numpy()
+    assert click_id.dtype == np.int64, click_id.dtype  # sentinel contract
+    matched = click_id >= 0
+    lag = np.full(len(m), -1, dtype="int64")
+    lag[matched] = (
+        (m.loc[matched, "ts"].to_numpy() - m.loc[matched, "c_ts"].to_numpy())
+        .astype("timedelta64[us]")
+        .astype("int64")
+    )
+    return pd.DataFrame(
+        {
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "click_event_id": click_id,
+            "lag_us": lag,
+        }
+    )
+
+
+def asof_join(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
     """Attribution as-of join: each purchase event joined to the same
     user's most recent click at-or-before it (backward as-of, exact
     matches allowed). Output is all purchases; unmatched rows carry
-    click_event_id = lag_us = -1."""
+    click_event_id = lag_us = -1.
+
+    slice_width (e.g. "1D"): the skew-proof path — shuffle by
+    (user, ts-floor(slice_width)). The as-of lookback is unbounded, so a
+    thin CARRY pre-pass computes, per (user, slice-with-purchases), the
+    latest click of any EARLIER slice (one combiner + one per-user reduce
+    over per-slice summary rows — bounded by the calendar, not the event
+    count) and injects it into the slice as an extra click row; the local
+    merge_asof then sees everything it needs. Clicks from other slices
+    that share a reduce bucket are harmless: earlier ones are dominated by
+    the carry, later ones are beyond the purchase's timestamp. Identical
+    output to the single-shuffle path (test-forced). The default path
+    raises (not OOMs) when one user exceeds ``max_group_rows``."""
     import pyarrow.compute as pc
 
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
@@ -687,65 +893,113 @@ def asof_join(sf_dir: str) -> ray.data.Dataset:
         columns=["event_id", "user_id", "ts", "event_type"],
         filter=pc.field("event_type").isin(["purchase", "click"]),
     )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    if slice_width is not None:
+        return _asof_join_sliced(ds, slice_width, nb, max_group_rows)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.loc[g["event_type"] == "purchase", ["event_id", "user_id", "ts"]]
-        c = g.loc[g["event_type"] == "click", ["event_id", "user_id", "ts"]]
-        if p.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series(dtype="int64"),
-                    "user_id": pd.Series(dtype="int64"),
-                    "click_event_id": pd.Series(dtype="int64"),
-                    "lag_us": pd.Series(dtype="int64"),
-                }
-            )
-        p = p.sort_values("ts", kind="stable")
-        # one sentinel click (event_id -1) per purchase user, earlier than
-        # every real timestamp: every purchase then matches SOMETHING, so
-        # merge_asof never introduces NaN and the id column stays int64
-        # end-to-end (a float64 round-trip would corrupt ids >= 2^53)
-        sentinel_ts = g["ts"].min() - pd.Timedelta(microseconds=1)
-        sent = pd.DataFrame(
-            {
-                "event_id": np.int64(-1),
-                "user_id": p["user_id"].unique(),
-                "ts": sentinel_ts,
-            }
-        ).astype({"ts": g["ts"].dtype})
-        # ascending (ts, event_id) → merge_asof's last-equal-ts row is the
-        # max event_id: the documented tie-break
-        c = pd.concat([sent, c], ignore_index=True).sort_values(
-            ["ts", "event_id"], kind="stable"
+        _guard_group_rows(g, ["user_id"], max_group_rows, "asof_join")
+        return _asof_bucket(g)
+
+    return bucketed_group_agg(ds, ["user_id"], per_bucket, num_buckets=nb)
+
+
+def _asof_join_sliced(
+    ds: ray.data.Dataset, slice_width: str, nb: int, max_group_rows: int
+) -> ray.data.Dataset:
+    """Skew-proof as-of join: (user, time-slice) shuffle + a carry pre-pass
+    injecting each purchase-slice's latest earlier click (see asof_join
+    docstring)."""
+    from .shuffle import bucketed_group_agg
+
+    width = pd.Timedelta(slice_width)
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_slice=b["ts"].dt.floor(width))
+
+    sliced = ds.map_batches(add_slice, batch_format="pandas")
+
+    # --- carry pre-pass: summary rows are one per (user, slice) per batch,
+    # so the per-user reduce frame scales with the CALENDAR, not the events
+    def summary_partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_c = b["event_type"] == "click"
+        clicks = (
+            b.loc[is_c, ["user_id", "_slice", "ts", "event_id"]]
+            .sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+            .groupby(["user_id", "_slice"], as_index=False)
+            .last()
+            .rename(columns={"ts": "click_ts", "event_id": "click_id"})
         )
-        c = c.assign(c_ts=c["ts"])
-        m = pd.merge_asof(
-            p, c, on="ts", by="user_id", direction="backward", suffixes=("", "_c")
+        purch = (
+            b.loc[~is_c, ["user_id", "_slice"]]
+            .drop_duplicates()
+            .assign(has_p=np.int8(1))
         )
-        click_id = m["event_id_c"].to_numpy()
-        assert click_id.dtype == np.int64, click_id.dtype  # sentinel contract
-        matched = click_id >= 0
-        lag = np.full(len(m), -1, dtype="int64")
-        lag[matched] = (
-            (m.loc[matched, "ts"].to_numpy() - m.loc[matched, "c_ts"].to_numpy())
-            .astype("timedelta64[us]")
-            .astype("int64")
+        m = clicks.merge(purch, on=["user_id", "_slice"], how="outer")
+        m["has_p"] = m["has_p"].fillna(0).astype("int8")
+        m["click_id"] = m["click_id"].fillna(-1).astype("int64")
+        return m
+
+    def carry_final(g: pd.DataFrame) -> pd.DataFrame:
+        # merge batch partials per (user, slice): max (click_ts, click_id),
+        # any purchase flag. NaT-first sort so .last() lands on the winner.
+        g = g.sort_values(
+            ["user_id", "_slice", "click_ts", "click_id"],
+            kind="stable",
+            na_position="first",
         )
+        agg = g.groupby(["user_id", "_slice"], as_index=False).agg(
+            click_ts=("click_ts", "last"),
+            click_id=("click_id", "last"),
+            has_p=("has_p", "max"),
+        )
+        agg = agg.sort_values(["user_id", "_slice"], kind="stable")
+        # latest click at-or-before each slice, positionally (no float ids):
+        # click timestamps strictly increase across a user's slices, so the
+        # most recent click row index forward-fills correctly
+        pos = pd.Series(
+            np.where(agg["click_ts"].notna(), np.arange(len(agg), dtype="float64"), np.nan),
+            index=agg.index,
+        )
+        filled = pos.groupby(agg["user_id"], sort=False).ffill()
+        prev = filled.groupby(agg["user_id"], sort=False).shift(1)
+        take = agg["has_p"].astype(bool).to_numpy() & prev.notna().to_numpy()
+        idx = prev.to_numpy()[take].astype("int64")
         return pd.DataFrame(
             {
-                "event_id": m["event_id"].astype("int64"),
-                "user_id": m["user_id"].astype("int64"),
-                "click_event_id": click_id,
-                "lag_us": lag,
+                "user_id": agg["user_id"].to_numpy()[take],
+                "_slice": agg["_slice"].to_numpy()[take],
+                "carry_ts": agg["click_ts"].to_numpy()[idx],
+                "carry_id": agg["click_id"].to_numpy()[idx],
             }
         )
 
-    return bucketed_group_agg(
-        ds,
+    carry = bucketed_group_agg(
+        sliced,
         ["user_id"],
-        per_bucket,
-        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+        carry_final,
+        partial_fn=summary_partial,
+        num_buckets=min(nb, 64),
     )
+
+    def carry_as_clicks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["carry_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["carry_ts"],
+                "event_type": "click",
+                "_slice": b["_slice"],
+            }
+        )
+
+    full = sliced.union(carry.map_batches(carry_as_clicks, batch_format="pandas"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id", "_slice"], max_group_rows, "asof_join")
+        return _asof_bucket(g)
+
+    return bucketed_group_agg(full, ["user_id", "_slice"], per_group, num_buckets=nb)
 
 
 # --- range join (sliding preceding window) -----------------------------------
@@ -774,7 +1028,11 @@ _RANGE_COMP_MAX = np.iinfo(np.int64).max
 
 
 def range_join(
-    sf_dir: str, *, comp_max: int = _RANGE_COMP_MAX
+    sf_dir: str,
+    *,
+    comp_max: int = _RANGE_COMP_MAX,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
 ) -> ray.data.Dataset:
     """Preceding-window activity per purchase: count + value-cents sum of
     ALL events of the same user in [purchase_ts - 1h, purchase_ts).
@@ -783,15 +1041,28 @@ def range_join(
 
     ``comp_max`` caps the composite (user, time) key; buckets whose
     users × time-span would exceed it take the per-user-segment fallback
-    (tests shrink it to force that path)."""
+    (tests shrink it to force that path).
+
+    slice_width (≥ the 1 h window, e.g. "6h"): the skew-proof path —
+    shuffle by (user, ts-floor(slice_width)). Because the window is
+    BOUNDED, no stitching pass is needed: every event within one window
+    of a slice's end is replicated into the next slice as a halo row
+    (≤ window/slice_width duplication), so each purchase's full window is
+    local to its home slice; purchases are evaluated only in their home
+    slice. Identical output to the single-shuffle path (test-forced).
+    The default path raises (not OOMs) when one user exceeds
+    ``max_group_rows`` — see _guard_group_rows."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
     )
+    if slice_width is not None:
+        return _range_join_sliced(ds, sf_dir, slice_width, comp_max, max_group_rows)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id"], max_group_rows, "range_join")
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         is_p = (g["event_type"] == "purchase").to_numpy()
         if not is_p.any():
@@ -855,6 +1126,99 @@ def range_join(
         ds,
         ["user_id"],
         per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )
+
+
+_RANGE_EMPTY = {
+    "event_id": "int64",
+    "user_id": "int64",
+    "n_prev_1h": "int64",
+    "sum_prev_value_c": "int64",
+}
+
+
+def _range_join_sliced(
+    ds: ray.data.Dataset,
+    sf_dir: str,
+    slice_width: str,
+    comp_max: int,
+    max_group_rows: int,
+) -> ray.data.Dataset:
+    """Skew-proof range join: shuffle by (user, time-slice) with a
+    window-deep halo (see range_join docstring)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    width = pd.Timedelta(slice_width)
+    win = pd.Timedelta(microseconds=RANGE_WINDOW_US)
+    if width < win:
+        raise ValueError("slice_width must be >= the window (1h)")
+
+    def add_slice_halo(b: pd.DataFrame) -> pd.DataFrame:
+        sl = b["ts"].dt.floor(width)
+        home = b.assign(_slice=sl, _home=np.int8(1))
+        tail = (b["ts"] >= (sl + (width - win))).to_numpy()
+        halo = b.loc[tail].assign(_slice=(sl[tail] + width), _home=np.int8(0))
+        return pd.concat([home, halo], ignore_index=True)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id", "_slice"], max_group_rows, "range_join")
+        g = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+        is_p = ((g["event_type"] == "purchase") & (g["_home"] == 1)).to_numpy()
+        if not is_p.any():
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _RANGE_EMPTY.items()})
+        key_change = (
+            g["user_id"].ne(g["user_id"].shift())
+            | g["_slice"].ne(g["_slice"].shift())
+        ).to_numpy()
+        key_change[0] = False
+        gidx = np.cumsum(key_change).astype("int64")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        rel = ts_us - ts_us.min()
+        stride = int(rel.max()) + RANGE_WINDOW_US + 2
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        if int(gidx[-1]) >= (comp_max - stride) // stride:
+            # composite overflow: per-(user,slice)-segment searchsorted
+            starts = np.r_[0, np.flatnonzero(key_change) , len(gidx)]
+            starts = np.unique(starts)
+            outs = []
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg_p = is_p[s:e]
+                if not seg_p.any():
+                    continue
+                t = ts_us[s:e]
+                pt = t[seg_p]
+                lo = np.searchsorted(t, pt - RANGE_WINDOW_US, side="left") + s
+                hi = np.searchsorted(t, pt, side="left") + s
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": g["event_id"].to_numpy()[s:e][seg_p],
+                            "user_id": g["user_id"].to_numpy()[s:e][seg_p],
+                            "n_prev_1h": (hi - lo).astype("int64"),
+                            "sum_prev_value_c": csum[hi] - csum[lo],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+        comp = gidx * stride + rel
+        p_comp = comp[is_p]
+        lo = np.searchsorted(comp, p_comp - RANGE_WINDOW_US, side="left")
+        hi = np.searchsorted(comp, p_comp, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[is_p],
+                "user_id": g["user_id"].to_numpy()[is_p],
+                "n_prev_1h": (hi - lo).astype("int64"),
+                "sum_prev_value_c": csum[hi] - csum[lo],
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(add_slice_halo, batch_format="pandas"),
+        ["user_id", "_slice"],
+        per_group,
         num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
     )
 
