@@ -106,8 +106,12 @@ def convert_document(
         if len(payload) > options.max_file_size:
             raise ValueError("max_file_size exceeded")
         if fmt == "html":
+            from .decode import TEXT_DECODERS
+
             spans = extract_html(
-                payload.decode("utf-8"), doc_id, backend=options.html_backend
+                TEXT_DECODERS[options.text_decoder](payload),
+                doc_id,
+                backend=options.html_backend,
             )
         elif fmt == "pdf":
             doc = parsed_doc if parsed_doc is not None else parse_payload(payload)
@@ -303,10 +307,16 @@ def make_exports(spans: list[dict], options: JobOptions, doc_id: str = "") -> di
     (response_preparation.py:44-105): md / text / doctags / html / json."""
     from .serialize import spans_to_html, spans_to_json
 
+    code_fn = None
+    if options.do_code_enrichment:
+        from .codelang import CODE_CLASSIFIERS
+
+        code_fn = CODE_CLASSIFIERS[options.code_classifier]
     md = (
         spans_to_markdown(
             spans, options.md_page_break_placeholder,
             image_mode=options.image_export_mode,
+            code_language_fn=code_fn,
         )
         if "md" in options.to_formats
         else ""

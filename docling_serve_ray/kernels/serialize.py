@@ -36,6 +36,7 @@ def spans_to_markdown(
     spans: list[dict],
     page_break_placeholder: str = "",
     image_mode: str = "referenced",
+    code_language_fn=None,
 ) -> str:
     """Markdown export. ``page_break_placeholder`` mirrors the reference's
     md_page_break_placeholder option (convert.py:299-305): empty string =
@@ -43,7 +44,9 @@ def spans_to_markdown(
     (convert.py:139-151): referenced (default) links the sidecar media_ref,
     placeholder emits a fixed marker, embedded emits the referenced form
     here and is completed by pipelines.media.embed_media_exports (bytes
-    live in the sidecar table, not in the serializer)."""
+    live in the sidecar table, not in the serializer).
+    ``code_language_fn`` is the do_code_enrichment analog (docling emits
+    the classified language on the fence): None/"" keeps the bare fence."""
     parts = []
     for s in spans:
         kind, text = s["kind"], s["text"]
@@ -60,7 +63,8 @@ def spans_to_markdown(
         elif kind == "list_item":
             parts.append(f"- {text}")
         elif kind == "code":
-            parts.append("```\n" + text + "\n```")
+            lang = code_language_fn(text) if code_language_fn is not None else ""
+            parts.append(f"```{lang}\n" + text + "\n```")
         elif kind == "formula":
             parts.append(f"$${text}$$")
         elif kind == "table":

@@ -59,6 +59,12 @@ class JobOptions:
     # --- enrichment (reference convert.py:307-381) ---
     do_picture_description: bool = True
     picture_area_threshold: float = 0.0
+    # code-language enrichment (reference do_code_enrichment): when on,
+    # markdown code fences carry the classified language tag. Backend seam
+    # kernels/codelang.py CODE_CLASSIFIERS: "heuristic" (deterministic
+    # stand-in) | "pygments" (real foreign engine, opt-in)
+    do_code_enrichment: bool = False
+    code_classifier: str = "heuristic"
 
     # --- media export (reference ImageRefMode, convert.py:139-151) ---
     # referenced: exports point at sidecar paths (assets/<media_ref>.png)
@@ -73,6 +79,9 @@ class JobOptions:
     html_backend: str = "fast"  # fast | stdlib | expat — expat is the
                                 # real-foreign-engine smoke path (libexpat C
                                 # parser); a docling/bs4/lxml client plugs in
+    # --- byte-decode seam (kernels/decode.py TEXT_DECODERS) ---
+    text_decoder: str = "strict"  # strict (utf-8) | charset-normalizer
+                                  # (real foreign detection engine, opt-in)
                                 # at the same seam
 
     # --- post-processing (reference convert.py:456-466, worker.py:238-257) ---
