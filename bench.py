@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "hll_tokens",
     "cms_tokens",
     "bloom_tokens",
+    "hll_union",
+    "cms_union",
+    "bloom_union",
     "regex_token_count",
     "rolling_fingerprint",
     "chunk_documents",
