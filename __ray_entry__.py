@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,
         "distinct_brand_types": relational.distinct_brand_types,
+        "running_totals": relational.running_totals,
+        "event_deltas": relational.event_deltas,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "tfidf_top_terms": curation.tfidf_top_terms,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
     }
@@ -234,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
+        TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
     )
@@ -253,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN_REVENUE_SQL,
         RETENTION_COHORTS_SQL,
         TOP_ORDERS_SQL,
+        RUNNING_TOTALS_SQL,
+        EVENT_DELTAS_SQL,
+        REVENUE_BY_NATION_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -352,6 +360,10 @@ def oracle_sql() -> dict[str, str]:
         "inactive_customers": INACTIVE_CUSTOMERS_SQL,
         "funnel_stages": FUNNEL_STAGES_SQL,
         "retention_cohorts": RETENTION_COHORTS_SQL,
+        "running_totals": RUNNING_TOTALS_SQL,
+        "event_deltas": EVENT_DELTAS_SQL,
+        "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "range_join",
     "funnel_stages",
     "retention_cohorts",
+    "running_totals",
+    "event_deltas",
+    "revenue_by_nation",
+    "tfidf_top_terms",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",

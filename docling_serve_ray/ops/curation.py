@@ -614,3 +614,107 @@ def normalize_text(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-document TF-IDF term ranking, integer-exact
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+# idf is carried as the INTEGER (N * SCALE) // df so both engines rank on
+# identical integer scores (float ln() differs in the last bit between
+# libm and DuckDB and could flip a ranking tie). Bound: score = tf * (N *
+# SCALE // df) must fit int64 — with SCALE=1e6 that holds to N ≈ 1e12 docs
+# and tf ≈ 9e3; shrink SCALE for corpora beyond that.
+TFIDF_SCALE = 1_000_000
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ((n.n * {TFIDF_SCALE}) // df.df) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+WHERE rnk <= {TFIDF_K}
+"""
+
+
+def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-{k} terms per document by integer TF-IDF (the per-document
+    keyword extraction every IR/curation stack wants).
+
+    Scale shape — no vocabulary broadcast: (doc_id, term, tf) rows are
+    bucketed by TERM, so each reduce task holds complete term groups and
+    computes df LOCALLY (df = rows per term) — the idf rides back onto the
+    rows as an integer, exactly the ride-along trick ngram_jaccard uses
+    instead of a vocabulary join. A second bucketed reduce by doc_id takes
+    the per-doc top-k. Two thin integer shuffles; N comes from parquet
+    footer metadata (no scan), mirroring the oracle's COUNT(*)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    try:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except Exception:
+        n_docs = _docs(sf_dir).count()
+    idf_num = n_docs * TFIDF_SCALE
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), n_per
+        )
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        f = pd.DataFrame({"doc_id": ids, "term": flat})
+        out = f.groupby(["doc_id", "term"], as_index=False).size()
+        return out.rename(columns={"size": "tf"}).astype({"tf": "int64"})
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        # complete term groups per bucket: df is a local transform
+        df = g.groupby("term", sort=False)["doc_id"].transform("size")
+        score = g["tf"].to_numpy() * (idf_num // df.to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "term": g["term"],
+                "score": score.astype("int64"),
+            }
+        )
+
+    def per_doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["score", "term"], ascending=[False, True])
+            .groupby("doc_id", as_index=False, sort=False)
+            .head(TFIDF_K)
+        )
+
+    def per_doc_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+        top = g.groupby("doc_id", sort=False).head(TFIDF_K)
+        rank = top.groupby("doc_id", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].astype("int64"),
+                "term": top["term"],
+                "score": top["score"].astype("int64"),
+                "rank": rank.astype("int64"),
+            }
+        )
+
+    tf = _docs(sf_dir).map_batches(tf_rows, batch_format="pyarrow")
+    scored = bucketed_group_agg(tf, ["term"], per_term, num_buckets=nb)
+    return bucketed_group_agg(
+        scored, ["doc_id"], per_doc_final, partial_fn=per_doc_partial, num_buckets=nb
+    )

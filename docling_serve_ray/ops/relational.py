@@ -1398,3 +1398,164 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         per_bucket, ["cohort_day", "day_offset"], merge, num_buckets=64
     )
+
+
+# --- windowed running totals / lag deltas (keyed-log window functions) ---------
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_c
+FROM events
+"""
+
+
+def running_totals(
+    sf_dir: str, *, max_group_rows: int = DEFAULT_MAX_GROUP_ROWS
+) -> ray.data.Dataset:
+    """Per-user running sum of value-cents in (ts, event_id) order — the
+    cumulative window function (SUM OVER PARTITION BY ... ROWS UNBOUNDED
+    PRECEDING). Same keyed-log shape as sessionize: one bucketed shuffle
+    by user, vectorized sort + groupby-cumsum per bucket, byte-scaled
+    bucket count, oversized-key guard."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id"], max_group_rows, "running_totals")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+        run = pd.Series(cents).groupby(g["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "running_value_c": run.to_numpy(),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds,
+        ["user_id"],
+        per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )
+
+
+EVENT_DELTAS_SQL = """
+SELECT event_id, user_id,
+       CAST(COALESCE(date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts), -1) AS BIGINT) AS since_prev_us
+FROM events
+"""
+
+
+def event_deltas(
+    sf_dir: str, *, max_group_rows: int = DEFAULT_MAX_GROUP_ROWS
+) -> ray.data.Dataset:
+    """Per-event time since the user's previous event (µs; first event =
+    -1) — the LAG window function, vectorized as a per-bucket shifted
+    diff. Same keyed-log shape and guard as running_totals."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id"], max_group_rows, "event_deltas")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        delta = np.empty(len(g), dtype="int64")
+        delta[0] = -1
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        uid = g["user_id"].to_numpy()
+        delta[np.r_[True, uid[1:] != uid[:-1]]] = -1  # first event per user
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": uid.astype("int64"),
+                "since_prev_us": delta,
+            }
+        )
+
+    return bucketed_group_agg(
+        ds,
+        ["user_id"],
+        per_bucket,
+        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+    )
+
+
+# --- three-way broadcast join -------------------------------------------------
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation → revenue per nation name: the
+    multi-dimension star join. Both dimension hops are ONE composed
+    broadcast lookup (custkey → nationkey → name built driver-side from
+    the two small dims, shipped via ray.put once), so the fact table
+    streams through a single map_batches with a per-batch partial
+    aggregate — no shuffle of fact rows at all; the final groupby is ~25
+    nation rows. At a scale where customer outgrows the broadcast gate,
+    compose join_priority_revenue's hash-join path instead (size gate
+    pattern in join_revenue)."""
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    # compose the two hops once: custkey -> nation NAME (object array)
+    names = cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order]
+    ref = ray.put((keys[order], names))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        name = _lookup(ref, batch["o_custkey"].to_numpy())
+        cents = np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame({"n_name": name, "price_c": cents})
+            .groupby("n_name", as_index=False)
+            .agg(p_rev=("price_c", "sum"), p_cnt=("price_c", "size"))
+        )
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("p_rev", alias_name="revenue_c"), Sum("p_cnt", alias_name="n_orders"))
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": b["n_name"],
+                "revenue_c": b["revenue_c"].astype("int64"),
+                "n_orders": b["n_orders"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -521,6 +521,71 @@ def test_sliced_paths_match_adversarial_edges(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_window_ops_adversarial(ray_session, tmp_path):
+    """running_totals / event_deltas on the crafted edge table: same-µs
+    ties ordered by event_id, per-user resets, first-event sentinel."""
+    from docling_serve_ray.ops.relational import (
+        EVENT_DELTAS_SQL,
+        RUNNING_TOTALS_SQL,
+        event_deltas,
+        running_totals,
+    )
+
+    con = _adversarial_events(tmp_path)
+    for op, sql in (
+        (running_totals, RUNNING_TOTALS_SQL),
+        (event_deltas, EVENT_DELTAS_SQL),
+    ):
+        got = _canon(op(str(tmp_path)).to_pandas())
+        want = _canon(con.sql(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    deltas = event_deltas(str(tmp_path)).to_pandas().set_index("event_id")
+    assert deltas.loc[4, "since_prev_us"] == -1  # user 1's first event
+    assert deltas.loc[2, "since_prev_us"] == 0  # same-µs tie: 1 -> 2
+    assert deltas.loc[7, "since_prev_us"] == 0  # purchase/view same instant
+
+
+def test_tfidf_integer_rank_ties(ray_session, tmp_path):
+    """TF-IDF scores are INTEGER on both engines (no float ln()), so rank
+    ties break purely on the term — force equal-score terms and compare
+    against the oracle exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import TFIDF_TOP_TERMS_SQL, tfidf_top_terms
+
+    # 'zeta' and 'abba' appear once in doc 1 and nowhere else (equal tf,
+    # equal df -> equal score): rank order must be term-lexicographic
+    docs = {
+        1: "zeta abba common common",
+        2: "common common other words here",
+        3: "common filler text words too",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": list(docs.values()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _canon(tfidf_top_terms(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _canon(con.sql(TFIDF_TOP_TERMS_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    d1 = (
+        got[got["doc_id"] == 1]
+        .sort_values("rank")["term"]
+        .tolist()
+    )
+    assert d1[:2] == ["abba", "zeta"]  # tie broken lexicographically
+
+
 def test_hll_estimate_accuracy(ray_session, tmp_path):
     """The register sketch must estimate a KNOWN distinct-token count
     within HLL's theoretical error (≈1.6% at p=12; assert 5%)."""
