@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": similarity.kmeans,
         "semantic_dedup": similarity.semantic_dedup,
         "ann_topk_filtered": similarity.ann_topk_filtered,
+        "ivf_topk_filtered": similarity.ivf_topk_filtered,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -347,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": KMEANS_SQL,  # chained-CTE Lloyd iterations, integer output
         "semantic_dedup": SEMANTIC_DEDUP_SQL,
         "ann_topk_filtered": ANN_TOPK_FILTERED_SQL,
+        # nprobe == nlist ⇒ the filtered IVF result equals exact filtered search
+        "ivf_topk_filtered": ANN_TOPK_FILTERED_SQL,
         "agg_pricing": AGG_PRICING_SQL,
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,

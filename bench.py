@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "ann_topk",
     "ivf_topk",
+    "ivf_topk_filtered",
     "embedding_neardup",
     "label_centroids",
     "kmeans",

@@ -366,7 +366,9 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
     fp = None
     try:
         st = os.stat(f"{sf_dir}/embeddings.parquet")
-        fp = f"{st.st_size}:{st.st_mtime_ns}:{IVF_NLIST}"
+        # :v2 = index schema now carries the label column (filtered IVF);
+        # older label-less indexes mismatch and rebuild once
+        fp = f"{st.st_size}:{st.st_mtime_ns}:{IVF_NLIST}:v2"
     except OSError:
         pass  # non-local source: no cheap fingerprint, always rebuild
     if fp is not None and os.path.exists(manifest):
@@ -394,9 +396,12 @@ def ivf_build(sf_dir: str, index_dir: str) -> np.ndarray:
 
     version = f"v-{uuid.uuid4().hex[:12]}"
     tmp_dir = os.path.join(index_dir, f".build-{version}")
-    _emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
-        tmp_dir, partition_cols=["cell"], mode="overwrite"
-    )
+    # label rides into the clustered layout so filtered probes can push
+    # the predicate into the probed-cell read (row-group pruning inside
+    # the already cell-pruned files)
+    _emb(sf_dir, columns=("vec_id", "embedding", "label")).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(tmp_dir, partition_cols=["cell"], mode="overwrite")
     os.rename(tmp_dir, os.path.join(index_dir, version))  # complete tree appears at once
     mtmp = f"{manifest}.tmp.{uuid.uuid4().hex[:8]}"
     with open(mtmp, "w") as f:
@@ -452,7 +457,11 @@ def _probed_cell_paths(index_dir: str, cells: np.ndarray) -> list[str]:
 
 
 def ivf_topk(
-    sf_dir: str, nprobe: int = IVF_NLIST, index_dir: str | None = None
+    sf_dir: str,
+    nprobe: int = IVF_NLIST,
+    index_dir: str | None = None,
+    *,
+    labels: tuple | None = None,
 ) -> ray.data.Dataset:
     """IVF-partitioned cosine top-k — the scale path for similarity search.
 
@@ -462,7 +471,12 @@ def ivf_topk(
     cell directories, so nprobe < nlist physically skips (nlist-nprobe)/nlist
     of the index bytes (asserted in tests/test_ops IVF pruning test). With
     nprobe == nlist (the default) every cell is read and the result equals
-    brute force — the exact-search SQL oracle applies."""
+    brute force — the exact-search SQL oracle applies.
+
+    ``labels``: optional metadata predicate (the filtered-ANN composition):
+    pushed into the probed-cell parquet read, so filtering prunes row
+    groups INSIDE the already cell-pruned files — two physical pruning
+    levels, no post-hoc in-memory filter stage."""
     import hashlib
     import os
 
@@ -515,9 +529,30 @@ def ivf_topk(
         )
 
     paths = _probed_cell_paths(index_dir, probe_cells)
-    scan = ray.data.read_parquet(paths, columns=["vec_id", "cell_id", "embedding"])
+    read_kwargs = {}
+    if labels is not None:
+        import pyarrow.compute as pc
+
+        read_kwargs["filter"] = pc.field("label").isin(list(labels))
+    scan = ray.data.read_parquet(
+        paths, columns=["vec_id", "cell_id", "embedding"], **read_kwargs
+    )
     cands = scan.map_batches(per_batch, batch_format="pyarrow")
     return cands.groupby("qid").map_groups(merge_topk, batch_format="pandas")
+
+
+def ivf_topk_filtered(
+    sf_dir: str, nprobe: int = IVF_NLIST, index_dir: str | None = None
+) -> ray.data.Dataset:
+    """Metadata-filtered IVF search: ann_topk_filtered's label predicate
+    composed with ivf_topk's physical cell pruning — the production
+    filtered-ANN shape (filter pushed into the probed-cell read). With the
+    default nprobe == nlist the result equals exact filtered search, so
+    ANN_TOPK_FILTERED_SQL is the oracle. The query set is label-unfiltered
+    (queries come from the full corpus), matching ann_topk_filtered."""
+    return ivf_topk(
+        sf_dir, nprobe, index_dir, labels=ANN_FILTER_LABELS
+    )
 
 
 # ---------------------------------------------------------------------------

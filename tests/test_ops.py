@@ -333,6 +333,27 @@ def test_ivf_index_reuse(ray_session, tmp_path):
     assert not os.path.exists(os.path.join(v2, "cell=0", "_marker"))
 
 
+def test_ivf_filtered_equals_exact_filtered(ray_session, tmp_path):
+    """The filtered-IVF composition (label predicate pushed into the
+    probed-cell read) must equal exact filtered search at nprobe=nlist,
+    and still run end-to-end under physical pruning (nprobe=2)."""
+    from docling_serve_ray.ops import similarity as sim
+
+    idx = str(tmp_path / "ivf_idx")
+    exact = (
+        sim.ann_topk_filtered(SF).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    full = (
+        sim.ivf_topk_filtered(SF, index_dir=idx)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, exact, check_dtype=False)
+    pruned = sim.ivf_topk_filtered(SF, nprobe=2, index_dir=idx).to_pandas()
+    assert len(pruned) > 0 and set(pruned.columns) == {"qid", "vec_id", "rank"}
+
+
 def test_simhash_rows_only(ray_session):
     import __ray_entry__ as entrymod
 
