@@ -1412,18 +1412,31 @@ FROM events
 
 
 def running_totals(
-    sf_dir: str, *, max_group_rows: int = DEFAULT_MAX_GROUP_ROWS
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
 ) -> ray.data.Dataset:
     """Per-user running sum of value-cents in (ts, event_id) order — the
     cumulative window function (SUM OVER PARTITION BY ... ROWS UNBOUNDED
     PRECEDING). Same keyed-log shape as sessionize: one bucketed shuffle
     by user, vectorized sort + groupby-cumsum per bucket, byte-scaled
-    bucket count, oversized-key guard."""
+    bucket count, oversized-key guard.
+
+    slice_width: the skew-proof path — the classic two-phase distributed
+    prefix sum. A thin combiner pass computes per-(user, slice) cent
+    totals, one small per-user reduce turns them into exclusive-prefix
+    CARRY rows, and the event shuffle (by user AND slice) adds carry +
+    local cumsum per slice. Identical output to the single-shuffle path
+    (test-forced)."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    if slice_width is not None:
+        return _running_totals_sliced(ds, slice_width, nb, max_group_rows)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         _guard_group_rows(g, ["user_id"], max_group_rows, "running_totals")
@@ -1438,12 +1451,97 @@ def running_totals(
             }
         )
 
-    return bucketed_group_agg(
-        ds,
+    return bucketed_group_agg(ds, ["user_id"], per_bucket, num_buckets=nb)
+
+
+def _running_totals_sliced(
+    ds: ray.data.Dataset, slice_width: str, nb: int, max_group_rows: int
+) -> ray.data.Dataset:
+    from .shuffle import bucketed_group_agg
+
+    width = pd.Timedelta(slice_width)
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _slice=b["ts"].dt.floor(width), _carry_c=np.int64(0)
+        )
+
+    sliced = ds.map_batches(add_slice, batch_format="pandas")
+
+    def totals_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype("int64")
+        f = pd.DataFrame(
+            {"user_id": b["user_id"], "_slice": b["_slice"], "c": cents}
+        )
+        return f.groupby(["user_id", "_slice"], as_index=False)["c"].sum()
+
+    def carry_final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "_slice"], as_index=False)["c"].sum()
+        agg = agg.sort_values(["user_id", "_slice"], kind="stable")
+        grp = agg.groupby("user_id", sort=False)["c"]
+        carry = grp.cumsum() - agg["c"]  # exclusive prefix per user
+        take = carry.to_numpy() != 0  # slice 0 carries nothing: skip
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy()[take],
+                "_slice": agg["_slice"].to_numpy()[take],
+                "carry_c": carry.to_numpy()[take].astype("int64"),
+            }
+        )
+
+    carry = bucketed_group_agg(
+        sliced,
         ["user_id"],
-        per_bucket,
-        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+        carry_final,
+        partial_fn=totals_partial,
+        num_buckets=min(nb, 64),
     )
+
+    def carry_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": np.int64(-1),
+                "user_id": b["user_id"].astype("int64"),
+                "ts": pd.Series(b["_slice"].to_numpy()),  # dummy, unused
+                "value": np.float64(0),
+                "_slice": b["_slice"],
+                "_carry_c": b["carry_c"].astype("int64"),
+            }
+        )
+
+    full = sliced.union(carry.map_batches(carry_rows, batch_format="pandas"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id", "_slice"], max_group_rows, "running_totals")
+        is_carry = (g["event_id"] == -1).to_numpy()
+        carries = (
+            g.loc[is_carry]
+            .set_index(["user_id", "_slice"])["_carry_c"]
+            .groupby(level=[0, 1])
+            .sum()  # exactly 0 or 1 carry row per (user, slice)
+        )
+        e = g.loc[~is_carry].sort_values(
+            ["user_id", "_slice", "ts", "event_id"], kind="stable"
+        )
+        cents = np.floor(e["value"].to_numpy() * 100 + 0.5).astype("int64")
+        uid = e["user_id"].to_numpy()
+        sl = e["_slice"].to_numpy()
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (sl[1:] != sl[:-1])]
+        gid = np.cumsum(new) - 1
+        csum = np.cumsum(cents)
+        start_excl = np.r_[0, csum[:-1]][new]  # csum before each group
+        local = csum - start_excl[gid]  # segmented cumsum
+        starts = pd.MultiIndex.from_arrays([uid[new], sl[new]])
+        base = carries.reindex(starts, fill_value=0).to_numpy()[gid]
+        return pd.DataFrame(
+            {
+                "event_id": e["event_id"].astype("int64").to_numpy(),
+                "user_id": uid.astype("int64"),
+                "running_value_c": (local + base).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(full, ["user_id", "_slice"], per_group, num_buckets=nb)
 
 
 EVENT_DELTAS_SQL = """
@@ -1457,16 +1555,29 @@ FROM events
 
 
 def event_deltas(
-    sf_dir: str, *, max_group_rows: int = DEFAULT_MAX_GROUP_ROWS
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
 ) -> ray.data.Dataset:
     """Per-event time since the user's previous event (µs; first event =
     -1) — the LAG window function, vectorized as a per-bucket shifted
-    diff. Same keyed-log shape and guard as running_totals."""
+    diff. Same keyed-log shape and guard as running_totals.
+
+    slice_width: the skew-proof path — LAG only needs ONE value across a
+    slice edge (the previous slice's last timestamp), so a thin
+    per-(user, slice) last-ts combiner + per-user shift produces carry
+    rows, and the (user, slice) event shuffle computes local diffs with
+    the carry as the first event's predecessor. Equal-ts ties carry no
+    ambiguity: the delta is 0 either way."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    if slice_width is not None:
+        return _event_deltas_sliced(ds, slice_width, nb, max_group_rows)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         _guard_group_rows(g, ["user_id"], max_group_rows, "event_deltas")
@@ -1485,12 +1596,85 @@ def event_deltas(
             }
         )
 
-    return bucketed_group_agg(
-        ds,
+    return bucketed_group_agg(ds, ["user_id"], per_bucket, num_buckets=nb)
+
+
+def _event_deltas_sliced(
+    ds: ray.data.Dataset, slice_width: str, nb: int, max_group_rows: int
+) -> ray.data.Dataset:
+    from .shuffle import bucketed_group_agg
+
+    width = pd.Timedelta(slice_width)
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_slice=b["ts"].dt.floor(width))
+
+    sliced = ds.map_batches(add_slice, batch_format="pandas")
+
+    def last_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "_slice"], as_index=False)["ts"].max()
+
+    def carry_final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "_slice"], as_index=False)["ts"].max()
+        agg = agg.sort_values(["user_id", "_slice"], kind="stable")
+        prev = agg.groupby("user_id", sort=False)["ts"].shift(1)
+        take = prev.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy()[take],
+                "_slice": agg["_slice"].to_numpy()[take],
+                "prev_ts": prev.to_numpy()[take],
+            }
+        )
+
+    carry = bucketed_group_agg(
+        sliced,
         ["user_id"],
-        per_bucket,
-        num_buckets=scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet")),
+        carry_final,
+        partial_fn=last_partial,
+        num_buckets=min(nb, 64),
     )
+
+    def carry_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": np.int64(-1),
+                "user_id": b["user_id"].astype("int64"),
+                "ts": pd.Series(b["prev_ts"].to_numpy()),
+                "_slice": b["_slice"],
+            }
+        )
+
+    full = sliced.union(carry.map_batches(carry_rows, batch_format="pandas"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id", "_slice"], max_group_rows, "event_deltas")
+        # carry rows (event_id -1, ts = previous slice's last event) sort
+        # BEFORE every real event of the group (their ts is strictly
+        # smaller), so the shifted diff uses them as the predecessor of
+        # the group's first event — then they are dropped from the output
+        g = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        sl = g["_slice"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        delta = np.empty(len(g), dtype="int64")
+        delta[0] = -1
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        new_group = np.r_[True, (uid[1:] != uid[:-1]) | (sl[1:] != sl[:-1])]
+        is_carry = (g["event_id"] == -1).to_numpy()
+        # a group's first ROW: -1 unless it is a carry (then the next real
+        # row correctly diffs against it)
+        delta[new_group] = -1
+        keep = ~is_carry
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy()[keep],
+                "user_id": uid.astype("int64")[keep],
+                "since_prev_us": delta[keep],
+            }
+        )
+
+    return bucketed_group_agg(full, ["user_id", "_slice"], per_group, num_buckets=nb)
 
 
 # --- three-way broadcast join -------------------------------------------------

@@ -497,10 +497,14 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
 
     from docling_serve_ray.ops.relational import (
         ASOF_JOIN_SQL,
+        EVENT_DELTAS_SQL,
         RANGE_JOIN_SQL,
+        RUNNING_TOTALS_SQL,
         SESSIONIZE_SQL,
         asof_join,
+        event_deltas,
         range_join,
+        running_totals,
         sessionize,
     )
 
@@ -508,7 +512,7 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
     sf = str(tmp_path)
     limit = 400  # < the hot user's 1500 rows; > any (user, slice) group
 
-    for op in (sessionize, range_join, asof_join):
+    for op in (sessionize, range_join, asof_join, running_totals, event_deltas):
         with pytest.raises(ValueError, match="max_group_rows"):
             op(sf, max_group_rows=limit).to_pandas()
 
@@ -516,6 +520,8 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         (sessionize, SESSIONIZE_SQL),
         (range_join, RANGE_JOIN_SQL),
         (asof_join, ASOF_JOIN_SQL),
+        (running_totals, RUNNING_TOTALS_SQL),
+        (event_deltas, EVENT_DELTAS_SQL),
     ):
         got = _canon(
             op(sf, slice_width="6h", max_group_rows=limit).to_pandas()
