@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": relational.event_deltas,
         "revenue_by_nation": relational.revenue_by_nation,
         "tfidf_top_terms": curation.tfidf_top_terms,
+        "length_percentile_filter": curation.length_percentile_filter,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
     }
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
+        LENGTH_PERCENTILE_FILTER_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "event_deltas": EVENT_DELTAS_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+        "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

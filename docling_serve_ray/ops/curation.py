@@ -718,3 +718,77 @@ def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         scored, ["doc_id"], per_doc_final, partial_fn=per_doc_partial, num_buckets=nb
     )
+
+
+# ---------------------------------------------------------------------------
+# length_percentile_filter — global exact percentile → broadcast → filter
+# ---------------------------------------------------------------------------
+
+LENGTH_PCTL_Q_NUM, LENGTH_PCTL_Q_DEN = 9, 10  # p90, as an exact rational
+
+LENGTH_PERCENTILE_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM t),
+r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn FROM t),
+thr AS (
+  SELECT min(n_tokens) AS v
+  FROM r, n
+  WHERE rn >= ({LENGTH_PCTL_Q_NUM} * n.n + {LENGTH_PCTL_Q_DEN - 1}) // {LENGTH_PCTL_Q_DEN}
+)
+SELECT t.doc_id, t.n_tokens FROM t, thr WHERE t.n_tokens >= thr.v
+"""
+
+
+def length_percentile_filter(sf_dir: str) -> ray.data.Dataset:
+    """Documents at or above the global p90 token count — the
+    aggregate → broadcast-threshold → filter composition every
+    percentile-based curation rule uses (e.g. keep only unusually long /
+    short documents).
+
+    Exactness: the threshold is the smallest value whose cumulative count
+    reaches ceil(q·N), computed in pure integers on both sides (no float
+    quantile interpolation). Scale shape: a per-batch value-count combiner
+    over the BOUNDED n_tokens domain → one small bucketed merge → the
+    tiny (value, count) histogram reaches the driver (≤ distinct lengths
+    rows, not N), the threshold broadcasts, and the corpus streams through
+    a vectorized filter. Two passes over the input, zero row shuffles."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_group_agg
+
+    def counts_partial(batch: pa.Table) -> pd.DataFrame:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " ")).to_numpy(
+            zero_copy_only=False
+        )
+        vals, cnts = np.unique(n, return_counts=True)
+        return pd.DataFrame({"n_tokens": vals.astype("int64"), "cnt": cnts.astype("int64")})
+
+    def counts_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_tokens", as_index=False)["cnt"].sum()
+        return out.astype({"n_tokens": "int64", "cnt": "int64"})
+
+    hist = (
+        bucketed_group_agg(
+            _docs(sf_dir).map_batches(counts_partial, batch_format="pyarrow"),
+            ["n_tokens"],
+            counts_final,
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    n_total = int(hist["cnt"].sum())
+    rank_needed = (LENGTH_PCTL_Q_NUM * n_total + LENGTH_PCTL_Q_DEN - 1) // LENGTH_PCTL_Q_DEN
+    cdf = hist["cnt"].cumsum().to_numpy()
+    threshold = int(hist["n_tokens"].to_numpy()[np.searchsorted(cdf, rank_needed)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        n = pc.cast(n, pa.int64())
+        out = pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+        return out.filter(pc.greater_equal(n, pa.scalar(threshold, pa.int64())))
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")

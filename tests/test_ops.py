@@ -530,6 +530,37 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_sessionize_sliced_no_boundary_candidates(ray_session, tmp_path):
+    """When every session sits far from slice edges, the stitch branch is
+    EMPTY — the sliced path must still equal the default path (empty-union
+    edge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import sessionize
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    rows = []
+    for u in range(1, 6):
+        for i in range(5):
+            rows.append((u * 100 + i, u, base + pd.Timedelta(minutes=i * 5), 1.0))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    a = _canon(sessionize(str(tmp_path)).to_pandas())
+    b = _canon(sessionize(str(tmp_path), slice_width="1D").to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(b) == 5  # one mid-day session per user
+
+
 def test_sliced_paths_match_adversarial_edges(ray_session, tmp_path):
     """The sliced paths must honor the same boundary semantics as the
     default paths on the crafted edge-case table (ties, exact-bound
