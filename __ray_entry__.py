@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,
         "ann_topk_filtered": similarity.ann_topk_filtered,
         "ivf_topk_filtered": similarity.ivf_topk_filtered,
+        "quantize_embeddings": similarity.quantize_embeddings,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
+        "bm25_search": curation.bm25_search,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
     }
@@ -240,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
+        BM25_SEARCH_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
@@ -272,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
         SEMANTIC_DEDUP_SQL,
+        QUANTIZE_EMBEDDINGS_SQL,
     )
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
@@ -370,6 +374,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
+        "bm25_search": BM25_SEARCH_SQL,
+        "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

@@ -792,3 +792,139 @@ def length_percentile_filter(sf_dir: str) -> ray.data.Dataset:
         return out.filter(pc.greater_equal(n, pa.scalar(threshold, pa.int64())))
 
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bm25_search — BM25-shaped ranking with engine-exact arithmetic
+# ---------------------------------------------------------------------------
+
+# k1 = 6/5, b = 3/4 as exact rationals. Closed form per term after
+# clearing denominators (T = total corpus tokens, N = docs, dl = doc len):
+#   tf_term = idf · (k1+1)·tf / (tf + k1·(1-b + b·dl·N/T))
+#           = idf · 22·tf·T / (10·T·tf + 3·T + 9·dl·N)
+# idf is the integer (N·1e6)//df (a linear idf — ln() is NOT engine-exact,
+# see tfidf_top_terms). The numerator is evaluated in float64 with a FIXED
+# operation order mirrored in the SQL; the denominator stays int64 (exact).
+# Per-doc score = the 4 per-term scores added in fixed term order, so both
+# engines produce bit-identical float64 scores and the ranking cannot
+# diverge. The emitted columns are integers only (rank, not score).
+BM25_IDF_SCALE = 1_000_000
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n       ".join(
+        f"CAST(len(list_filter(words, w -> w = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    df_exprs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(SEARCH_TERMS))
+    )
+    term_scores = "\n     + ".join(
+        f"(CASE WHEN tf{i} = 0 OR df{i} = 0 THEN 0.0 ELSE "
+        f"((CAST((n * {BM25_IDF_SCALE}) // df{i} AS DOUBLE) * 22) * tf{i}) * tt "
+        f"/ ((10 * tt) * tf{i} + 3 * tt + (9 * dl) * n) END)"
+        for i in range(len(SEARCH_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+d AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+       {tf_exprs}
+  FROM t
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt,
+       {df_exprs}
+  FROM d
+),
+s AS (
+  SELECT d.doc_id,
+       {term_scores} AS score
+  FROM d, g
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM s WHERE score > 0
+)
+WHERE rnk <= {SEARCH_TOP_K}
+"""
+
+
+BM25_SEARCH_SQL = _bm25_sql()
+
+
+def bm25_search(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 documents for the fixed query terms under BM25-shaped
+    scoring (TF saturation k1=1.2, length normalization b=0.75, linear
+    integer idf). See the arithmetic note above — scores are bit-identical
+    float64 on both engines, so the integer (doc_id, rank) output is
+    exact.
+
+    Scale shape: pass 1 is a per-batch combiner producing ONE partial row
+    (per-term df counts + total length + doc count) per batch, reduced to
+    a handful of driver-side integers — the corpus never leaves the
+    workers. Pass 2 re-streams the docs, scores each batch vectorized
+    against the broadcast constants, and forwards only a per-batch top-k
+    into the tiny global sort (keyword_search's partial-top-k shape)."""
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        row = {"n": np.int64(len(batch)), "tt": np.int64(toks.str.len().sum())}
+        for i, t in enumerate(SEARCH_TERMS):
+            row[f"df{i}"] = np.int64(
+                sum(1 for ws in toks if t in ws)
+            )
+        return pd.DataFrame([row])
+
+    stats = (
+        _docs(sf_dir)
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, tt = int(stats["n"]), int(stats["tt"])
+    idf = [
+        (n * BM25_IDF_SCALE) // int(stats[f"df{i}"]) if int(stats[f"df{i}"]) else 0
+        for i in range(len(SEARCH_TERMS))
+    ]
+
+    def score_top(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        dl = toks.str.len().to_numpy().astype("int64")
+        score = np.zeros(len(batch), dtype="float64")
+        den_base = (3 * tt) + (9 * dl) * n  # int64, exact
+        for i, t in enumerate(SEARCH_TERMS):
+            if idf[i] == 0:
+                continue
+            tf = toks.map(lambda ws, t=t: sum(1 for w in ws if w == t)).to_numpy(
+                dtype="int64"
+            )
+            den = (10 * tt) * tf + den_base
+            num = ((np.float64(idf[i]) * 22) * tf) * tt
+            score = score + np.where(tf == 0, 0.0, num / den)
+        out = pd.DataFrame({"doc_id": batch["doc_id"], "score": score})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(
+            SEARCH_TOP_K
+        )
+
+    top = (
+        _docs(sf_dir)
+        .map_batches(score_top, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(SEARCH_TOP_K)
+        .to_pandas()
+    )
+    top = top.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": top["doc_id"].astype("int64"),
+            "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+        }
+    )
+    return ray.data.from_pandas(out)

@@ -962,3 +962,45 @@ def ann_topk_filtered(sf_dir: str) -> ray.data.Dataset:
         filter=pc.field("label").isin(list(ANN_FILTER_LABELS)),
     )
     return _brute_topk(sf_dir, ds)
+
+
+# --- int8 scalar quantization --------------------------------------------------
+
+QUANTIZE_EMBEDDINGS_SQL = """
+WITH x AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
+),
+m AS (SELECT vec_id, MAX(ABS(v)) AS mx FROM x GROUP BY vec_id)
+SELECT x.vec_id, CAST(x.pos AS BIGINT) AS pos,
+       CAST(CASE WHEN m.mx = 0 THEN 0
+                 ELSE floor(x.v * 127 / m.mx + 0.5) END AS BIGINT) AS q
+FROM x JOIN m USING (vec_id)
+"""
+
+
+def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Per-vector symmetric int8 scalar quantization (q = round(v·127/max|v|))
+    — the 4× memory-reduction step an ANN index applies before sharding
+    vectors across a cluster. Emitted long-form (vec_id, pos, q) so the
+    oracle compares integer-exactly: max|v| is exact (no rounding), and
+    v·127/mx + 0.5 → floor is the same two IEEE ops in the same order on
+    both engines. Zero vectors quantize to all-zero. Stateless
+    map_batches; one streaming pass, no shuffle."""
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        ids, X = _batch_matrix(batch)
+        mx = np.max(np.abs(X), axis=1)
+        safe = np.where(mx == 0, 1.0, mx)
+        q = np.floor(X * 127 / safe[:, None] + 0.5)
+        q[mx == 0] = 0.0
+        n, dim = X.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids.astype("int64"), dim),
+                "pos": np.tile(np.arange(dim, dtype="int64"), n),
+                "q": q.reshape(-1).astype("int64"),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(per_batch, batch_format="pyarrow")

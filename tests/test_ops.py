@@ -644,6 +644,84 @@ def test_tfidf_integer_rank_ties(ray_session, tmp_path):
     assert d1[:2] == ["abba", "zeta"]  # tie broken lexicographically
 
 
+def test_quantize_embeddings_edges(ray_session, tmp_path):
+    """Zero vectors, negatives, and exact .5 rounding boundaries must
+    quantize identically to the SQL twin (same two IEEE ops, same order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.similarity import (
+        QUANTIZE_EMBEDDINGS_SQL,
+        quantize_embeddings,
+    )
+
+    dim = 64
+    rows = []
+    rows.append([0.0] * dim)  # zero vector -> all-zero q
+    v = [0.0] * dim
+    v[0], v[1], v[2] = 127.0, 0.5, -0.5  # exact .5 boundaries at mx=127
+    rows.append(v)
+    w = [(-1) ** i * (i + 1) / 7.0 for i in range(dim)]  # negatives, ugly floats
+    rows.append(w)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(rows)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = _canon(quantize_embeddings(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = _canon(con.sql(QUANTIZE_EMBEDDINGS_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    z = got[(got["vec_id"] == 0)]
+    assert (z["q"] == 0).all()
+
+
+def test_bm25_adversarial(ray_session, tmp_path):
+    """BM25 on crafted docs: term-stuffed short doc vs sparse long doc,
+    docs with zero matches excluded, rank equality vs the oracle (the
+    fixed-operation-order float claim, exercised on ties and extremes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import BM25_SEARCH_SQL, bm25_search
+
+    docs = {
+        1: "spark spark spark spark hash",  # stuffed + short
+        2: "spark " + "filler " * 50 + "hash merge sort",  # all terms, long
+        3: "merge sort " + "pad " * 10,
+        4: "nothing relevant here at all",
+        5: "spark hash merge sort",  # all terms, minimal length
+        6: "sort " + "x " * 200,  # one term, very long
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": [t.strip() for t in docs.values()],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _canon(bm25_search(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _canon(con.sql(BM25_SEARCH_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 4 not in set(got["doc_id"])  # zero-match doc excluded
+    assert len(got) == 5
+
+
 def test_hll_estimate_accuracy(ray_session, tmp_path):
     """The register sketch must estimate a KNOWN distinct-token count
     within HLL's theoretical error (≈1.6% at p=12; assert 5%)."""
