@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "event_deltas",
     "revenue_by_nation",
     "tfidf_top_terms",
+    "length_percentile_filter",
+    "bm25_search",
+    "quantize_embeddings",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",
