@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
+        "global_rank": curation.global_rank,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
     }
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
         BM25_SEARCH_SQL,
+        GLOBAL_RANK_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
@@ -375,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,
+        "global_rank": GLOBAL_RANK_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,

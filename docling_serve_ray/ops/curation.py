@@ -928,3 +928,73 @@ def bm25_search(sf_dir: str) -> ray.data.Dataset:
         }
     )
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# global_rank — total-order ranking WITHOUT a global sort
+# ---------------------------------------------------------------------------
+
+GLOBAL_RANK_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents
+"""
+
+
+def global_rank(sf_dir: str) -> ray.data.Dataset:
+    """Every document's global rank under ORDER BY (n_chars DESC, doc_id)
+    — the full-corpus ranking query, computed WITHOUT Ray's all-to-all
+    sort: the key's value domain (n_chars) is bounded, so a tiny
+    (value, count) histogram reaches the driver, its cumulative sum gives
+    each value's global rank OFFSET, the offsets broadcast, and one
+    bucketed reduce (complete n_chars groups per bucket) ranks each
+    value's docs locally by the tie-break key and adds the offset.
+
+    Scale shape: the shuffle carries (doc_id, n_chars) pairs hashed by
+    n_chars — same volume as a sort's exchange but with NO range
+    partitioning / sampling stage, and skewed key values spread over
+    buckets only as whole groups (a group = one value's docs; if one
+    VALUE dominated, the histogram would show it and a salted tie-break
+    split would apply — n_chars on real corpora is near-uniform)."""
+    from .shuffle import bucketed_group_agg
+
+    docs = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("n_chars", as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype(
+            {"n_chars": "int64", "cnt": "int64"}
+        )
+
+    def hist_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_chars", as_index=False)["cnt"].sum()
+        return out.astype({"n_chars": "int64", "cnt": "int64"})
+
+    hist = (
+        bucketed_group_agg(docs, ["n_chars"], hist_final, partial_fn=hist_partial,
+                           num_buckets=16)
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+    )
+    # offset[v] = docs with n_chars strictly greater than v (DESC order)
+    offs = dict(
+        zip(
+            hist["n_chars"].to_numpy(),
+            (hist["cnt"].cumsum() - hist["cnt"]).to_numpy(),
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    def per_value(g: pd.DataFrame) -> pd.DataFrame:
+        offs_ = ray.get(offs_ref)
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        local = g.groupby("n_chars", sort=False).cumcount() + 1
+        base = g["n_chars"].map(offs_).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "rank": (base + local.to_numpy()).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(docs, ["n_chars"], per_value)

@@ -349,3 +349,36 @@ class TestTrainingOpsInvariants:
         assert abs(counts["train"] / n - 13 / 16) < 0.02
         assert abs(counts["val"] / n - 2 / 16) < 0.01
         assert abs(counts["test"] / n - 1 / 16) < 0.01
+
+
+class TestPairwiseDropMask:
+    """The block-tiled within-cluster pair scan (semantic_dedup's bounded-
+    memory core) must equal the full triu computation for EVERY (matrix,
+    block size) — including degenerate rows and tiny blocks."""
+
+    @given(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=2, max_value=8),
+        st.integers(min_value=1, max_value=31),
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.lists(st.integers(min_value=0, max_value=24), max_size=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_tiled_equals_full(self, n, dim, block, seed, dup_pairs):
+        import numpy as np
+
+        from docling_serve_ray.ops.similarity import _pairwise_drop_mask
+
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, dim))
+        for j in dup_pairs:  # engineered exact dups (i -> j copies)
+            if n >= 2:
+                X[j % n] = X[(j * 7 + 1) % n]
+        if n:
+            X[rng.integers(n)] = 0.0  # a zero (NaN-normalized) row
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = (Xn @ Xn.T) >= 0.99 if n else np.zeros((0, 0), dtype=bool)
+        full = np.triu(S, 1).any(axis=0)
+        got = _pairwise_drop_mask(Xn, 0.99, block=block)
+        assert np.array_equal(got, full)
