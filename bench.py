@@ -95,7 +95,10 @@ def ensure_corpus() -> str:
     return os.path.join(CORPUS_DIR, "input")
 
 
-def run_flagship(input_dir: str, repeats: int = 2) -> dict:
+def run_flagship(input_dir: str, repeats: int = 3) -> dict:
+    # best-of-3 (was 2): round-4 captures saw co-tenant load spikes to 20+
+    # lasting ~one flagship run — a third attempt reliably lands one
+    # quieter window; noise is strictly one-sided so min() stays honest
     import pyarrow.dataset as pads
     import ray.data
 
