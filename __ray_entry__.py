@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": similarity.ann_topk_filtered,
         "ivf_topk_filtered": similarity.ivf_topk_filtered,
         "quantize_embeddings": similarity.quantize_embeddings,
+        "cluster_label_histogram": similarity.cluster_label_histogram,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
         SEMANTIC_DEDUP_SQL,
+        CLUSTER_LABEL_HISTOGRAM_SQL,
         QUANTIZE_EMBEDDINGS_SQL,
     )
     from docling_serve_ray.ops.text import (
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": BM25_SEARCH_SQL,
         "global_rank": GLOBAL_RANK_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
+        "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

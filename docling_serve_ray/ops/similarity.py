@@ -1004,3 +1004,52 @@ def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _emb(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+
+
+# --- cluster × label composition ------------------------------------------------
+
+CLUSTER_LABEL_HISTOGRAM_SQL = (
+    "WITH "
+    + _kmeans_ctes("embeddings")
+    + """
+SELECT CAST(l.cluster AS BIGINT) AS cluster, e.label,
+       CAST(count(*) AS BIGINT) AS n
+FROM lab l JOIN embeddings e USING (vec_id)
+GROUP BY l.cluster, e.label
+"""
+)
+
+
+def cluster_label_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Label composition of each kmeans cluster — the cluster-purity audit
+    a curation pipeline runs after unsupervised grouping (are the clusters
+    topical?). Composes the fixed-k Lloyd assignment with the label column
+    in ONE streaming pass: assignment happens per batch against the
+    broadcast k × dim centroids (no join with the kmeans output — the
+    label rides the same batch), partial (cluster, label) counts combine
+    map-side, and the final reduce touches ≤ k × labels rows. Oracle
+    reuses the composable _kmeans_ctes chain joined back to the table."""
+    from .shuffle import bucketed_group_agg
+
+    cen_final = _lloyd_centroids(sf_dir)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, X = _batch_matrix(batch)
+        lab = _kmeans_assign(X, cen_final)
+        f = pd.DataFrame(
+            {
+                "cluster": lab.astype("int64"),
+                "label": batch["label"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = f.groupby(["cluster", "label"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cluster", "label"], as_index=False)["n"].sum()
+        return out.astype({"cluster": "int64", "n": "int64"})
+
+    ds = _emb(sf_dir, columns=("vec_id", "embedding", "label")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_agg(ds, ["cluster", "label"], merge, num_buckets=8)
