@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": relational.running_totals,
         "event_deltas": relational.event_deltas,
         "revenue_by_nation": relational.revenue_by_nation,
+        "daily_active_users": relational.daily_active_users,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         RUNNING_TOTALS_SQL,
         EVENT_DELTAS_SQL,
         REVENUE_BY_NATION_SQL,
+        DAILY_ACTIVE_USERS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -376,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": RUNNING_TOTALS_SQL,
         "event_deltas": EVENT_DELTAS_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "daily_active_users": DAILY_ACTIVE_USERS_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -1743,3 +1743,58 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# --- daily active users ---------------------------------------------------------
+
+DAILY_ACTIVE_USERS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY date_trunc('day', ts)
+"""
+
+
+def daily_active_users(sf_dir: str) -> ray.data.Dataset:
+    """DAU: distinct active users + event volume per calendar day — the
+    daily engagement roll-up. Exact distinct without shipping every event:
+    the combiner dedupes (day, user) pairs per batch AND partial-sums the
+    raw event count, so the shuffle carries at most one row per (day,
+    user) per batch plus one count row; the per-day reduce nunique-counts
+    users and sums events. Day cardinality is calendar-bounded, so the
+    reduce is tiny regardless of corpus size."""
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].dt.floor("D")
+        f = pd.DataFrame({"day": day, "user_id": b["user_id"]})
+        users = f.drop_duplicates().assign(n_events=np.int64(0))
+        counts = (
+            f.groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+            .assign(user_id=np.int64(-1))  # ids are non-negative: count rows
+        )
+        return pd.concat([users, counts[["day", "user_id", "n_events"]]],
+                         ignore_index=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        users = g.loc[g["user_id"] >= 0].groupby("day")["user_id"].nunique()
+        events = g.loc[g["user_id"] < 0].groupby("day")["n_events"].sum()
+        out = pd.DataFrame(
+            {
+                "day": users.index,
+                "n_users": users.to_numpy().astype("int64"),
+                "n_events": events.reindex(users.index).to_numpy().astype("int64"),
+            }
+        )
+        out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+        return out.reset_index(drop=True)
+
+    return bucketed_group_agg(ds.map_batches(partial, batch_format="pandas"),
+                              ["day"], final, num_buckets=16)
