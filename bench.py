@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "length_percentile_filter",
     "bm25_search",
     "quantize_embeddings",
+    "global_rank",
+    "cluster_label_histogram",
+    "daily_active_users",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",
