@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
+        "dup_cluster_sizes": cluster.dup_cluster_sizes,
         "dedup_apply": curation.dedup_apply,
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
@@ -111,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": relational.event_deltas,
         "revenue_by_nation": relational.revenue_by_nation,
         "daily_active_users": relational.daily_active_users,
+        "order_count_distribution": relational.order_count_distribution,
+        "session_length_histogram": relational.session_length_histogram,
+        "monthly_revenue_ma": relational.monthly_revenue_ma,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -236,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_PAIRS_SQL,
     )
     from docling_serve_ray.ops.cluster import (
+        DUP_CLUSTER_SIZES_SQL,
         EMBEDDING_CLUSTERS_SQL,
         NEARDUP_CLUSTERS_SQL,
     )
@@ -272,6 +277,9 @@ def oracle_sql() -> dict[str, str]:
         EVENT_DELTAS_SQL,
         REVENUE_BY_NATION_SQL,
         DAILY_ACTIVE_USERS_SQL,
+        ORDER_COUNT_DISTRIBUTION_SQL,
+        SESSION_LENGTH_HISTOGRAM_SQL,
+        MONTHLY_REVENUE_MA_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -346,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
+        "dup_cluster_sizes": DUP_CLUSTER_SIZES_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
@@ -379,6 +388,9 @@ def oracle_sql() -> dict[str, str]:
         "event_deltas": EVENT_DELTAS_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "daily_active_users": DAILY_ACTIVE_USERS_SQL,
+        "order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
+        "session_length_histogram": SESSION_LENGTH_HISTOGRAM_SQL,
+        "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

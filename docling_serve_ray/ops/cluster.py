@@ -353,3 +353,59 @@ def embedding_clusters(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(
         lambda b: b.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# dup_cluster_sizes query: component size distribution
+# ---------------------------------------------------------------------------
+
+DUP_CLUSTER_SIZES_SQL = f"""
+WITH comp AS ({NEARDUP_CLUSTERS_SQL}),
+s AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM s GROUP BY cluster_size
+"""
+
+
+def dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup cluster-size distribution (cluster_size → n_clusters) —
+    the audit a dedup run publishes to spot pathological super-clusters
+    (boilerplate explosions show up as one giant component). Composes
+    neardup_clusters; per-batch value_counts of cluster_id combine first,
+    then one bucketed reduce by cluster_id sums the partials into sizes,
+    and a final tiny reduce over the size domain (bounded by the largest
+    cluster, not the corpus) emits the histogram."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    comp = neardup_clusters(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["cluster_id"].value_counts()
+        return pd.DataFrame(
+            {"cluster_id": h.index.to_numpy().astype("int64"),
+             "n": h.to_numpy().astype("int64")}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("cluster_id")["n"].sum()
+        h = t.value_counts()
+        return pd.DataFrame(
+            {"cluster_size": h.index.to_numpy().astype("int64"),
+             "n_clusters": h.to_numpy().astype("int64")}
+        )
+
+    partial_hist = bucketed_group_agg(
+        comp.map_batches(partial, batch_format="pandas"),
+        ["cluster_id"], sizes, num_buckets=nb,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+        return out.astype({"cluster_size": "int64", "n_clusters": "int64"})
+
+    return bucketed_group_agg(partial_hist, ["cluster_size"], merge, num_buckets=8)

@@ -1798,3 +1798,179 @@ def daily_active_users(sf_dir: str) -> ray.data.Dataset:
 
     return bucketed_group_agg(ds.map_batches(partial, batch_format="pandas"),
                               ["day"], final, num_buckets=16)
+
+
+# --- customer order-count distribution (TPC-H Q13 shape) -------------------------
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+WITH oc AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS order_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT order_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM oc GROUP BY order_count
+"""
+
+
+def order_count_distribution(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 shape: orders per customer INCLUDING zero-order customers
+    (the left-outer-join semantics), folded into the distribution histogram
+    (order_count → n_customers).
+
+    No Dataset.join: both sides are tagged and hash-bucketed on the
+    customer key (the sentinel-tag core shared with
+    ops/shuffle.anti_join_ids, keeping counts instead of membership).
+    Orders pre-aggregate per batch, so the shuffle carries (custkey,
+    partial_count) int64 rows — never order payload; a customer row rides
+    along as count 0 and left-outer semantics fall out of the tag. The
+    per-bucket reduce emits partial histogram cells; a second tiny reduce
+    on order_count (domain ≈ max orders per customer, calendar-bounded)
+    finishes. Two thin int64 shuffles total."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["c_custkey"].astype("int64"), "cnt": np.int64(0),
+             "_t": np.int64(0)}
+        ),
+        batch_format="pandas",
+    )
+
+    def orders_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {"key": g["o_custkey"].astype("int64"),
+             "cnt": g["size"].astype("int64"), "_t": np.int64(1)}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(orders_partial, batch_format="pandas")
+
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/customer.parquet",
+                             f"{sf_dir}/orders.parquet")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # keep only keys present on the customer side (tag 0); an order
+        # row with no customer (referential noise) must not invent one
+        agg = g.groupby("key").agg(total=("cnt", "sum"), tmin=("_t", "min"))
+        totals = agg.loc[agg["tmin"] == 0, "total"]
+        h = totals.value_counts()
+        return pd.DataFrame(
+            {"order_count": h.index.to_numpy().astype("int64"),
+             "n_customers": h.to_numpy().astype("int64")}
+        )
+
+    partial_hist = bucketed_group_agg(
+        cust.union(orders), ["key"], per_bucket, num_buckets=nb
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("order_count", as_index=False)["n_customers"].sum()
+        return out.astype({"order_count": "int64", "n_customers": "int64"})
+
+    return bucketed_group_agg(partial_hist, ["order_count"], merge, num_buckets=8)
+
+
+# --- session length histogram -----------------------------------------------------
+
+SESSION_LENGTH_HISTOGRAM_SQL = f"""
+WITH sess AS ({SESSIONIZE_SQL})
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+FROM sess GROUP BY n_events
+"""
+
+
+def session_length_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Distribution of session lengths (events per session → session
+    count) — the roll-up a sessionization pipeline actually publishes.
+    Composes the sessionize operator (its keyed shuffle does the heavy
+    lifting), then a per-batch value_counts combiner and one tiny reduce
+    over the length domain (bounded by the longest session, not the
+    corpus)."""
+    from .shuffle import bucketed_group_agg
+
+    sess = sessionize(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["n_events"].value_counts()
+        return pd.DataFrame(
+            {"n_events": h.index.to_numpy().astype("int64"),
+             "n_sessions": h.to_numpy().astype("int64")}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_events", as_index=False)["n_sessions"].sum()
+        return out.astype({"n_events": "int64", "n_sessions": "int64"})
+
+    return bucketed_group_agg(
+        sess.map_batches(partial, batch_format="pandas"),
+        ["n_events"], merge, num_buckets=8,
+    )
+
+
+# --- monthly revenue with trailing window ----------------------------------------
+
+MONTHLY_REVENUE_MA_SQL = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_c,
+       CAST(SUM(revenue_c) OVER (ORDER BY month
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev3_c
+FROM m
+"""
+
+
+def monthly_revenue_ma(sf_dir: str) -> ray.data.Dataset:
+    """Monthly revenue time-series with a 3-month trailing window sum —
+    the aggregate-then-window family (window over an AGGREGATED series,
+    unlike running_totals' window over raw rows). The distributed part is
+    the per-month cent sum (per-batch combiner → tiny keyed reduce); the
+    trailing window then runs over the month table, whose cardinality is
+    calendar-bounded (decades → hundreds of rows), in ONE ordered task via
+    repartition(1) — a deliberate, size-justified serialization, the same
+    rationale as a driver-side collect but kept inside the Dataset. Sum
+    (not mean) keeps it integer-exact."""
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        f = pd.DataFrame(
+            {"month": b["o_orderdate"].dt.strftime("%Y-%m"), "c": cents}
+        )
+        return f.groupby("month", as_index=False)["c"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("month", as_index=False)["c"].sum()
+        return out.astype({"c": "int64"})
+
+    months = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["month"], merge, num_buckets=8,
+    )
+
+    def window(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("month", kind="stable").reset_index(drop=True)
+        rev = b["c"].to_numpy()
+        rev3 = pd.Series(rev).rolling(3, min_periods=1).sum().to_numpy()
+        return pd.DataFrame(
+            {"month": b["month"], "revenue_c": rev,
+             "rev3_c": rev3.astype("int64")}
+        )
+
+    return months.repartition(1).map_batches(
+        window, batch_format="pandas", batch_size=None
+    )

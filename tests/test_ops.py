@@ -44,6 +44,10 @@ SUBSET = [
     "cms_tokens",
     "regex_token_count",
     "rolling_fingerprint",
+    "order_count_distribution",
+    "session_length_histogram",
+    "monthly_revenue_ma",
+    "dup_cluster_sizes",
 ]
 
 
