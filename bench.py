@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "global_rank",
     "cluster_label_histogram",
     "daily_active_users",
+    "order_count_distribution",
+    "session_length_histogram",
+    "monthly_revenue_ma",
+    "dup_cluster_sizes",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",

@@ -408,4 +408,8 @@ def dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
         out = g.groupby("cluster_size", as_index=False)["n_clusters"].sum()
         return out.astype({"cluster_size": "int64", "n_clusters": "int64"})
 
-    return bucketed_group_agg(partial_hist, ["cluster_size"], merge, num_buckets=8)
+    # final merge input is (size, count) cells per bucket — domain-bounded,
+    # so one task merges it without a second all-to-all
+    return partial_hist.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
