@@ -475,6 +475,87 @@ SESSION_GAP = pd.Timedelta(minutes=30)
 DEFAULT_MAX_GROUP_ROWS = 5_000_000
 
 
+def auto_slice_width(
+    events_path: str,
+    max_group_rows: int,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_width: "pd.Timedelta | None" = None,
+    target_fill: float = 0.25,
+) -> "str | None":
+    """Resolve ``slice_width="auto"`` for the keyed-log ops: one THIN
+    pre-pass (per-batch (key, count, tmin, tmax) partials → bucketed
+    per-key sum → per-bucket max → tiny driver reduce; only int64/ts
+    summary rows ever shuffle) finds the hottest key's EXACT row count
+    and the corpus time span. If the hot key fits ``max_group_rows`` the
+    single-shuffle path wins (returns None — no slicing tax); otherwise
+    the returned width spreads the hot key over enough slices that one
+    (key, slice) group targets ``target_fill × max_group_rows`` rows,
+    assuming the hot key's events spread across the corpus span (a bursty
+    hot key may still trip the sliced guard — which raises, not OOMs).
+
+    min_width: per-op floor (sessionize needs > the session gap,
+    range_join ≥ its window). The width is clamped up to it; a clamped
+    width may leave oversized groups, again caught by the sliced guard.
+    Raises when the hot key exceeds the limit but the corpus has no time
+    span to slice over (single-timestamp skew is not time-separable)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(events_path, columns=[key_col, ts_col])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(key_col, as_index=False).agg(
+            cnt=(ts_col, "size"), tmin=(ts_col, "min"), tmax=(ts_col, "max")
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(key_col, as_index=False).agg(
+            cnt=("cnt", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max")
+        )
+        # one summary row per bucket: its hottest key + its time extent
+        return pd.DataFrame(
+            {
+                "cnt": [int(a["cnt"].max())],
+                "tmin": [a["tmin"].min()],
+                "tmax": [a["tmax"].max()],
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(events_path))
+    summary = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [key_col], per_bucket, num_buckets=nb,
+    ).to_pandas()  # ≤ nb rows
+    max_cnt = int(summary["cnt"].max())
+    if max_cnt <= max_group_rows:
+        return None
+    span = summary["tmax"].max() - summary["tmin"].min()
+    span_us = int(span.value // 1000) if hasattr(span, "value") else 0
+    if span_us <= 0:
+        raise ValueError(
+            f"auto_slice_width: hottest key holds {max_cnt} rows "
+            f"(> max_group_rows={max_group_rows}) but the corpus has no "
+            "time span — single-timestamp skew cannot be time-sliced."
+        )
+    per_slice = max(1, int(max_group_rows * target_fill))
+    n_slices = -(-max_cnt // per_slice)
+    width_us = max(1, -(-span_us // n_slices))
+    if min_width is not None:
+        width_us = max(width_us, int(min_width.value // 1000) + 1)
+    return f"{width_us}us"
+
+
+def _resolve_slice_width(
+    slice_width, sf_dir: str, max_group_rows: int, min_width=None
+):
+    if slice_width == "auto":
+        return auto_slice_width(
+            f"{sf_dir}/events.parquet", max_group_rows, min_width=min_width
+        )
+    return slice_width
+
+
 def _guard_group_rows(g: pd.DataFrame, keys: list, limit: int, op: str) -> None:
     if len(g) <= limit:  # cheap short-circuit: a bucket smaller than the
         return  # limit cannot contain an oversized group
@@ -527,6 +608,9 @@ def sessionize(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(
+        slice_width, sf_dir, max_group_rows, min_width=SESSION_GAP
+    )
     if slice_width is not None:
         return _sessionize_sliced(ds, slice_width, nb, max_group_rows)
 
@@ -894,6 +978,7 @@ def asof_join(
         filter=pc.field("event_type").isin(["purchase", "click"]),
     )
     nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
     if slice_width is not None:
         return _asof_join_sliced(ds, slice_width, nb, max_group_rows)
 
@@ -1057,6 +1142,10 @@ def range_join(
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    slice_width = _resolve_slice_width(
+        slice_width, sf_dir, max_group_rows,
+        min_width=pd.Timedelta(microseconds=RANGE_WINDOW_US),
     )
     if slice_width is not None:
         return _range_join_sliced(ds, sf_dir, slice_width, comp_max, max_group_rows)
@@ -1435,6 +1524,7 @@ def running_totals(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
     if slice_width is not None:
         return _running_totals_sliced(ds, slice_width, nb, max_group_rows)
 
@@ -1576,6 +1666,7 @@ def event_deltas(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
     if slice_width is not None:
         return _event_deltas_sliced(ds, slice_width, nb, max_group_rows)
 

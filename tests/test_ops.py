@@ -534,6 +534,43 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_auto_slice_width_selection(ray_session, tmp_path):
+    """slice_width="auto": the thin pre-pass (a) returns None — the
+    single-shuffle path — when the hottest key fits max_group_rows, and
+    (b) resolves a concrete width past it, under which each keyed-log op
+    completes and equals the DuckDB oracle exactly (hot user 1500 rows,
+    limit 400 → default path would raise)."""
+    from docling_serve_ray.ops.relational import (
+        ASOF_JOIN_SQL,
+        RUNNING_TOTALS_SQL,
+        SESSIONIZE_SQL,
+        SESSION_GAP,
+        asof_join,
+        auto_slice_width,
+        running_totals,
+        sessionize,
+    )
+
+    con = _skewed_events(tmp_path)
+    sf = str(tmp_path)
+    events = f"{sf}/events.parquet"
+
+    # hot key fits → no slicing
+    assert auto_slice_width(events, 10_000) is None
+    # hot key exceeds → a concrete width, above the requested floor
+    w = auto_slice_width(events, 400, min_width=SESSION_GAP)
+    assert w is not None and pd.Timedelta(w) > SESSION_GAP
+
+    for op, sql in (
+        (sessionize, SESSIONIZE_SQL),
+        (asof_join, ASOF_JOIN_SQL),
+        (running_totals, RUNNING_TOTALS_SQL),
+    ):
+        got = _canon(op(sf, slice_width="auto", max_group_rows=400).to_pandas())
+        want = _canon(con.sql(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_sessionize_sliced_no_boundary_candidates(ray_session, tmp_path):
     """When every session sits far from slice edges, the stitch branch is
     EMPTY — the sliced path must still equal the default path (empty-union
