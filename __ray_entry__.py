@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": text.rolling_fingerprint,
         "chunk_documents": text.chunk_documents,
         "stratified_sample": text.stratified_sample,
+        "group_sample": text.group_sample,
         "pii_scrub": text.pii_scrub,
         "repetition_score": text.repetition_score,
         "decontaminate": text.decontaminate,
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_filtered": similarity.ivf_topk_filtered,
         "quantize_embeddings": similarity.quantize_embeddings,
         "cluster_label_histogram": similarity.cluster_label_histogram,
+        "knn_graph": similarity.knn_graph,
         # --- relational / aggregation family ---
         "agg_pricing": relational.agg_pricing,
         "join_priority_revenue": relational.join_priority_revenue,
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         LABEL_CENTROIDS_SQL,
         SEMANTIC_DEDUP_SQL,
         CLUSTER_LABEL_HISTOGRAM_SQL,
+        KNN_GRAPH_SQL,
         QUANTIZE_EMBEDDINGS_SQL,
     )
     from docling_serve_ray.ops.text import (
@@ -303,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         REPETITION_SCORE_SQL,
         ROLLING_FINGERPRINT_SQL,
         STRATIFIED_SAMPLE_SQL,
+        GROUP_SAMPLE_SQL,
         TOP_TOKENS_SQL,
     )
 
@@ -345,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "group_sample": GROUP_SAMPLE_SQL,
         "pii_scrub": PII_SCRUB_SQL,
         "repetition_score": REPETITION_SCORE_SQL,
         "decontaminate": DECON_SQL,
@@ -397,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": GLOBAL_RANK_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,
+        "knn_graph": KNN_GRAPH_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
     }

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "session_length_histogram",
     "monthly_revenue_ma",
     "dup_cluster_sizes",
+    "knn_graph",
+    "group_sample",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",

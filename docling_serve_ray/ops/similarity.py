@@ -1053,3 +1053,104 @@ def cluster_label_histogram(sf_dir: str) -> ray.data.Dataset:
         partial, batch_format="pyarrow"
     )
     return bucketed_group_agg(ds, ["cluster", "label"], merge, num_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph: every vector's top-k cosine neighbors (the kNN-graph build)
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_SQL = """
+WITH s AS (
+  SELECT a.vec_id, b.vec_id AS nbr,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr,
+       CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) AS BIGINT)
+         AS rank
+FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr) <= 5
+"""
+
+
+def knn_graph(
+    sf_dir: str, *, k: int = TOPK_K, broadcast_max_bytes: int = 1 << 30
+) -> ray.data.Dataset:
+    """Exact k-nearest-neighbor graph: for EVERY vector, its top-k cosine
+    neighbors → (vec_id, nbr, rank). The graph behind SemDeDup-style
+    curation, kNN classifiers and NN-descent seeding.
+
+    Shape: the packed corpus matrix is broadcast ONCE (ray.put;
+    n × dim × 8 bytes — size-gated like the broadcast joins), and each
+    batch computes batch × corpus sims with one matmul + argpartition.
+    Every row's FULL neighbor set resolves inside its own task, so the op
+    needs ZERO shuffles — output streams straight from the map.
+
+    Past the gate this brute build is O(n²) and the matrix stops fitting:
+    compose the IVF route instead (ivf_build's cell layout, neighbors
+    searched within probed cells — same recall story as ivf_topk), which
+    this exact version oracles at small scale."""
+    import pyarrow.parquet as pq
+
+    from .shuffle import input_bytes_estimate
+
+    path = f"{sf_dir}/embeddings.parquet"
+    meta = pq.read_metadata(path)
+    n = meta.num_rows
+    est = input_bytes_estimate(path)
+    if est > broadcast_max_bytes:
+        raise ValueError(
+            f"knn_graph: embeddings estimate {est} B exceeds the broadcast "
+            f"gate ({broadcast_max_bytes} B); use the IVF cell-local "
+            "composition for corpora past the single-worker matrix size."
+        )
+
+    # one pass to pack the broadcast side (driver holds ids + float32
+    # matrix transiently — exactly the gated broadcast-join pattern)
+    rows = _emb(sf_dir).to_pandas()
+    ids_all = rows["vec_id"].to_numpy().astype(np.int64)
+    # float64 throughout — the precision _brute_topk's green oracle proves
+    # out against DuckDB's float32 list_cosine_similarity ranking
+    M = _normalize(
+        np.array([np.asarray(e, dtype=np.float64) for e in rows["embedding"]])
+    )
+    order = np.argsort(ids_all)
+    ref = ray.put((ids_all[order], M[order]))
+    del rows, M
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "nbr": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        ids_c, Mc = ray.get(ref)
+        ids, X = _batch_matrix(batch)
+        sims = _normalize(X) @ Mc.T  # (nb, n)
+        kk = min(k + 1, sims.shape[1])  # +1: self-match headroom
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_id, out_nbr, out_sim = [], [], []
+        for i in range(len(ids)):
+            cand = idx[i][ids_c[idx[i]] != ids[i]][:k + 1]
+            out_id.append(np.full(len(cand), ids[i], dtype=np.int64))
+            out_nbr.append(ids_c[cand])
+            out_sim.append(sims[i, cand])
+        f = pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_id),
+                "nbr": np.concatenate(out_nbr),
+                "sim": np.concatenate(out_sim, dtype=np.float64),
+            }
+        )
+        f = f.sort_values(["vec_id", "sim", "nbr"], ascending=[True, False, True])
+        f["rank"] = f.groupby("vec_id").cumcount() + 1
+        f = f.loc[f["rank"] <= k]
+        return f[["vec_id", "nbr", "rank"]].astype(
+            {"vec_id": "int64", "nbr": "int64", "rank": "int64"}
+        )
+
+    return _emb(sf_dir).map_batches(per_batch, batch_format="pyarrow")

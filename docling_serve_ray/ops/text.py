@@ -977,3 +977,57 @@ def bloom_union(sf_dir: str) -> ray.data.Dataset:
         )
 
     return bucketed_group_agg(halves, ["word"], merge, num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# group_sample: deterministic fixed-count sample per group
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_N = 20
+
+GROUP_SAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+"""
+
+
+def group_sample(sf_dir: str, *, n: int = GROUP_SAMPLE_N) -> ray.data.Dataset:
+    """Exactly-n docs per source, chosen by md5(doc_id) order — the
+    deterministic stand-in for per-group reservoir sampling (reproducible
+    across runs, engines and shard layouts; no RNG state to coordinate).
+    Complements stratified_sample (rate-based keep) and grouped_topk
+    (value-ordered): here the count is FIXED per group and the order is a
+    hash, i.e. a uniform-without-replacement draw.
+
+    Combiner shape: each batch keeps only its local top-n per group (the
+    hash order makes partial top-n correct — same argument as top-k), so
+    the shuffle carries ≤ n × groups rows per batch; one bucketed reduce
+    by group finishes. Group cardinality is the only scale knob."""
+    from .shuffle import bucketed_group_agg
+
+    def topn(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["source", "_h", "doc_id"], kind="stable")
+        return f.loc[f.groupby("source").cumcount() < n]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[["doc_id", "source"]].copy()
+        f["_h"] = f["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()
+        )
+        return topn(f)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = topn(g)
+        return out[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    return bucketed_group_agg(
+        _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["source"], final, num_buckets=8,
+    )

@@ -48,7 +48,20 @@ SUBSET = [
     "session_length_histogram",
     "monthly_revenue_ma",
     "dup_cluster_sizes",
+    "knn_graph",
+    "group_sample",
 ]
+
+
+def test_knn_graph_broadcast_gate(ray_session):
+    """Past the size gate the exact brute build must refuse loudly (the
+    100-TB corpus goes through the IVF composition, never a broadcast)."""
+    import pytest
+
+    from docling_serve_ray.ops.similarity import knn_graph
+
+    with pytest.raises(ValueError, match="broadcast"):
+        knn_graph(SF, broadcast_max_bytes=1)
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
