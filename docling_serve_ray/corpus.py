@@ -73,6 +73,7 @@ DOCX_KINDS = MD_KINDS | {"table", "picture", "caption"}
 PPTX_KINDS = {"paragraph", "section_header", "list_item", "table", "picture", "caption"}
 XLSX_KINDS = {"section_header", "table"}
 ADOC_KINDS = MD_KINDS
+RST_KINDS = MD_KINDS  # title/section_header/paragraph/list_item/code
 
 # geometry constants shared with kernels/pdfmodel.py semantics
 PAGE_W = 612.0
@@ -133,6 +134,7 @@ def _content_spans(rng: random.Random, doc_id: str, lang: str, fmt: str, n_spans
         "pptx": PPTX_KINDS,
         "xlsx": XLSX_KINDS,
         "asciidoc": ADOC_KINDS,
+        "rst": RST_KINDS,
     }.get(fmt)
     spans = [{"kind": "title", "text": _sentence(rng, lang, 3, 7), "media_ref": ""}]
     while len(spans) < n_spans:
@@ -340,8 +342,9 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
     fmt = _pick(
         rng,
         [
-            ("html", 0.30), ("pdf", 0.28), ("docx", 0.12), ("md", 0.05),
+            ("html", 0.28), ("pdf", 0.27), ("docx", 0.12), ("md", 0.05),
             ("pptx", 0.09), ("xlsx", 0.06), ("asciidoc", 0.05), ("image", 0.05),
+            ("rst", 0.03),
         ],
     )
     lang = _pick(rng, [("en", 0.6), ("ar", 0.25), ("el", 0.15)])
@@ -411,6 +414,12 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
 
         raw = content
         payload = render_asciidoc(content)
+        expected = content
+    elif fmt == "rst":
+        from .kernels.rst import render_rst
+
+        raw = content
+        payload = render_rst(content)
         expected = content
     else:
         from .kernels.office import render_markdown_doc

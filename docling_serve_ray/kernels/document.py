@@ -140,6 +140,11 @@ def convert_document(
             spans = parse_xlsx(payload, doc_id)
         elif fmt == "asciidoc":
             spans = parse_asciidoc(payload, doc_id)
+        elif fmt == "rst":
+            # REAL foreign backend (docutils doctree walk) — see kernels/rst.py
+            from .rst import parse_rst
+
+            spans = parse_rst(payload, doc_id)
         elif fmt == "md":
             spans = parse_markdown_doc(payload, doc_id)
         else:

@@ -18,9 +18,11 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class JobOptions:
     # --- format routing (reference convert.py:114-125: defaults to ALL
-    # supported input formats docx/pptx/html/image/pdf/asciidoc/md/xlsx) ---
+    # supported input formats docx/pptx/html/image/pdf/asciidoc/md/xlsx;
+    # "rst" is this suite's own extension, parsed by the real docutils
+    # backend — kernels/rst.py) ---
     from_formats: tuple = (
-        "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image"
+        "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst"
     )
     # reference default is Markdown only (convert.py:127-137 "defaults to
     # Markdown"); text/doctags are opt-in export columns
