@@ -19,6 +19,39 @@ from __future__ import annotations
 
 RST_KINDS = {"title", "section_header", "paragraph", "list_item", "code"}
 
+# Cached parser + settings, built once per process (once per actor): the
+# publish_doctree convenience path re-creates Publisher/OptionParser per
+# call (~15% of the ~20 ms/doc parse cost). The DocTitle transform is
+# applied manually — it is what promotes a lone top section to the
+# document title in the publish path (walker-equality vs publish_doctree
+# verified over the generator's rst population).
+_CACHED = None
+
+
+def _parse_doctree(text: str):
+    global _CACHED
+    from docutils.frontend import get_default_settings
+    from docutils.parsers.rst import Parser
+    from docutils.transforms import Transformer
+    from docutils.transforms.frontmatter import DocTitle
+    from docutils.utils import new_document
+
+    if _CACHED is None:
+        parser = Parser()
+        settings = get_default_settings(Parser)
+        settings.report_level = 5
+        settings.halt_level = 5
+        settings.file_insertion_enabled = False  # no fs reads from payloads
+        settings.raw_enabled = False
+        _CACHED = (parser, settings)
+    parser, settings = _CACHED
+    doc = new_document("<payload>", settings)
+    parser.parse(text, doc)
+    t = Transformer(doc)
+    t.add_transform(DocTitle)
+    t.apply_transforms()
+    return doc
+
 
 def render_rst(spans: list[dict]) -> bytes:
     """Ground-truth spans → reStructuredText source (generator side)."""
@@ -50,18 +83,9 @@ def parse_rst(payload: bytes, doc_id: str) -> list[dict]:
     Unknown node types (system messages, comments) are skipped — the
     backend's recovery behavior, not an error path."""
     from docutils import nodes
-    from docutils.core import publish_doctree
 
     text = payload.decode("utf-8")
-    doc = publish_doctree(
-        text,
-        settings_overrides={
-            "report_level": 5,
-            "halt_level": 5,
-            "file_insertion_enabled": False,  # no filesystem reads from payloads
-            "raw_enabled": False,
-        },
-    )
+    doc = _parse_doctree(text)
 
     spans: list[dict] = []
 
