@@ -96,6 +96,13 @@ def parse_rst(payload: bytes, doc_id: str) -> list[dict]:
         for child in node.children:
             if isinstance(child, nodes.title):
                 emit("section_header" if in_section else "title", child.astext())
+            elif isinstance(child, nodes.subtitle):
+                # DocTitle ALSO promotes a lone second-level section title
+                # to a document subtitle — structurally it was a
+                # section_header in the source, so it must round-trip as
+                # one (dropping it loses a span on [title, header, ...]
+                # documents with exactly one header)
+                emit("section_header", child.astext())
             elif isinstance(child, nodes.section):
                 visit(child, True)
             elif isinstance(child, nodes.bullet_list):

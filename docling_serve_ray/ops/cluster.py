@@ -378,7 +378,12 @@ def dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
     then one bucketed reduce by cluster_id sums the partials into sizes,
     and a final tiny reduce over the size domain (bounded by the largest
     cluster, not the corpus) emits the histogram."""
-    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+    from .shuffle import (
+        bucketed_group_agg,
+        histogram_merge,
+        input_bytes_estimate,
+        scaled_num_buckets,
+    )
 
     comp = neardup_clusters(sf_dir)
 
@@ -404,12 +409,4 @@ def dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
         ["cluster_id"], sizes, num_buckets=nb,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("cluster_size", as_index=False)["n_clusters"].sum()
-        return out.astype({"cluster_size": "int64", "n_clusters": "int64"})
-
-    # final merge input is (size, count) cells per bucket — domain-bounded,
-    # so one task merges it without a second all-to-all
-    return partial_hist.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    return histogram_merge(partial_hist, "cluster_size", "n_clusters")

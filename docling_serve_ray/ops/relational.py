@@ -527,6 +527,8 @@ def auto_slice_width(
         ds.map_batches(partial, batch_format="pandas"),
         [key_col], per_bucket, num_buckets=nb,
     ).to_pandas()  # ≤ nb rows
+    if summary.empty:  # zero events: trivially fits the single-shuffle path
+        return None
     max_cnt = int(summary["cnt"].max())
     if max_cnt <= max_group_rows:
         return None
@@ -1961,16 +1963,9 @@ def order_count_distribution(sf_dir: str) -> ray.data.Dataset:
         cust.union(orders), ["key"], per_bucket, num_buckets=nb
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("order_count", as_index=False)["n_customers"].sum()
-        return out.astype({"order_count": "int64", "n_customers": "int64"})
+    from .shuffle import histogram_merge
 
-    # final merge input is ≤ nb × count-domain histogram cells — domain-
-    # bounded, so one task merges it without a second all-to-all (measured
-    # ~1.7 s saved vs a second bucketed reduce at sf0.1)
-    return partial_hist.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    return histogram_merge(partial_hist, "order_count", "n_customers")
 
 
 # --- session length histogram -----------------------------------------------------
@@ -1998,15 +1993,10 @@ def session_length_histogram(sf_dir: str) -> ray.data.Dataset:
              "n_sessions": h.to_numpy().astype("int64")}
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("n_events", as_index=False)["n_sessions"].sum()
-        return out.astype({"n_events": "int64", "n_sessions": "int64"})
+    from .shuffle import histogram_merge
 
-    # partial cells are (length, count) pairs — domain-bounded, one-task merge
-    return (
-        sess.map_batches(partial, batch_format="pandas")
-        .repartition(1)
-        .map_batches(merge, batch_format="pandas", batch_size=None)
+    return histogram_merge(
+        sess.map_batches(partial, batch_format="pandas"), "n_events", "n_sessions"
     )
 
 

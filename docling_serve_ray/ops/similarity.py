@@ -1131,26 +1131,40 @@ def knn_graph(
         ids_c, Mc = ray.get(ref)
         ids, X = _batch_matrix(batch)
         sims = _normalize(X) @ Mc.T  # (nb, n)
-        kk = min(k + 1, sims.shape[1])  # +1: self-match headroom
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_id, out_nbr, out_sim = [], [], []
+        n_c = sims.shape[1]
+        kk = min(k + 1, n_c)  # +1: self-match headroom
+        # top-kk from the RIGHT of an ascending partition — no `-sims`
+        # negation copy (the sim matrix is the op's peak allocation)
+        part = np.argpartition(sims, n_c - kk, axis=1)[:, n_c - kk:]
+        out_id, out_nbr, out_rank = [], [], []
         for i in range(len(ids)):
-            cand = idx[i][ids_c[idx[i]] != ids[i]][:k + 1]
+            row = sims[i]
+            cand = part[i][ids_c[part[i]] != ids[i]]
+            order = np.lexsort((ids_c[cand], -row[cand]))  # sim desc, nbr asc
+            cand = cand[order][:k]
+            if len(cand) == k and row[part[i]].min() == row[cand[-1]]:
+                # ties at the selection boundary may extend beyond the
+                # partition capture; the oracle keeps the smallest nbr ids
+                # among ties — recompute this row's qualifying set exactly
+                boundary = row[cand[-1]]
+                qual = np.flatnonzero(row >= boundary)
+                qual = qual[ids_c[qual] != ids[i]]
+                order = np.lexsort((ids_c[qual], -row[qual]))
+                cand = qual[order][:k]
             out_id.append(np.full(len(cand), ids[i], dtype=np.int64))
             out_nbr.append(ids_c[cand])
-            out_sim.append(sims[i, cand])
-        f = pd.DataFrame(
+            out_rank.append(np.arange(1, len(cand) + 1, dtype=np.int64))
+        return pd.DataFrame(
             {
                 "vec_id": np.concatenate(out_id),
                 "nbr": np.concatenate(out_nbr),
-                "sim": np.concatenate(out_sim, dtype=np.float64),
+                "rank": np.concatenate(out_rank),
             }
         )
-        f = f.sort_values(["vec_id", "sim", "nbr"], ascending=[True, False, True])
-        f["rank"] = f.groupby("vec_id").cumcount() + 1
-        f = f.loc[f["rank"] <= k]
-        return f[["vec_id", "nbr", "rank"]].astype(
-            {"vec_id": "int64", "nbr": "int64", "rank": "int64"}
-        )
 
-    return _emb(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+    # bound the per-task sim matrix (batch_rows × n × 8 B) independently of
+    # the broadcast gate: a corpus the gate admits must not OOM a worker
+    nb_cap = int(max(16, (128 << 20) // max(1, n * 8)))
+    return _emb(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=min(1024, nb_cap)
+    )

@@ -36,6 +36,32 @@ def test_format_span_equality(fmt):
         assert r["spans"] == d["expected_spans"], fmt
 
 
+def test_rst_subtitle_promotion_roundtrips():
+    """docutils promotes a LONE second-level section title to a document
+    subtitle — the walker must emit it back as section_header (a dropped
+    span here slipped past the sampled scan once: generate_doc(3225))."""
+    from docling_serve_ray.kernels.rst import parse_rst, render_rst
+
+    spans = [
+        {"kind": "title", "text": "Doc title words"},
+        {"kind": "section_header", "text": "Only header words"},
+        {"kind": "paragraph", "text": "body words here"},
+        {"kind": "list_item", "text": "item words"},
+    ]
+    got = parse_rst(render_rst(spans), "d-sub")
+    want = [
+        {"kind": s["kind"], "text": s["text"], "media_ref": "", "offset": k}
+        for k, s in enumerate(spans)
+    ]
+    assert got == want
+    # the degenerate pair: title + one header, nothing else
+    pair = spans[:2]
+    got2 = parse_rst(render_rst(pair), "d-sub2")
+    assert [(s["kind"], s["text"]) for s in got2] == [
+        (s["kind"], s["text"]) for s in pair
+    ]
+
+
 def test_default_from_formats_is_complete():
     assert set(DEFAULT_OPTIONS.from_formats) == set(ALL_FORMATS)
 

@@ -53,6 +53,38 @@ SUBSET = [
 ]
 
 
+def test_knn_graph_tie_break_matches_oracle(ray_session, tmp_path):
+    """With more than k identical embeddings (cos = 1.0 ties straddling
+    the selection boundary) the output must keep the smallest nbr ids —
+    exactly the oracle's (sim DESC, nbr ASC) rule — not an arbitrary
+    argpartition subset."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.similarity import KNN_GRAPH_SQL, knn_graph
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=8)
+    vecs = [list(base)] * 9 + [list(rng.normal(size=8)) for _ in range(4)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(["x"] * len(vecs)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = _canon(knn_graph(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = _canon(con.sql(KNN_GRAPH_SQL).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_knn_graph_broadcast_gate(ray_session):
     """Past the size gate the exact brute build must refuse loudly (the
     100-TB corpus goes through the IVF composition, never a broadcast)."""
