@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.fingerprint,
         "dataset_split": text.dataset_split,
         "top_tokens": text.top_tokens,
+        "pmi_bigrams": text.pmi_bigrams,
         "hll_tokens": text.hll_tokens,
         "cms_tokens": text.cms_tokens,
         "bloom_tokens": text.bloom_tokens,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         ROLLING_FINGERPRINT_SQL,
         STRATIFIED_SAMPLE_SQL,
         GROUP_SAMPLE_SQL,
+        PMI_BIGRAMS_SQL,
         TOP_TOKENS_SQL,
     )
 
@@ -350,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "group_sample": GROUP_SAMPLE_SQL,
+        "pmi_bigrams": PMI_BIGRAMS_SQL,
         "pii_scrub": PII_SCRUB_SQL,
         "repetition_score": REPETITION_SCORE_SQL,
         "decontaminate": DECON_SQL,

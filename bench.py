@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dup_cluster_sizes",
     "knn_graph",
     "group_sample",
+    "pmi_bigrams",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",

@@ -1031,3 +1031,182 @@ def group_sample(sf_dir: str, *, n: int = GROUP_SAMPLE_N) -> ray.data.Dataset:
         ),
         ["source"], final, num_buckets=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# pmi_bigrams: collocation extraction (top bigrams by pointwise mutual info)
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 20
+# integer-exact PMI surrogate: ppm(a,b) = floor(c_ab * 1e6 * N / (c_a*c_b))
+# — a monotone transform of exp(PMI), so the ranking is PMI's ranking, and
+# both engines compute it in exact integer arithmetic (HUGEINT / Python
+# int) so the oracle never hits a float tie-flip.
+PMI_BIGRAMS_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+tok AS (SELECT UNNEST(words) AS t FROM w),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+big AS (
+  SELECT words[i+1] AS a, words[i+2] AS b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-2)) AS i)
+  GROUP BY words[i+1], words[i+2]
+),
+s AS (
+  SELECT big.a || ' ' || big.b AS bigram, c_ab,
+         CAST((CAST(c_ab AS HUGEINT) * 1000000 * n.n)
+              // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS score_ppm
+  FROM big
+  JOIN uni ua ON ua.t = big.a
+  JOIN uni ub ON ub.t = big.b
+  CROSS JOIN n
+)
+SELECT bigram, c_ab, score_ppm,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, bigram) AS BIGINT) AS rank
+FROM s
+QUALIFY row_number() OVER (ORDER BY score_ppm DESC, bigram) <= 20
+"""
+
+
+def pmi_bigrams(
+    sf_dir: str, *, k: int = PMI_TOP_K, broadcast_max_vocab: int = 2_000_000
+) -> ray.data.Dataset:
+    """Top-k collocations: adjacent word pairs ranked by pointwise mutual
+    information — the classic phrase-mining signal (Mikolov-style phrase
+    joining, stopword-free keyphrase surfacing).
+
+    Fully distributed, no broadcast of the vocabulary:
+      1. per-batch combiners count unigrams and (within-doc) bigrams;
+         bucketed reduces produce the exact global count tables — bigram
+         TYPE cardinality is bounded by vocab², never corpus size;
+      2. c_a / c_b attach to bigram rows via the tag-union pattern (one
+         bucketed reduce per side, keyed on the word — the same thin
+         shuffle anti_join_ids uses, carrying only int64 counts);
+      3. the ppm score is computed per row in exact Python-int arithmetic
+         (mirrors the oracle's HUGEINT), each bucket emits its top-k, and
+         one tiny final merge ranks buckets×k candidates.
+    N (total tokens) is the one scalar reduce — a by-design driver value."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    docs = _docs(sf_dir, columns=("text",))
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"t": vc.index, "pc": vc.to_numpy().astype("int64")})
+
+    def uni_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("t", as_index=False)["pc"].sum()
+        return out.rename(columns={"pc": "c"}).astype({"c": "int64"})
+
+    uni = bucketed_group_agg(
+        docs.map_batches(uni_partial, batch_format="pandas"),
+        ["t"], uni_reduce, num_buckets=nb,
+    ).materialize()  # vocab-sized; reused by N, the a-side and the b-side
+    n_tokens = int(uni.sum("c"))
+
+    def big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ws = batch["text"].str.split(" ")
+        ex = ws.explode()
+        nxt = ex.groupby(level=0).shift(-1)
+        mask = nxt.notna()
+        f = pd.DataFrame({"a": ex[mask], "b": nxt[mask]})
+        out = f.groupby(["a", "b"], as_index=False).size()
+        return out.rename(columns={"size": "c_ab"}).astype({"c_ab": "int64"})
+
+    def big_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["c_ab"].sum()
+        return out.astype({"c_ab": "int64"})
+
+    big = bucketed_group_agg(
+        docs.map_batches(big_partial, batch_format="pandas"),
+        ["a", "b"], big_reduce, num_buckets=nb,
+    )
+
+    def attach(rows_ds, columns: list, count_col: str, key_col: str):
+        """Tag-union count attach: unigram rows ride into the same bucket
+        as the bigram rows sharing key_col; the per-bucket reduce maps the
+        counts on. Both union sides carry IDENTICAL typed columns (count
+        rows pad with sentinels) so blocks never schema-diverge."""
+        out_cols = columns + [count_col]
+
+        def tag_rows(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(_cnt=np.int64(-1))[columns + ["_cnt"]]
+
+        def tag_uni(u: pd.DataFrame) -> pd.DataFrame:
+            f = pd.DataFrame({key_col: u["t"], "_cnt": u["c"].astype("int64")})
+            for c in columns:
+                if c == key_col:
+                    continue
+                f[c] = "" if c in ("a", "b", "bigram") else np.int64(-1)
+            return f[columns + ["_cnt"]]
+
+        def reduce(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = g.loc[g["_cnt"] >= 0].set_index(key_col)["_cnt"]
+            rows = g.loc[g["_cnt"] < 0].drop(columns=["_cnt"])
+            rows = rows.assign(**{count_col: rows[key_col].map(cnt).astype("int64")})
+            return rows[out_cols]
+
+        return bucketed_group_agg(
+            rows_ds.map_batches(tag_rows, batch_format="pandas").union(
+                uni.map_batches(tag_uni, batch_format="pandas")
+            ),
+            [key_col], reduce, num_buckets=nb,
+        )
+
+    # size-gated broadcast fast path (join_revenue's pattern): a vocab
+    # that fits a worker broadcasts once and both attaches become local
+    # maps; past the gate the tag-union shuffle path runs instead
+    n_vocab = uni.count()
+    if n_vocab <= broadcast_max_vocab:
+        vocab = uni.to_pandas()
+        ref = ray.put(dict(zip(vocab["t"], vocab["c"].astype("int64"))))
+
+        def attach_both(b: pd.DataFrame) -> pd.DataFrame:
+            cnt = ray.get(ref)
+            return b.assign(
+                c_a=b["a"].map(cnt).astype("int64"),
+                c_b=b["b"].map(cnt).astype("int64"),
+            )
+
+        big_ab = big.map_batches(attach_both, batch_format="pandas")
+    else:
+        big_a = attach(big, ["a", "b", "c_ab"], "c_a", "a")
+        big_ab = attach(big_a, ["a", "b", "c_ab", "c_a"], "c_b", "b")
+
+    def score_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["c_a", "c_b"])
+        if g.empty:
+            return pd.DataFrame(
+                {"bigram": pd.Series(dtype="object"),
+                 "c_ab": pd.Series(dtype="int64"),
+                 "score_ppm": pd.Series(dtype="int64")}
+            )
+        # exact integer score (Python int — mirrors the oracle's HUGEINT)
+        score = [
+            (int(cab) * 1_000_000 * n_tokens) // (int(ca) * int(cb))
+            for cab, ca, cb in zip(g["c_ab"], g["c_a"], g["c_b"])
+        ]
+        f = pd.DataFrame(
+            {"bigram": g["a"].astype(str) + " " + g["b"].astype(str),
+             "c_ab": g["c_ab"].astype("int64").to_numpy(),
+             "score_ppm": pd.array(score, dtype="int64")}
+        )
+        return f.sort_values(["score_ppm", "bigram"], ascending=[False, True]).head(k)
+
+    cands = big_ab.map_batches(score_topk, batch_format="pandas")
+
+    def final_top(batch: pd.DataFrame) -> pd.DataFrame:
+        top = batch.sort_values(
+            ["score_ppm", "bigram"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {"bigram": top["bigram"].to_numpy(),
+             "c_ab": top["c_ab"].astype("int64").to_numpy(),
+             "score_ppm": top["score_ppm"].astype("int64").to_numpy(),
+             "rank": pd.Series(range(1, len(top) + 1), dtype="int64")}
+        )
+
+    return cands.repartition(1).map_batches(
+        final_top, batch_format="pandas", batch_size=None
+    )

@@ -50,7 +50,20 @@ SUBSET = [
     "dup_cluster_sizes",
     "knn_graph",
     "group_sample",
+    "pmi_bigrams",
 ]
+
+
+def test_pmi_bigrams_shuffle_path_matches(ray_session, duck):
+    """Forcing the vocab past the broadcast gate routes both count
+    attaches through the tag-union shuffle path — output must be
+    identical to the oracle (and hence to the broadcast path)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.text import pmi_bigrams
+
+    got = _canon(pmi_bigrams(SF, broadcast_max_vocab=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["pmi_bigrams"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
 
 
 def test_knn_graph_tie_break_matches_oracle(ray_session, tmp_path):
