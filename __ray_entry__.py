@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": curation.global_rank,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
+        "media_dedup": media_ops.media_dedup,
     }
 
 
@@ -260,7 +261,7 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
     )
-    from docling_serve_ray.ops.media_ops import MEDIA_META_SQL
+    from docling_serve_ray.ops.media_ops import MEDIA_DEDUP_SQL, MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
         ASOF_JOIN_SQL,
@@ -408,4 +409,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": KNN_GRAPH_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
+        "media_dedup": MEDIA_DEDUP_SQL,
     }

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "group_sample",
     "pmi_bigrams",
+    "media_dedup",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",

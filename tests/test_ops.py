@@ -51,6 +51,7 @@ SUBSET = [
     "knn_graph",
     "group_sample",
     "pmi_bigrams",
+    "media_dedup",
 ]
 
 
