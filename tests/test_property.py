@@ -87,6 +87,33 @@ class TestHtmlRoundTrip:
         ]
 
 
+class TestRstRoundTrip:
+    """Real-docutils round-trip over the full generated shape space —
+    the subtitle-promotion bug (lone header right after the title) was
+    exactly the kind of structural corner a sampled corpus scan missed."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["section_header", "paragraph", "list_item", "code"]),
+                _text,
+            ).map(lambda kt: _span(*kt)),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    def test_rst(self, spans):
+        from docling_serve_ray.kernels.rst import parse_rst, render_rst
+
+        spans = [_span("title", "The Title Words")] + spans
+        got = parse_rst(render_rst(spans), "d")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+        assert [s["offset"] for s in got] == list(range(len(got)))
+
+
 class TestOfficeRoundTrip:
     @settings(max_examples=60, deadline=None)
     @given(_docx_spans)
