@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "daily_active_users": relational.daily_active_users,
         "order_count_distribution": relational.order_count_distribution,
+        "priority_with_returns": relational.priority_with_returns,
         "session_length_histogram": relational.session_length_histogram,
         "monthly_revenue_ma": relational.monthly_revenue_ma,
         "tfidf_top_terms": curation.tfidf_top_terms,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         REVENUE_BY_NATION_SQL,
         DAILY_ACTIVE_USERS_SQL,
         ORDER_COUNT_DISTRIBUTION_SQL,
+        PRIORITY_WITH_RETURNS_SQL,
         SESSION_LENGTH_HISTOGRAM_SQL,
         MONTHLY_REVENUE_MA_SQL,
     )
@@ -398,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "daily_active_users": DAILY_ACTIVE_USERS_SQL,
         "order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
+        "priority_with_returns": PRIORITY_WITH_RETURNS_SQL,
         "session_length_histogram": SESSION_LENGTH_HISTOGRAM_SQL,
         "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

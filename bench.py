@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "group_sample",
     "pmi_bigrams",
     "media_dedup",
+    "priority_with_returns",
     "top_tokens",
     "hll_tokens",
     "cms_tokens",

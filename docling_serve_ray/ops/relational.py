@@ -1893,6 +1893,79 @@ def daily_active_users(sf_dir: str) -> ray.data.Dataset:
                               ["day"], final, num_buckets=16)
 
 
+# --- EXISTS semi-join: orders with returned items, by priority (Q4 shape) --------
+
+PRIORITY_WITH_RETURNS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def priority_with_returns(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 shape: orders having AT LEAST ONE qualifying lineitem
+    (here: a returned item), counted per priority — the EXISTS semi-join,
+    the one join flavor the suite didn't yet carry (anti-join's mirror).
+
+    Same tag-union core as inactive_customers, inverted: the lineitem
+    side pushes its predicate into the parquet read, per-batch-distincts
+    its orderkeys (a returned order with 10^6 lines ships ONE row per
+    batch), and the per-bucket reduce keeps order rows whose key saw any
+    lineitem tag. Counts pre-aggregate per bucket; the final merge is one
+    task over the 5-row priority domain."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["o_orderkey"].astype("int64"),
+             "pri": b["o_orderpriority"], "_t": np.int64(0)}
+        ),
+        batch_format="pandas",
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["l_orderkey"].drop_duplicates().astype("int64")
+        return pd.DataFrame({"key": ks, "pri": "", "_t": np.int64(1)})
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(li_partial, batch_format="pandas")
+
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/orders.parquet",
+                             f"{sf_dir}/lineitem.parquet")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        has_ret = g.groupby("key")["_t"].transform("max") == 1
+        kept = g.loc[(g["_t"] == 0) & has_ret]
+        out = kept.groupby("pri", as_index=False).size()
+        return out.rename(
+            columns={"pri": "o_orderpriority", "size": "n_orders"}
+        ).astype({"n_orders": "int64"})
+
+    partials = bucketed_group_agg(
+        orders.union(lineitem), ["key"], per_bucket, num_buckets=nb
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+        return out.astype({"n_orders": "int64"})
+
+    # priority domain is 5 values — one-task merge, no second all-to-all
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
 # --- customer order-count distribution (TPC-H Q13 shape) -------------------------
 
 ORDER_COUNT_DISTRIBUTION_SQL = """

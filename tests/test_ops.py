@@ -52,6 +52,7 @@ SUBSET = [
     "group_sample",
     "pmi_bigrams",
     "media_dedup",
+    "priority_with_returns",
 ]
 
 
