@@ -29,6 +29,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from docling_serve_ray.ops import (
+        analytics,
         cluster,
         curation,
         dedup,
@@ -119,6 +120,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_with_returns": relational.priority_with_returns,
         "session_length_histogram": relational.session_length_histogram,
         "monthly_revenue_ma": relational.monthly_revenue_ma,
+        # --- decision-support analytics (TPC-H-shaped star joins) ---
+        "promo_revenue": analytics.promo_revenue,
+        "top_supplier": analytics.top_supplier,
+        "large_volume_customers": analytics.large_volume_customers,
+        "returned_item_report": analytics.returned_item_report,
+        "market_share": analytics.market_share,
+        "small_qty_revenue": analytics.small_qty_revenue,
+        "rfm_features": analytics.rfm_features,
+        "revenue_rollup": analytics.revenue_rollup,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -262,6 +272,16 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
     )
+    from docling_serve_ray.ops.analytics import (
+        LARGE_VOLUME_CUSTOMERS_SQL,
+        MARKET_SHARE_SQL,
+        PROMO_REVENUE_SQL,
+        RETURNED_ITEM_REPORT_SQL,
+        REVENUE_ROLLUP_SQL,
+        RFM_FEATURES_SQL,
+        SMALL_QTY_REVENUE_SQL,
+        TOP_SUPPLIER_SQL,
+    )
     from docling_serve_ray.ops.media_ops import MEDIA_DEDUP_SQL, MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
@@ -403,6 +423,14 @@ def oracle_sql() -> dict[str, str]:
         "priority_with_returns": PRIORITY_WITH_RETURNS_SQL,
         "session_length_histogram": SESSION_LENGTH_HISTOGRAM_SQL,
         "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
+        "promo_revenue": PROMO_REVENUE_SQL,
+        "top_supplier": TOP_SUPPLIER_SQL,
+        "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
+        "returned_item_report": RETURNED_ITEM_REPORT_SQL,
+        "market_share": MARKET_SHARE_SQL,
+        "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+        "rfm_features": RFM_FEATURES_SQL,
+        "revenue_rollup": REVENUE_ROLLUP_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -1,0 +1,651 @@
+"""Decision-support analytics family: the TPC-H-shaped star-join reports
+the relational suite didn't yet carry — promo share (Q14), top supplier
+(Q15), correlated-average decorrelation (Q17), large-volume customers
+(Q18), returned-item report (Q10), supplier-nation market share (Q8),
+per-customer RFM features, and a ROLLUP revenue cube.
+
+Each op follows the suite's scale grammar (see ops/relational.py):
+map-side partial aggregation before every shuffle, broadcast lookups for
+dimension hops (ray.put once; the size-gated hash-join fallback pattern
+lives in relational.join_revenue for when a dimension outgrows the gate),
+Ray Dataset.join for the big-big lineitem ⋈ orders hops, and integer-cent
+money (floor(x*100+0.5) PER ROW, summed exactly) so the DuckDB oracles
+compare bit-identically.
+
+Reference parity note: the reference repo (docling-serve) is a conversion
+service with no relational layer; these operators are the
+training-data-engine extension mandated by the build brief (curation
+pipelines ship alongside extraction — cf. SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .relational import _lookup
+from .shuffle import bucketed_group_agg, input_bytes_estimate, join_partitions, scaled_num_buckets
+
+
+def _cents(x) -> np.ndarray:
+    """Per-row integer cents: identical IEEE ops on both engines."""
+    return np.floor(np.asarray(x, dtype="float64") * 100 + 0.5).astype("int64")
+
+
+def _broadcast_dim(path: str, key_col: str, value):
+    """Sorted (keys, values) lookup arrays shipped via ray.put ONCE.
+
+    ``value`` is either a column name or a callable df -> np.ndarray that
+    derives the lookup value (e.g. a composed two-hop dimension)."""
+    df = ray.data.read_parquet(path).to_pandas()
+    keys = df[key_col].to_numpy()
+    order = np.argsort(keys)
+    vals = value(df) if callable(value) else df[value].to_numpy()
+    return ray.put((keys[order], np.asarray(vals, dtype=object)[order] if getattr(vals, "dtype", None) == object else vals[order]))
+
+
+# --- Q14 shape: promo revenue share per ship-month -------------------------------
+
+PROMO_REVENUE_SQL = """
+SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS month,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_revenue_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY date_trunc('month', l.l_shipdate)
+"""
+
+
+def promo_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 shape: per-ship-month promo vs total revenue. The part
+    dimension collapses to ONE broadcast bool (partkey → is-promo), so the
+    fact table streams through a single map_batches with a per-batch
+    partial keyed by month — no fact shuffle; the final groupby is
+    calendar-bounded. The share ratio is left to the consumer (two exact
+    integer columns hash deterministically; a float ratio would not).
+    Broadcast gate note: at a scale where part outgrows the object-store
+    broadcast, swap in the size-gated hash-join fallback of
+    relational.join_revenue."""
+    ref = _broadcast_dim(
+        f"{sf_dir}/part.parquet",
+        "p_partkey",
+        lambda df: (df["p_type"].to_numpy() == "PROMO").astype("int8"),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        promo = _lookup(ref, b["l_partkey"].to_numpy())
+        promo = np.asarray(promo, dtype="float64")  # nullable -> float; miss = NaN
+        cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        month = b["l_shipdate"].dt.strftime("%Y-%m")
+        g = (
+            pd.DataFrame(
+                {
+                    "month": month,
+                    "p_rev": np.where(promo == 1, cents, 0),
+                    "t_rev": cents,
+                }
+            )
+            .groupby("month", as_index=False)
+            .agg(p_rev=("p_rev", "sum"), t_rev=("t_rev", "sum"))
+        )
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("month")
+        .aggregate(Sum("p_rev", alias_name="promo_revenue_c"),
+                   Sum("t_rev", alias_name="total_revenue_c"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "month": b["month"],
+                "promo_revenue_c": b["promo_revenue_c"].astype("int64"),
+                "total_revenue_c": b["total_revenue_c"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- Q15 shape: top supplier by quarter revenue ----------------------------------
+
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue_c = (SELECT MAX(total_revenue_c) FROM rev)
+"""
+
+
+def top_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in 1996Q1 —
+    the view + argmax pattern. Partial per-batch sums keyed by suppkey
+    shrink the shuffle to ≤ |suppliers| rows per batch; the per-supplier
+    aggregate (|supplier| rows, linear in SF but thin — two ints) is
+    materialized once, the global max is a scalar reduce on it, and the
+    tie-preserving filter + name broadcast produce the (usually 1-row)
+    result. Nothing fact-sized ever leaves the partial stage."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        b = b.loc[m]
+        if not len(b):
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                                 "p_rev": pd.Series(dtype="int64")})
+        cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        return (
+            pd.DataFrame({"l_suppkey": b["l_suppkey"], "p_rev": cents})
+            .groupby("l_suppkey", as_index=False)
+            .agg(p_rev=("p_rev", "sum"))
+        )
+
+    rev = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("p_rev", alias_name="total_revenue_c"))
+        .materialize()  # thin per-supplier rows; reused for max + filter
+    )
+    best = rev.max("total_revenue_c")
+    top = rev.filter(lambda r: r["total_revenue_c"] == best)
+
+    ref = _broadcast_dim(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_name")
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": b["l_suppkey"].astype("int64"),
+                "s_name": _lookup(ref, b["l_suppkey"].to_numpy()),
+                "total_revenue_c": b["total_revenue_c"].astype("int64"),
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pandas")
+
+
+# --- Q18 shape: large-volume customers -------------------------------------------
+
+LARGE_ORDER_QTY = 250
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {LARGE_ORDER_QTY}
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c,
+       b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def large_volume_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer. The per-order quantity roll-up is a partial
+    combiner → byte-scaled bucketed reduce (orderkey cardinality scales
+    with the corpus — never one pandas groupby); the HAVING filter runs
+    inside the reduce so only qualifying orders (a small tail, ~1% here)
+    enter the orders join. That join is Ray's hash join (both sides
+    partitioned); the customer name hop is one broadcast lookup."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/lineitem.parquet"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(b["l_quantity"] + 0.5).astype("int64")
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"], "q": qty})
+            .groupby("l_orderkey", as_index=False)
+            .agg(q=("q", "sum"))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", as_index=False).agg(sum_qty=("q", "sum"))
+        s = s.loc[s["sum_qty"] > LARGE_ORDER_QTY]
+        return s.astype({"l_orderkey": "int64", "sum_qty": "int64"})
+
+    big = bucketed_group_agg(li, ["l_orderkey"], final, partial_fn=partial,
+                             num_buckets=nb)
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = big.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    ref = _broadcast_dim(f"{sf_dir}/customer.parquet", "c_custkey", "c_name")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_name": _lookup(ref, b["o_custkey"].to_numpy()),
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["l_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "totalprice_c": _cents(b["o_totalprice"]),
+                "sum_qty": b["sum_qty"].astype("int64"),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
+# --- Q10 shape: returned-item report per customer --------------------------------
+
+RETURNED_ITEM_REPORT_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+"""
+
+
+def returned_item_report(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q10 shape: lost revenue per customer from returned items.
+    Scale plan: the returnflag filter + a per-batch partial sum keyed by
+    orderkey run BEFORE the big-big join, so the join's left side carries
+    at most one int row per (orderkey, batch) instead of raw lineitems;
+    orders joins in by hash; a second partial keyed by custkey feeds a
+    byte-scaled bucketed reduce; customer-name and nation-name hops are
+    one composed broadcast lookup each."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def partial_order(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_returnflag"] == "R"]
+        if not len(b):
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="int64")})
+        cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev": cents})
+            .groupby("l_orderkey", as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+
+    left = li.map_batches(partial_order, batch_format="pandas")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = left.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    def partial_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_custkey", as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    name_ref = ray.put((keys[order], cust["c_name"].to_numpy(dtype=object)[order]))
+    nnam_ref = ray.put(
+        (keys[order], cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order])
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(revenue_c=("rev", "sum"))
+        ck = s["o_custkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "c_custkey": ck.astype("int64"),
+                "c_name": _lookup(name_ref, ck),
+                "n_name": _lookup(nnam_ref, ck),
+                "revenue_c": s["revenue_c"].astype("int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/customer.parquet"))
+    return bucketed_group_agg(j, ["o_custkey"], final, partial_fn=partial_cust,
+                              num_buckets=nb)
+
+
+# --- Q8 shape: supplier-nation market share per order-year -----------------------
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       n.n_name AS supp_nation,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY year(o.o_orderdate), n.n_name
+"""
+
+
+def market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8 shape: revenue per (order-year, supplier nation). The
+    supplier→nation dimension chain composes to one broadcast lookup
+    built driver-side; lineitem pre-reduces per (orderkey, nation) inside
+    map_batches before the hash join with orders (so the join left side
+    is partial sums, not raw lines); the post-join partial keyed by
+    (year, nation) makes the final groupby tiny (years × nations)."""
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    skeys = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(skeys)
+    snat_ref = ray.put(
+        (skeys[sorder], sup["s_nationkey"].map(nation_names).to_numpy(dtype=object)[sorder])
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial_left(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        nation = _lookup(snat_ref, b["l_suppkey"].to_numpy())
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"], "supp_nation": nation,
+                          "rev": cents})
+            .groupby(["l_orderkey", "supp_nation"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+
+    left = li.map_batches(partial_left, batch_format="pandas")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = left.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    def partial_year(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "o_year": b["o_orderdate"].dt.year.astype("int64"),
+                    "supp_nation": b["supp_nation"],
+                    "rev": b["rev"],
+                }
+            )
+            .groupby(["o_year", "supp_nation"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+
+    agg = (
+        j.map_batches(partial_year, batch_format="pandas")
+        .groupby(["o_year", "supp_nation"])
+        .aggregate(Sum("rev", alias_name="revenue_c"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_year": b["o_year"].astype("int64"),
+                "supp_nation": b["supp_nation"],
+                "revenue_c": b["revenue_c"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- Q17 shape: small-quantity revenue (correlated average, decorrelated) --------
+
+SMALL_QTY_REVENUE_SQL = """
+WITH q AS (
+  SELECT l_partkey, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+),
+stats AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM q GROUP BY l_partkey
+)
+SELECT CAST(SUM(q.price_c) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM q JOIN stats s ON q.l_partkey = s.l_partkey
+WHERE q.qty * 5 * s.cnt < s.sum_qty
+"""
+
+
+def small_qty_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average — the correlated scalar subquery,
+    decorrelated the distributed way: per-part (sum_qty, cnt) via partial
+    combiner + groupby (partkey domain is bounded by |part|), hash-joined
+    back to the fact table, with the sub-average predicate rewritten in
+    exact integer arithmetic (qty*5*cnt < sum_qty ⇔ qty < 0.2·avg) so no
+    float division ever happens on either engine. Output is the global
+    (revenue, count) pair — a two-int single row."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial_stats(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(b["l_quantity"] + 0.5).astype("int64")
+        return (
+            pd.DataFrame({"l_partkey": b["l_partkey"], "q": qty})
+            .groupby("l_partkey", as_index=False)
+            .agg(sq=("q", "sum"), n=("q", "size"))
+        )
+
+    stats = (
+        li.map_batches(partial_stats, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sum_qty"), Sum("n", alias_name="cnt"))
+        .map_batches(  # avoid a key-name collision in the join below
+            lambda b: b.rename(columns={"l_partkey": "pk"}), batch_format="pandas"
+        )
+    )
+
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/lineitem.parquet")
+    )
+    j = li.join(stats, "inner", P, on=("l_partkey",), right_on=("pk",), **jkw)
+
+    def partial_sum(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(b["l_quantity"] + 0.5).astype("int64")
+        keep = qty * 5 * b["cnt"].astype("int64") < b["sum_qty"].astype("int64")
+        price = _cents(b["l_extendedprice"])
+        return pd.DataFrame(
+            {
+                "revenue_c": [int(price[keep.to_numpy()].sum())],
+                "n_lines": [int(keep.sum())],
+            }
+        )
+
+    agg = (
+        j.map_batches(partial_sum, batch_format="pandas")
+        .sum(["revenue_c", "n_lines"])
+    )
+    # .sum on multiple columns returns a dict of scalars
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "revenue_c": [int(agg["sum(revenue_c)"])],
+                "n_lines": [int(agg["sum(n_lines)"])],
+            }
+        )
+    )
+
+
+# --- per-customer RFM features ---------------------------------------------------
+
+RFM_FEATURES_SQL = """
+SELECT o_custkey,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS monetary_c
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def rfm_features(sf_dir: str) -> ray.data.Dataset:
+    """Recency / frequency / monetary features per customer — the basic
+    feature-engineering roll-up for user-level training data. Custkey
+    cardinality scales with the corpus, so this is a per-batch partial
+    (max date, count, sum cents per key) feeding a byte-scaled bucketed
+    reduce; the shuffle carries ≤ one thin row per (key, batch)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["o_totalprice"])
+        return (
+            pd.DataFrame({"o_custkey": b["o_custkey"], "d": b["o_orderdate"],
+                          "c": cents})
+            .groupby("o_custkey", as_index=False)
+            .agg(d=("d", "max"), n=("c", "size"), m=("c", "sum"))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(
+            d=("d", "max"), n=("n", "sum"), m=("m", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": s["o_custkey"].astype("int64"),
+                "last_order": s["d"].dt.strftime("%Y-%m-%d"),
+                "n_orders": s["n"].astype("int64"),
+                "monetary_c": s["m"].astype("int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/orders.parquet"))
+    return bucketed_group_agg(ds, ["o_custkey"], final, partial_fn=partial,
+                              num_buckets=nb)
+
+
+# --- ROLLUP revenue cube: (nation, year) -> nation totals -> grand total ---------
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(n.n_name, 'ALL') AS n_name,
+       CAST(COALESCE(CAST(year(o.o_orderdate) AS BIGINT), -1) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+"""
+
+
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Revenue cube with ROLLUP totals: (nation, year) cells, per-nation
+    totals (o_year = -1) and a grand total (n_name = 'ALL'). The fact
+    table reduces through one broadcast-lookup partial exactly like
+    revenue_by_nation; the rollup levels are derived from the FINISHED
+    base aggregate (nations × years rows — tiny at any corpus size), so
+    the super-aggregate adds zero extra passes over the data."""
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    ref = ray.put(
+        (keys[order], cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order])
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["o_totalprice"])
+        return (
+            pd.DataFrame(
+                {
+                    "n_name": _lookup(ref, b["o_custkey"].to_numpy()),
+                    "o_year": b["o_orderdate"].dt.year.astype("int64"),
+                    "rev": cents,
+                }
+            )
+            .groupby(["n_name", "o_year"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    base = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("rev", alias_name="revenue_c"))
+    )
+
+    def add_rollup(b: pd.DataFrame) -> pd.DataFrame:
+        cells = pd.DataFrame(
+            {
+                "n_name": b["n_name"],
+                "o_year": b["o_year"].astype("int64"),
+                "revenue_c": b["revenue_c"].astype("int64"),
+            }
+        )
+        per_nation = (
+            cells.groupby("n_name", as_index=False)
+            .agg(revenue_c=("revenue_c", "sum"))
+            .assign(o_year=np.int64(-1))
+        )
+        grand = pd.DataFrame(
+            {
+                "n_name": ["ALL"],
+                "o_year": np.array([-1], dtype="int64"),
+                "revenue_c": np.array([cells["revenue_c"].sum()], dtype="int64"),
+            }
+        )
+        return pd.concat(
+            [cells, per_nation[["n_name", "o_year", "revenue_c"]], grand],
+            ignore_index=True,
+        )
+
+    # the base aggregate is nations × years rows — one batch by construction
+    return base.repartition(1).map_batches(add_rollup, batch_format="pandas")

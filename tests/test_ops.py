@@ -53,6 +53,15 @@ SUBSET = [
     "pmi_bigrams",
     "media_dedup",
     "priority_with_returns",
+    # decision-support analytics family (ops/analytics.py)
+    "promo_revenue",
+    "top_supplier",
+    "large_volume_customers",
+    "returned_item_report",
+    "market_share",
+    "small_qty_revenue",
+    "rfm_features",
+    "revenue_rollup",
 ]
 
 
@@ -1285,3 +1294,20 @@ def test_bloom_membership(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         merged, su.sort_values("word").reset_index(drop=True), check_dtype=False
     )
+
+
+def test_revenue_rollup_internally_consistent(ray_session):
+    """The ROLLUP super-aggregates must equal the sum of their cells —
+    checked on the Ray output alone (the parametrized oracle test covers
+    DuckDB parity; this guards the derived-level arithmetic)."""
+    from docling_serve_ray.ops.analytics import revenue_rollup
+
+    df = revenue_rollup(SF).to_pandas()
+    cells = df[df.o_year >= 0]
+    nat_totals = df[(df.o_year == -1) & (df.n_name != "ALL")]
+    grand = df[df.n_name == "ALL"]
+    assert len(grand) == 1
+    assert int(grand.revenue_c.iloc[0]) == int(cells.revenue_c.sum())
+    per_nation = cells.groupby("n_name").revenue_c.sum()
+    for _, r in nat_totals.iterrows():
+        assert int(r.revenue_c) == int(per_nation[r.n_name])
