@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
+        "paragraph_dedup": dedup.paragraph_dedup,
+        "prefix_dup": dedup.prefix_dup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "simhash_dedup": dedup.simhash_dedup,
@@ -252,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SQL,
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
+        PARAGRAPH_DEDUP_SQL,
+        PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
     )
     from docling_serve_ray.ops.cluster import (
@@ -380,6 +384,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": REPETITION_SCORE_SQL,
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
+        "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "prefix_dup": PREFIX_DUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold

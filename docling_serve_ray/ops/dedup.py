@@ -659,3 +659,142 @@ def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
 
     # a pair can match in several chunks → bucketed min-dedupe
     return bucketed_group_agg(pairs, ["doc_a", "doc_b"], dedupe_min, partial_fn=dedupe_min)
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup: paragraph-level exact + prefix fingerprint
+# ---------------------------------------------------------------------------
+
+# Paragraphs are the extraction pipeline's own 20-word units (see
+# kernels/document.py / convert_spans), so this is the dedup a user would
+# run over the converter's output. The keeper is the globally FIRST
+# occurrence ordered by (doc_id, para_idx), carried through the shuffle as
+# one integer (doc_id * _PARA_POS_BASE + para_idx) so the composite min is
+# a plain int64 MIN on both engines.
+PARA_WORDS = 20
+_PARA_POS_BASE = 100_000  # para_idx bound: a doc would need 2M words to break it
+
+PARAGRAPH_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+p AS (
+  SELECT md5(array_to_string(words[i*20+1 : (i+1)*20], ' ')) AS fp,
+         doc_id * 100000 + i AS pos_code
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+)
+SELECT fp,
+       CAST(MIN(pos_code) // 100000 AS BIGINT) AS keeper_doc,
+       CAST(MIN(pos_code) % 100000 AS BIGINT) AS keeper_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM p GROUP BY fp
+"""
+
+
+def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Paragraph-level exact dedup (the sub-document pass of RefinedWeb /
+    CCNet-style curation): every 20-word paragraph is fingerprinted and
+    the global first occurrence (doc order, then position) kept. The
+    explode is an embarrassingly parallel flat-map; the shuffle carries
+    only (fp, pos_code int64) rows pre-combined per batch; the grouped
+    reduce is byte-scaled bucketed (fp cardinality ≈ total paragraphs)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        fps: list = []
+        codes: list = []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n_paras = (len(words) - 1) // PARA_WORDS + 1
+            if n_paras >= _PARA_POS_BASE:  # contract, not a silent wrap
+                raise ValueError(f"doc {d}: {n_paras} paragraphs exceeds pos encoding")
+            base = int(d) * _PARA_POS_BASE
+            for i in range(n_paras):
+                seg = " ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS])
+                fps.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                codes.append(base + i)
+        return pd.DataFrame({"fp": fps, "pos_code": pd.Series(codes, dtype="int64")})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("fp", as_index=False).agg(
+            pos_code=("pos_code", "min"), n=("pos_code", "size")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in g.columns:
+            g = g.assign(n=np.int64(1))
+        s = g.groupby("fp", as_index=False).agg(
+            pos_code=("pos_code", "min"), n=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "fp": s["fp"],
+                "keeper_doc": (s["pos_code"] // _PARA_POS_BASE).astype("int64"),
+                "keeper_idx": (s["pos_code"] % _PARA_POS_BASE).astype("int64"),
+                "n_copies": s["n"].astype("int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    rows = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+    return bucketed_group_agg(rows, ["fp"], final, partial_fn=partial, num_buckets=nb)
+
+
+# Prefix fingerprinting catches template boilerplate (mirror sites, scraped
+# article farms) that exact whole-content dedup misses once trailing junk
+# differs; the augmented corpus (same injection as exact_dedup) guarantees
+# the oracle exercises multi-member groups.
+PREFIX_CHARS = 240
+
+PREFIX_DUP_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+),
+f AS (
+  SELECT doc_id, md5(substr(text, 1, 240)) AS fp FROM aug
+)
+SELECT fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM f GROUP BY fp HAVING COUNT(*) >= 2
+"""
+
+
+def prefix_dup(sf_dir: str) -> ray.data.Dataset:
+    """Prefix-fingerprint near-dup groups: docs sharing their first 240
+    characters (md5'd), groups of ≥2 only, min doc_id as keeper. Stateless
+    hash map → thin (fp, doc_id) shuffle → bucketed group count; the ≥2
+    filter runs inside the reduce so singleton groups never leave it."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def hash_prefix(batch: pa.Table) -> pd.DataFrame:
+        batch = _augment_exact(batch)
+        texts = batch["text"].to_pylist()
+        fps = [hashlib.md5(t[:PREFIX_CHARS].encode("utf-8")).hexdigest() for t in texts]
+        return pd.DataFrame(
+            {"fp": fps, "doc_id": pd.Series(batch["doc_id"].to_pylist(), dtype="int64")}
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("fp", as_index=False).agg(doc_id=("doc_id", "min"), n=("n", "sum"))
+        s = s.loc[s["n"] >= 2]
+        return pd.DataFrame(
+            {
+                "fp": s["fp"],
+                "keeper": s["doc_id"].astype("int64"),
+                "n_docs": s["n"].astype("int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    rows = _docs(sf_dir).map_batches(hash_prefix, batch_format="pyarrow")
+    return bucketed_group_agg(rows, ["fp"], final, partial_fn=partial, num_buckets=nb)

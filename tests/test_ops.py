@@ -53,6 +53,9 @@ SUBSET = [
     "pmi_bigrams",
     "media_dedup",
     "priority_with_returns",
+    # sub-document dedup (ops/dedup.py)
+    "paragraph_dedup",
+    "prefix_dup",
     # decision-support analytics family (ops/analytics.py)
     "promo_revenue",
     "top_supplier",
