@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": text.group_sample,
         "pii_scrub": text.pii_scrub,
         "repetition_score": text.repetition_score,
+        "lexical_stats": text.lexical_stats,
         "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_with_returns": relational.priority_with_returns,
         "session_length_histogram": relational.session_length_histogram,
         "monthly_revenue_ma": relational.monthly_revenue_ma,
+        "json_props_stats": relational.json_props_stats,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         PRIORITY_WITH_RETURNS_SQL,
         SESSION_LENGTH_HISTOGRAM_SQL,
         MONTHLY_REVENUE_MA_SQL,
+        JSON_PROPS_STATS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -337,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP_SAMPLE_SQL,
         PMI_BIGRAMS_SQL,
         TOP_TOKENS_SQL,
+        LEXICAL_STATS_SQL,
     )
 
     return {
@@ -382,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": PMI_BIGRAMS_SQL,
         "pii_scrub": PII_SCRUB_SQL,
         "repetition_score": REPETITION_SCORE_SQL,
+        "lexical_stats": LEXICAL_STATS_SQL,
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
@@ -429,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_with_returns": PRIORITY_WITH_RETURNS_SQL,
         "session_length_histogram": SESSION_LENGTH_HISTOGRAM_SQL,
         "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
+        "json_props_stats": JSON_PROPS_STATS_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,

@@ -2128,3 +2128,61 @@ def monthly_revenue_ma(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(merge_window, batch_format="pandas", batch_size=None)
     )
+
+
+# --- semi-structured props extraction (JSON column) ------------------------------
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# events.props is a flat JSON object with a numeric field — the common
+# "properties bag" of product analytics logs. The extraction is a single
+# compiled-regex vectorized pull of $.k (pandas str.extract, C path); a
+# corpus with nested/escaped JSON would swap in a real parser actor here —
+# the stage seam (per-batch extract feeding the same partial aggregate)
+# does not change.
+_PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
+
+
+def json_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type stats over a JSON property extracted from the props
+    column — the semi-structured ingestion shape. Stateless vectorized
+    extract + per-batch partial aggregate; the final groupby is one row
+    per event type."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(_PROPS_K_RE, expand=False).astype("int64")
+        return (
+            pd.DataFrame({"event_type": b["event_type"], "k": k})
+            .groupby("event_type", as_index=False)
+            .agg(n=("k", "size"), s=("k", "sum"), mn=("k", "min"), mx=("k", "max"))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": s["event_type"],
+                "n_events": s["n"].astype("int64"),
+                "sum_k": s["s"].astype("int64"),
+                "min_k": s["mn"].astype("int64"),
+                "max_k": s["mx"].astype("int64"),
+            }
+        )
+
+    from .shuffle import bucketed_group_agg
+
+    return bucketed_group_agg(ds.map_batches(partial, batch_format="pandas"),
+                              ["event_type"], final, num_buckets=4)

@@ -1210,3 +1210,52 @@ def pmi_bigrams(
     return cands.repartition(1).map_batches(
         final_top, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity features (integer-exact: no float ratio crosses engines)
+# ---------------------------------------------------------------------------
+
+LEXICAL_STATS_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(cnt) AS BIGINT) AS top_count
+FROM c GROUP BY doc_id
+"""
+
+
+def lexical_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document lexical diversity: token count, distinct-token count,
+    and the top token's frequency — the integer ingredients of type-token
+    ratio and Gini-style repetition scores (the ratio itself is left to
+    the consumer: integers hash identically across engines, float division
+    does not). Pure per-doc map — each batch computes its own docs'
+    counters with one vectorized pandas explode + groupby; no shuffle."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].repeat(toks.str.len()),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+        c = flat.groupby(["doc_id", "token"], as_index=False, sort=False).size()
+        s = c.groupby("doc_id", as_index=False, sort=False).agg(
+            n_tokens=("size", "sum"), n_distinct=("size", "size"),
+            top_count=("size", "max")
+        )
+        return s.astype(
+            {"doc_id": "int64", "n_tokens": "int64", "n_distinct": "int64",
+             "top_count": "int64"}
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")

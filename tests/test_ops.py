@@ -56,6 +56,9 @@ SUBSET = [
     # sub-document dedup (ops/dedup.py)
     "paragraph_dedup",
     "prefix_dup",
+    # lexical features + semi-structured extraction
+    "lexical_stats",
+    "json_props_stats",
     # decision-support analytics family (ops/analytics.py)
     "promo_revenue",
     "top_supplier",
