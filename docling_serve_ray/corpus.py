@@ -346,9 +346,9 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
             # 500× the synthetic-format kernels — so its corpus share is
             # kept small enough not to dominate the flagship wall time
             # while still exercising the foreign backend end to end
-            ("html", 0.29), ("pdf", 0.28), ("docx", 0.12), ("md", 0.05),
+            ("html", 0.28), ("pdf", 0.28), ("docx", 0.12), ("md", 0.05),
             ("pptx", 0.09), ("xlsx", 0.06), ("asciidoc", 0.05), ("image", 0.05),
-            ("rst", 0.01),
+            ("rst", 0.01), ("csv", 0.01),
         ],
     )
     lang = _pick(rng, [("en", 0.6), ("ar", 0.25), ("el", 0.15)])
@@ -424,6 +424,21 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
 
         raw = content
         payload = render_rst(content)
+        expected = content
+    elif fmt == "csv":
+        # a CSV document IS one table: the grid scales with the size tier
+        # (not with _content_spans, whose title a CSV cannot carry)
+        from .kernels.csvfmt import render_csv
+
+        pool = WORD_POOLS[lang]
+        cols = rng.randint(2, 6)
+        n_rows = max(2, min(n_spans, 200))
+        grid = "\n".join(
+            " | ".join(rng.choice(pool) for _ in range(cols)) for _ in range(n_rows)
+        )
+        content = [{"kind": "table", "text": grid, "media_ref": f"media-{doc_id}-0"}]
+        raw = content
+        payload = render_csv(content)
         expected = content
     else:
         from .kernels.office import render_markdown_doc

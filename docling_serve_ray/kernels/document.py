@@ -140,6 +140,11 @@ def convert_document(
             spans = parse_xlsx(payload, doc_id)
         elif fmt == "asciidoc":
             spans = parse_asciidoc(payload, doc_id)
+        elif fmt == "csv":
+            # REAL foreign backend (stdlib csv C parser) — see kernels/csvfmt.py
+            from .csvfmt import parse_csv
+
+            spans = parse_csv(payload, doc_id)
         elif fmt == "rst":
             # REAL foreign backend (docutils doctree walk) — see kernels/rst.py
             from .rst import parse_rst

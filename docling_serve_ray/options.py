@@ -22,7 +22,8 @@ class JobOptions:
     # "rst" is this suite's own extension, parsed by the real docutils
     # backend — kernels/rst.py) ---
     from_formats: tuple = (
-        "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst"
+        "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst",
+        "csv",
     )
     # reference default is Markdown only (convert.py:127-137 "defaults to
     # Markdown"); text/doctags are opt-in export columns

@@ -11,7 +11,7 @@ from docling_serve_ray.options import DEFAULT_OPTIONS, JobOptions
 
 REV = build_reverse_codebook()
 
-ALL_FORMATS = ("html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst")
+ALL_FORMATS = ("html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst", "csv")
 
 
 def _docs_of_format(fmt, n=8, limit=3000):
