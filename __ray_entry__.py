@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup": dedup.prefix_dup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "ngram_containment": dedup.ngram_containment,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SQL,
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
+        NGRAM_CONTAINMENT_SQL,
         PARAGRAPH_DEDUP_SQL,
         PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
@@ -393,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_dup": PREFIX_DUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
+        "ngram_containment": NGRAM_CONTAINMENT_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,

@@ -82,6 +82,21 @@ BENCH_QUERIES = [
     "regex_token_count",
     "rolling_fingerprint",
     "chunk_documents",
+    # sub-document dedup + lexical/semi-structured features
+    "paragraph_dedup",
+    "prefix_dup",
+    "ngram_containment",
+    "lexical_stats",
+    "json_props_stats",
+    # decision-support analytics family
+    "promo_revenue",
+    "top_supplier",
+    "large_volume_customers",
+    "returned_item_report",
+    "market_share",
+    "small_qty_revenue",
+    "rfm_features",
+    "revenue_rollup",
 ]
 
 

@@ -282,6 +282,57 @@ NUM_BUCKETS = 512  # groupby key-space reduction: millions of per-shingle
                    # is the scaling killer for fine-grained map_groups)
 
 
+def _pair_intersections(sh: ray.data.Dataset) -> ray.data.Dataset:
+    """Exploded shingle rows → per-pair (doc_a, doc_b, inter_n, n_a, n_b)
+    via the bucketed inverted-index self-join: groupby(shingle bucket) with
+    one vectorized pandas self-merge per bucket, then a bucketed pair-count
+    reduce. Per-doc totals ride the shingle rows, so the output carries
+    everything any set-overlap measure (Jaccard, containment) needs — the
+    shared middle of ngram_jaccard_dedup and ngram_containment."""
+    from .shuffle import bucketed_group_agg
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pa.array(
+            (batch["shingle_h"].to_numpy(zero_copy_only=False) % NUM_BUCKETS).astype("int32")
+        )
+        return batch.append_column("bucket", b)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["shingle_h", "doc_id", "n"]
+        m = g[cols].merge(g[cols], on="shingle_h")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].astype("int64"),
+                "doc_b": m["doc_id_y"].astype("int64"),
+                "n_a": m["n_x"].astype("int32"),
+                "n_b": m["n_y"].astype("int32"),
+            }
+        )
+
+    pairs = (
+        sh.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            pn=("doc_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+
+    def count_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter_n=("pn", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        out["inter_n"] = out["inter_n"].astype("int64")
+        return out
+
+    return bucketed_group_agg(
+        pairs, ["doc_a", "doc_b"], count_final, partial_fn=count_partial
+    )
+
+
 def ngram_jaccard_dedup(
     sf_dir: str, *, max_shingle_df: int | None = None
 ) -> ray.data.Dataset:
@@ -326,46 +377,7 @@ def ngram_jaccard_dedup(
         )
         return _exact_jaccard_verify(joined, JACCARD_THRESHOLD)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = pa.array(
-            (batch["shingle_h"].to_numpy(zero_copy_only=False) % NUM_BUCKETS).astype("int32")
-        )
-        return batch.append_column("bucket", b)
-
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["shingle_h", "doc_id", "n"]
-        m = g[cols].merge(g[cols], on="shingle_h")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame(
-            {
-                "doc_a": m["doc_id_x"].astype("int64"),
-                "doc_b": m["doc_id_y"].astype("int64"),
-                "n_a": m["n_x"].astype("int32"),
-                "n_b": m["n_y"].astype("int32"),
-            }
-        )
-
-    pairs = (
-        sh.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-    )
-
-    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            pn=("doc_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
-        )
-
-    def count_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            inter_n=("pn", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
-        )
-        out["inter_n"] = out["inter_n"].astype("int64")
-        return out
-
-    inter = bucketed_group_agg(
-        pairs, ["doc_a", "doc_b"], count_final, partial_fn=count_partial
-    )
+    inter = _pair_intersections(sh)
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
         union = batch["n_a"].astype("int64") + batch["n_b"] - batch["inter_n"]
@@ -382,6 +394,72 @@ def ngram_jaccard_dedup(
 
     return inter.map_batches(finalize, batch_format="pandas").select_columns(
         ["doc_a", "doc_b", "jaccard_micro"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (directed subset / quote detection)
+# ---------------------------------------------------------------------------
+
+# containment C = inter / min(|A|,|B|) ≥ 0.8, evaluated as the INTEGER
+# predicate inter*5 ≥ 4*min — no float comparison crosses engines.
+CONTAINMENT_NUM, CONTAINMENT_DEN = 4, 5
+
+NGRAM_CONTAINMENT_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra token appended'
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-3)) AS i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(inter_n * 1000000.0 / least(ca.n, cb.n) + 0.5) AS BIGINT)
+         AS containment_micro
+FROM inter
+JOIN cnt ca ON ca.doc_id = inter.doc_a
+JOIN cnt cb ON cb.doc_id = inter.doc_b
+WHERE inter_n * 5 >= 4 * least(ca.n, cb.n)
+"""
+
+
+def ngram_containment(sf_dir: str) -> ray.data.Dataset:
+    """Shingle-containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 —
+    the directed near-dup signal Jaccard misses when a short document is
+    quoted inside a much longer one (the union denominator dilutes it;
+    the min denominator does not). Same distributed inverted-index join
+    as ngram_jaccard_dedup (shared ``_pair_intersections``), different
+    threshold arithmetic — and that arithmetic is pure-integer
+    (inter*5 ≥ 4*min), so the oracle comparison is exact by construction."""
+    sh = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    inter = _pair_intersections(sh)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        mn = np.minimum(batch["n_a"].astype("int64"), batch["n_b"].astype("int64"))
+        keep = batch["inter_n"] * CONTAINMENT_DEN >= CONTAINMENT_NUM * mn
+        return pd.DataFrame(
+            {
+                "doc_a": batch.loc[keep, "doc_a"].astype("int64"),
+                "doc_b": batch.loc[keep, "doc_b"].astype("int64"),
+                "containment_micro": np.floor(
+                    batch.loc[keep, "inter_n"] * 1_000_000.0 / mn[keep] + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return inter.map_batches(finalize, batch_format="pandas").select_columns(
+        ["doc_a", "doc_b", "containment_micro"]
     )
 
 

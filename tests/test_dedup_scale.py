@@ -128,3 +128,50 @@ class TestScaledBuckets:
         (tmp_path / "b.parquet").write_bytes(b"x" * 500)
         assert input_bytes_estimate(str(tmp_path)) == 1500 * 4
         assert input_bytes_estimate(str(tmp_path / "a.parquet")) == 1000 * 4
+
+
+def test_containment_catches_quoted_subset_jaccard_misses(ray_session, tmp_path):
+    """A short doc quoted verbatim inside a much longer one: containment
+    (min denominator) fires, Jaccard (union denominator) does not — the
+    directed signal is the op's reason to exist. Oracle-checked on a
+    purpose-built corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import (
+        NGRAM_CONTAINMENT_SQL,
+        ngram_containment,
+        ngram_jaccard_dedup,
+    )
+
+    short = " ".join(f"tok{i}" for i in range(30))
+    long = short + " " + " ".join(f"pad{i}" for i in range(300))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([short, long, other]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([len(short), len(long), len(other)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    cont = ngram_containment(str(tmp_path)).to_pandas()
+    jac = ngram_jaccard_dedup(str(tmp_path)).to_pandas()
+    assert [(1, 2)] == list(zip(cont["doc_a"], cont["doc_b"]))
+    assert cont["containment_micro"].iloc[0] == 1_000_000  # fully contained
+    jac_pairs = (
+        set(zip(jac["doc_a"], jac["doc_b"])) if "doc_a" in jac.columns else set()
+    )
+    assert (1, 2) not in jac_pairs
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(NGRAM_CONTAINMENT_SQL).df().sort_values(["doc_a", "doc_b"])
+    got = cont.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert got.values.tolist() == want.values.tolist()

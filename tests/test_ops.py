@@ -56,6 +56,7 @@ SUBSET = [
     # sub-document dedup (ops/dedup.py)
     "paragraph_dedup",
     "prefix_dup",
+    "ngram_containment",
     # lexical features + semi-structured extraction
     "lexical_stats",
     "json_props_stats",
