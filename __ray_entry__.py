@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
         "global_rank": curation.global_rank,
+        "vocab_build": curation.vocab_build,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
         "media_dedup": media_ops.media_dedup,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         NORMALIZE_TEXT_SQL,
         BM25_SEARCH_SQL,
         GLOBAL_RANK_SQL,
+        VOCAB_BUILD_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
@@ -450,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,
         "global_rank": GLOBAL_RANK_SQL,
+        "vocab_build": VOCAB_BUILD_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,
         "knn_graph": KNN_GRAPH_SQL,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "prefix_dup",
     "ngram_containment",
+    "vocab_build",
     "lexical_stats",
     "json_props_stats",
     # decision-support analytics family

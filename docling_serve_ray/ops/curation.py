@@ -998,3 +998,65 @@ def global_rank(sf_dir: str) -> ray.data.Dataset:
         )
 
     return bucketed_group_agg(docs, ["n_chars"], per_value)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (embedding-training prep)
+# ---------------------------------------------------------------------------
+
+VOCAB_MIN_COUNT = 5
+
+VOCAB_BUILD_SQL = f"""
+WITH w AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY token
+  HAVING count(*) >= {VOCAB_MIN_COUNT}
+)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+FROM c
+"""
+
+
+def vocab_build(sf_dir: str, *, min_count: int = VOCAB_MIN_COUNT) -> ray.data.Dataset:
+    """Embedding-training vocabulary: tokens with corpus frequency ≥
+    min_count, assigned contiguous ids by (count DESC, token) — the
+    word2vec/fastText vocab table. The token counting is the standard
+    per-batch combiner → byte-scaled bucketed reduce (token cardinality is
+    corpus-scale); the min_count filter runs INSIDE the reduce, so only
+    the surviving vocabulary — whose size min_count bounds by construction
+    (Heaps'-law tail cut; at 100 TB pick min_count so |vocab| ~ 10^5-10^6)
+    — reaches the single ranking task. The final rank is one vectorized
+    sort of that bounded table, not an all-to-all over token counts."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        flat = pd.Series(np.concatenate(toks.to_numpy()), name="token")
+        c = flat.groupby(flat, sort=False).size()
+        return pd.DataFrame({"token": c.index, "n": c.to_numpy().astype("int64")})
+
+    def count_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False).agg(cnt=("n", "sum"))
+        return s.loc[s["cnt"] >= min_count].astype({"cnt": "int64"})
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    vocab = bucketed_group_agg(ds.map_batches(count_partial, batch_format="pandas"),
+                               ["token"], count_final, num_buckets=nb)
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["cnt", "token"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "token": s["token"].to_numpy(),
+                "cnt": s["cnt"].astype("int64").to_numpy(),
+                "vocab_id": np.arange(1, len(s) + 1, dtype="int64"),
+            }
+        )
+
+    # the min_count-bounded vocab ranks in ONE task by design
+    return vocab.repartition(1).map_batches(rank, batch_format="pandas")

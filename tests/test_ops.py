@@ -57,6 +57,7 @@ SUBSET = [
     "paragraph_dedup",
     "prefix_dup",
     "ngram_containment",
+    "vocab_build",
     # lexical features + semi-structured extraction
     "lexical_stats",
     "json_props_stats",
