@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
         "paragraph_dedup": dedup.paragraph_dedup,
+        "paragraph_dedup_apply": dedup.paragraph_dedup_apply,
         "prefix_dup": dedup.prefix_dup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         MINHASH_PAIRS_SQL,
         NGRAM_CONTAINMENT_SQL,
         PARAGRAPH_DEDUP_SQL,
+        PARAGRAPH_DEDUP_APPLY_SQL,
         PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
     )
@@ -394,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "paragraph_dedup_apply": PARAGRAPH_DEDUP_APPLY_SQL,
         "prefix_dup": PREFIX_DUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     # sub-document dedup + lexical/semi-structured features
     "paragraph_dedup",
     "prefix_dup",
+    "paragraph_dedup_apply",
     "ngram_containment",
     "vocab_build",
     "lexical_stats",

@@ -876,3 +876,107 @@ def prefix_dup(sf_dir: str) -> ray.data.Dataset:
     nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
     rows = _docs(sf_dir).map_batches(hash_prefix, batch_format="pyarrow")
     return bucketed_group_agg(rows, ["fp"], final, partial_fn=partial, num_buckets=nb)
+
+
+PARAGRAPH_DEDUP_APPLY_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+p AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+         array_to_string(words[i*20+1 : (i+1)*20], ' ') AS ptext,
+         md5(array_to_string(words[i*20+1 : (i+1)*20], ' ')) AS fp,
+         doc_id * 100000 + i AS pos_code
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+),
+k AS (SELECT fp, MIN(pos_code) AS keeper FROM p GROUP BY fp)
+SELECT p.doc_id,
+       string_agg(p.ptext, ' ' ORDER BY p.para_idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM p JOIN k ON p.fp = k.fp AND p.pos_code = k.keeper
+GROUP BY p.doc_id
+"""
+
+
+def paragraph_dedup_apply(sf_dir: str) -> ray.data.Dataset:
+    """The end-to-end sub-document deliverable (RefinedWeb-style line/
+    paragraph dedup APPLIED): rebuild each document from only the
+    paragraphs whose global first occurrence it owns; documents made of
+    nothing but repeats vanish. Two corpus passes (same residency contract
+    as curation.dedup_apply): pass 1 explodes thin (fp, pos_code) rows and
+    reduces to keeper pos_codes; pass 2 re-explodes with text and
+    hash-joins on the int64 pos_code — so paragraph TEXT crosses the wire
+    exactly once (the join), never through the keeper reduce — then a
+    byte-scaled bucketed group by doc_id stitches survivors in order."""
+    from .shuffle import (
+        bucketed_group_agg,
+        input_bytes_estimate,
+        join_partitions,
+        scaled_num_buckets,
+    )
+
+    docs_bytes = input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    nb = scaled_num_buckets(docs_bytes)
+
+    def explode_thin(batch: pd.DataFrame) -> pd.DataFrame:
+        fps: list = []
+        codes: list = []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n_paras = (len(words) - 1) // PARA_WORDS + 1
+            base = int(d) * _PARA_POS_BASE
+            for i in range(n_paras):
+                seg = " ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS])
+                fps.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                codes.append(base + i)
+        return pd.DataFrame({"fp": fps, "pos_code": pd.Series(codes, dtype="int64")})
+
+    def keeper_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("fp", as_index=False).agg(pos_code=("pos_code", "min"))
+
+    def keeper_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("fp", as_index=False).agg(pos_code=("pos_code", "min"))
+        return pd.DataFrame({"kc": s["pos_code"].astype("int64")})
+
+    keepers = bucketed_group_agg(
+        _docs(sf_dir).map_batches(explode_thin, batch_format="pandas"),
+        ["fp"], keeper_final, partial_fn=keeper_partial, num_buckets=nb,
+    )
+
+    def explode_text(batch: pd.DataFrame) -> pd.DataFrame:
+        out_d: list = []
+        out_i: list = []
+        out_c: list = []
+        out_t: list = []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n_paras = (len(words) - 1) // PARA_WORDS + 1
+            base = int(d) * _PARA_POS_BASE
+            for i in range(n_paras):
+                out_d.append(int(d))
+                out_i.append(i)
+                out_c.append(base + i)
+                out_t.append(" ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "para_idx": pd.Series(out_i, dtype="int64"),
+                "pos_code": pd.Series(out_c, dtype="int64"),
+                "ptext": out_t,
+            }
+        )
+
+    paras = _docs(sf_dir).map_batches(explode_text, batch_format="pandas")
+    P, jkw = join_partitions(size_bytes=docs_bytes)
+    surv = paras.join(keepers, "inner", P, on=("pos_code",), right_on=("kc",), **jkw)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["doc_id", "para_idx"])
+        out = s.groupby("doc_id", as_index=False).agg(
+            clean_text=("ptext", " ".join), n_kept=("ptext", "size")
+        )
+        return out.astype({"doc_id": "int64", "n_kept": "int64"})
+
+    return bucketed_group_agg(surv, ["doc_id"], rebuild, num_buckets=nb)

@@ -56,6 +56,7 @@ SUBSET = [
     # sub-document dedup (ops/dedup.py)
     "paragraph_dedup",
     "prefix_dup",
+    "paragraph_dedup_apply",
     "ngram_containment",
     "vocab_build",
     # lexical features + semi-structured extraction
