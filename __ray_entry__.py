@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": curation.bm25_search,
         "global_rank": curation.global_rank,
         "vocab_build": curation.vocab_build,
+        "tokenize_ids": curation.tokenize_ids,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
         "media_dedup": media_ops.media_dedup,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         BM25_SEARCH_SQL,
         GLOBAL_RANK_SQL,
         VOCAB_BUILD_SQL,
+        TOKENIZE_IDS_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
@@ -456,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": BM25_SEARCH_SQL,
         "global_rank": GLOBAL_RANK_SQL,
         "vocab_build": VOCAB_BUILD_SQL,
+        "tokenize_ids": TOKENIZE_IDS_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,
         "knn_graph": KNN_GRAPH_SQL,

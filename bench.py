@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "paragraph_dedup_apply",
     "ngram_containment",
     "vocab_build",
+    "tokenize_ids",
     "lexical_stats",
     "json_props_stats",
     # decision-support analytics family

@@ -1060,3 +1060,61 @@ def vocab_build(sf_dir: str, *, min_count: int = VOCAB_MIN_COUNT) -> ray.data.Da
 
     # the min_count-bounded vocab ranks in ONE task by design
     return vocab.repartition(1).map_batches(rank, batch_format="pandas")
+
+
+TOKENIZE_IDS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+t AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, words[i+1] AS token
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-1)) AS i)
+),
+c AS (
+  SELECT token, count(*) AS cnt FROM t GROUP BY token
+  HAVING count(*) >= {VOCAB_MIN_COUNT}
+),
+v AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+  FROM c
+)
+SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, 0) AS token_id
+FROM t LEFT JOIN v ON t.token = v.token
+"""
+
+
+def tokenize_ids(sf_dir: str) -> ray.data.Dataset:
+    """Corpus → (doc_id, pos, token_id) training sequences under the
+    vocab_build vocabulary (OOV → 0): the tokenization pass an embedding
+    trainer consumes. The vocab is min_count-bounded by construction, so
+    it broadcasts as one sorted-array lookup (ray.put once, searchsorted
+    per batch — the same pattern as the dimension joins); the token stream
+    itself never shuffles — each batch explodes and resolves locally and
+    streams straight to the consumer."""
+    vocab = vocab_build(sf_dir).to_pandas()  # min_count-bounded by design
+    toks = vocab["token"].to_numpy(dtype=str)
+    order = np.argsort(toks)
+    ref = ray.put((toks[order], vocab["vocab_id"].to_numpy()[order].astype("int64")))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, ids = ray.get(ref)
+        split = batch["text"].str.split(" ")
+        lens = split.str.len().to_numpy()
+        flat = np.concatenate(split.to_numpy()).astype(str)
+        idx = np.clip(np.searchsorted(keys, flat), 0, len(keys) - 1)
+        hit = keys[idx] == flat
+        token_id = np.where(hit, ids[idx], 0).astype("int64")
+        pos = np.concatenate([np.arange(1, n + 1) for n in lens]).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].repeat(lens).to_numpy(),
+                "pos": pos,
+                "token_id": token_id,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(f, batch_format="pandas")

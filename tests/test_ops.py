@@ -59,6 +59,7 @@ SUBSET = [
     "paragraph_dedup_apply",
     "ngram_containment",
     "vocab_build",
+    "tokenize_ids",
     # lexical features + semi-structured extraction
     "lexical_stats",
     "json_props_stats",
