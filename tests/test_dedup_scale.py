@@ -175,3 +175,37 @@ def test_containment_catches_quoted_subset_jaccard_misses(ray_session, tmp_path)
     want = con.sql(NGRAM_CONTAINMENT_SQL).df().sort_values(["doc_a", "doc_b"])
     got = cont.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_paragraph_dedup_apply_drops_repeat_only_doc(ray_session, tmp_path):
+    """A document consisting ONLY of paragraphs first seen elsewhere must
+    vanish from the rebuilt corpus; a partial-overlap doc keeps exactly
+    its novel paragraphs, in order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import paragraph_dedup_apply
+
+    para_a = " ".join(f"a{i}" for i in range(20))
+    para_b = " ".join(f"b{i}" for i in range(20))
+    para_c = " ".join(f"c{i}" for i in range(20))
+    docs = {
+        1: f"{para_a} {para_b}",          # owns a and b
+        2: f"{para_a} {para_c}",          # a is a repeat -> keeps only c
+        3: f"{para_a} {para_b}",          # nothing novel -> vanishes
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([len(t) for t in docs.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = paragraph_dedup_apply(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    assert got == {1: f"{para_a} {para_b}", 2: para_c}
+    assert dict(zip(out["doc_id"], out["n_kept"])) == {1: 2, 2: 1}
