@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": text.dataset_split,
         "top_tokens": text.top_tokens,
         "pmi_bigrams": text.pmi_bigrams,
+        "skipgram_pairs": text.skipgram_pairs,
         "hll_tokens": text.hll_tokens,
         "cms_tokens": text.cms_tokens,
         "bloom_tokens": text.bloom_tokens,
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_histogram": relational.session_length_histogram,
         "monthly_revenue_ma": relational.monthly_revenue_ma,
         "json_props_stats": relational.json_props_stats,
+        "value_outliers": relational.value_outliers,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -321,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         SESSION_LENGTH_HISTOGRAM_SQL,
         MONTHLY_REVENUE_MA_SQL,
         JSON_PROPS_STATS_SQL,
+        VALUE_OUTLIERS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -347,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         STRATIFIED_SAMPLE_SQL,
         GROUP_SAMPLE_SQL,
         PMI_BIGRAMS_SQL,
+        SKIPGRAM_PAIRS_SQL,
         TOP_TOKENS_SQL,
         LEXICAL_STATS_SQL,
     )
@@ -392,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "group_sample": GROUP_SAMPLE_SQL,
         "pmi_bigrams": PMI_BIGRAMS_SQL,
+        "skipgram_pairs": SKIPGRAM_PAIRS_SQL,
         "pii_scrub": PII_SCRUB_SQL,
         "repetition_score": REPETITION_SCORE_SQL,
         "lexical_stats": LEXICAL_STATS_SQL,
@@ -445,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "session_length_histogram": SESSION_LENGTH_HISTOGRAM_SQL,
         "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
         "json_props_stats": JSON_PROPS_STATS_SQL,
+        "value_outliers": VALUE_OUTLIERS_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,

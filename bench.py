@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "tokenize_ids",
     "lexical_stats",
     "json_props_stats",
+    "value_outliers",
+    "skipgram_pairs",
     # decision-support analytics family
     "promo_revenue",
     "top_supplier",

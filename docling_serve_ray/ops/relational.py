@@ -2186,3 +2186,91 @@ def json_props_stats(sf_dir: str) -> ray.data.Dataset:
 
     return bucketed_group_agg(ds.map_batches(partial, batch_format="pandas"),
                               ["event_type"], final, num_buckets=4)
+
+
+# --- exact statistical outliers (2-sigma rule in pure integer arithmetic) --------
+
+# |x - mean| > 2*std, multiplied through by n^2 so no division or sqrt ever
+# happens: (n*x_c - S)^2 > 4*(n*SS - S^2), with x_c integer cents,
+# S = sum(x_c), SS = sum(x_c^2). Both engines evaluate the SAME integer
+# predicate — bit-exact by construction (int128 in DuckDB, object->int64
+# guarded in numpy; magnitudes here stay < 2^63).
+VALUE_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(value_c) AS BIGINT) AS sv,
+         CAST(SUM(value_c * value_c) AS BIGINT) AS ss
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.value_c
+FROM c JOIN s ON c.event_type = s.event_type
+WHERE CAST(s.n * c.value_c - s.sv AS HUGEINT) * (s.n * c.value_c - s.sv)
+      > 4 * (CAST(s.n AS HUGEINT) * s.ss - CAST(s.sv AS HUGEINT) * s.sv)
+"""
+
+
+def value_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Events whose value lies more than two standard deviations from
+    their type's mean — the data-quality outlier flagging pass, computed
+    EXACTLY: the 2σ test is multiplied through by n² into the integer
+    predicate (n·x−S)² > 4·(n·SS−S²), so no mean, no division, no sqrt —
+    and therefore no float drift between engines. Two streaming passes:
+    pass 1 reduces (n, Σx, Σx²) per type through a per-batch combiner (a
+    handful of rows — event-type domain is tiny), the moments broadcast,
+    and pass 2 filters per batch with numpy object-int arithmetic (the
+    squared terms exceed int64 at corpus scale; Python ints don't wrap)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = np.floor(b["value"] * 100 + 0.5).astype("int64")
+        f = pd.DataFrame({"event_type": b["event_type"], "v": vc, "v2": vc * vc})
+        return f.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), sv=("v", "sum"), ss=("v2", "sum")
+        )
+
+    moments = (
+        ds.map_batches(moment_partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"),
+                   Sum("ss", alias_name="ss"))
+        .to_pandas()
+    )
+    # exact per-type thresholds as arbitrary-precision ints (n*SS - S^2
+    # reaches ~10^21 at 10^9 events — past int64, fine as Python ints)
+    stats = {
+        r.event_type: (int(r.n), int(r.sv), 4 * (int(r.n) * int(r.ss) - int(r.sv) ** 2))
+        for r in moments.itertuples()
+    }
+    ref = ray.put(stats)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        vc = np.floor(b["value"] * 100 + 0.5).astype("int64")
+        ns = np.empty(len(b), dtype=object)
+        svs = np.empty(len(b), dtype=object)
+        rhs = np.empty(len(b), dtype=object)
+        types = b["event_type"].to_numpy()
+        for t, (n, sv, r4) in st.items():
+            m = types == t
+            ns[m], svs[m], rhs[m] = n, sv, r4
+        lhs = (ns * vc.astype(object) - svs) ** 2
+        keep = lhs > rhs
+        return pd.DataFrame(
+            {
+                "event_id": b.loc[keep, "event_id"].astype("int64"),
+                # plain-str dtype: Ray's size estimator chokes on an EMPTY
+                # object column (np.vectorize size-0), and no-outlier
+                # batches are the common case
+                "event_type": b.loc[keep, "event_type"].astype(str),
+                "value_c": pd.Series(vc[keep.to_numpy()], index=b.index[keep]).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")

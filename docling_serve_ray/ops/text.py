@@ -1259,3 +1259,89 @@ def lexical_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram pair mining (word2vec training-sample prep)
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOP_K = 100
+
+SKIPGRAM_PAIRS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+t AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, words[i+1] AS tok
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-1)) AS i)
+),
+p AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM t a JOIN t b
+    ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) BETWEEN 1 AND {SKIPGRAM_WINDOW}
+),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY w1, w2)
+SELECT w1, w2, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, w1, w2) AS BIGINT) AS rank
+FROM c
+QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2) <= {SKIPGRAM_TOP_K}
+"""
+
+
+def skipgram_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Top (center, context) skip-gram pairs within a ±2 window — the
+    word2vec training-sample distribution. Pair emission is fully
+    vectorized: one flat token array per batch with a parallel doc-index
+    array; each offset d produces pairs via two shifted slices masked to
+    same-doc positions (both directions), so no per-row Python and no
+    position join — the window is resolved locally inside the batch.
+    Counting is the heavy-hitter combiner pattern of top_tokens: per-batch
+    counts → byte-scaled bucketed reduce → per-bucket top-k → one tiny
+    global sort."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        split = batch["text"].str.split(" ")
+        lens = split.str.len().to_numpy()
+        flat = np.concatenate(split.to_numpy())
+        didx = np.repeat(np.arange(len(batch)), lens)
+        w1_parts, w2_parts = [], []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            if len(flat) <= d:
+                break
+            same = didx[:-d] == didx[d:]
+            l, r = flat[:-d][same], flat[d:][same]
+            w1_parts += [l, r]
+            w2_parts += [r, l]
+        if not w1_parts:
+            return pd.DataFrame({"w1": [], "w2": [], "pc": pd.Series([], dtype="int64")})
+        f = pd.DataFrame({"w1": np.concatenate(w1_parts), "w2": np.concatenate(w2_parts)})
+        c = f.groupby(["w1", "w2"], as_index=False, sort=False).size()
+        return c.rename(columns={"size": "pc"}).astype({"pc": "int64"})
+
+    def per_bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], as_index=False).agg(cnt=("pc", "sum"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out.sort_values(["cnt", "w1", "w2"],
+                               ascending=[False, True, True]).head(SKIPGRAM_TOP_K)
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    cands = bucketed_group_agg(
+        _docs(sf_dir, columns=("text",)).map_batches(partial, batch_format="pandas"),
+        ["w1", "w2"], per_bucket_top, num_buckets=nb,
+    )
+
+    def final_top(batch: pd.DataFrame) -> pd.DataFrame:
+        top = batch.sort_values(["cnt", "w1", "w2"],
+                                ascending=[False, True, True]).head(SKIPGRAM_TOP_K)
+        return pd.DataFrame(
+            {
+                "w1": top["w1"].to_numpy(),
+                "w2": top["w2"].to_numpy(),
+                "cnt": top["cnt"].astype("int64").to_numpy(),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            }
+        )
+
+    return cands.repartition(1).map_batches(final_top, batch_format="pandas")

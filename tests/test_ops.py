@@ -63,6 +63,8 @@ SUBSET = [
     # lexical features + semi-structured extraction
     "lexical_stats",
     "json_props_stats",
+    "value_outliers",
+    "skipgram_pairs",
     # decision-support analytics family (ops/analytics.py)
     "promo_revenue",
     "top_supplier",
