@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_ma": relational.monthly_revenue_ma,
         "json_props_stats": relational.json_props_stats,
         "value_outliers": relational.value_outliers,
+        "weekly_active_users": relational.weekly_active_users,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         MONTHLY_REVENUE_MA_SQL,
         JSON_PROPS_STATS_SQL,
         VALUE_OUTLIERS_SQL,
+        WEEKLY_ACTIVE_USERS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -451,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
         "json_props_stats": JSON_PROPS_STATS_SQL,
         "value_outliers": VALUE_OUTLIERS_SQL,
+        "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,

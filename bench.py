@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "lexical_stats",
     "json_props_stats",
     "value_outliers",
+    "weekly_active_users",
     "skipgram_pairs",
     # decision-support analytics family
     "promo_revenue",

@@ -2274,3 +2274,78 @@ def value_outliers(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+# --- sliding-window distinct: 7-day rolling active users -------------------------
+
+WAU_WINDOW_DAYS = 7
+
+WEEKLY_ACTIVE_USERS_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+bounds AS (
+  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+  FROM events
+),
+win AS (
+  SELECT du.user_id, du.day + to_days(CAST(o.o AS INTEGER)) AS window_day
+  FROM du, LATERAL (
+    SELECT UNNEST(generate_series(0, {WAU_WINDOW_DAYS - 1})) AS o
+  ) o
+),
+agg AS (
+  SELECT window_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM win GROUP BY window_day
+)
+SELECT strftime(a.window_day, '%Y-%m-%d') AS day, a.n_users
+FROM agg a, bounds b
+WHERE a.window_day <= b.d1
+"""
+
+
+def weekly_active_users(sf_dir: str) -> ray.data.Dataset:
+    """Rolling 7-day active users per day — the sliding-window DISTINCT,
+    which no per-window partial can merge (distinct is not decomposable
+    across overlapping windows). The scale-safe shape: dedupe to (day,
+    user) pairs per batch (the only corpus-sized reduction), explode each
+    pair into the ≤7 window-days it serves — a bounded 7× blowup of the
+    PAIR stream, not the event stream — and bucketed-distinct-count per
+    window day. Days beyond the corpus max are trimmed with one scalar
+    driver bound (calendar metadata, not data)."""
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    d1 = ds.map_batches(
+        lambda b: pd.DataFrame({"mx": [b["ts"].dt.floor("D").max()]}),
+        batch_format="pandas",
+    ).max("mx")
+
+    def explode_windows(b: pd.DataFrame) -> pd.DataFrame:
+        pairs = pd.DataFrame(
+            {"day": b["ts"].dt.floor("D"), "user_id": b["user_id"]}
+        ).drop_duplicates()
+        frames = []
+        for o in range(WAU_WINDOW_DAYS):
+            w = pairs["day"] + pd.Timedelta(days=o)
+            keep = w <= d1
+            frames.append(
+                pd.DataFrame({"day": w[keep], "user_id": pairs["user_id"][keep]})
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("day")["user_id"].nunique()
+        return pd.DataFrame(
+            {
+                "day": s.index.strftime("%Y-%m-%d"),
+                "n_users": s.to_numpy().astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(explode_windows, batch_format="pandas"),
+        ["day"], final, num_buckets=16,
+    )

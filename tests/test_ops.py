@@ -64,6 +64,7 @@ SUBSET = [
     "lexical_stats",
     "json_props_stats",
     "value_outliers",
+    "weekly_active_users",
     "skipgram_pairs",
     # decision-support analytics family (ops/analytics.py)
     "promo_revenue",
