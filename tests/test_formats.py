@@ -166,3 +166,32 @@ class TestPictureDescriptionGate:
         r = self._run(d, do_picture_description=False)
         pics = [s for s in r["spans"] if s["kind"] == "picture"]
         assert pics and all(s["text"] == "" for s in pics)
+
+
+class TestCsvRobustness:
+    def test_invalid_utf8_is_failure_row_not_crash(self):
+        from docling_serve_ray.kernels.document import convert_document
+        from docling_serve_ray.kernels.glyphs import build_reverse_codebook
+        from docling_serve_ray.options import DEFAULT_OPTIONS
+
+        row = convert_document(
+            "d1", "csv", b"\xff\xfe\x00bad", "en", DEFAULT_OPTIONS,
+            build_reverse_codebook(),
+        )
+        assert row["status"] == "failure"
+        assert "UnicodeDecodeError" in str(row["errors"])
+
+    def test_unclosed_quote_recovers_lenient(self):
+        """The stdlib csv reader's documented lenient recovery: an
+        unterminated quoted field yields the remainder as one cell —
+        a success row, matching the reference's continue-on-error bias."""
+        from docling_serve_ray.kernels.document import convert_document
+        from docling_serve_ray.kernels.glyphs import build_reverse_codebook
+        from docling_serve_ray.options import DEFAULT_OPTIONS
+
+        row = convert_document(
+            "d2", "csv", b'a,b\n"unclosed', "en", DEFAULT_OPTIONS,
+            build_reverse_codebook(),
+        )
+        assert row["status"] == "success"
+        assert row["spans"][0]["kind"] == "table"
