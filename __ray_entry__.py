@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": text.skipgram_pairs,
         "hll_tokens": text.hll_tokens,
         "cms_tokens": text.cms_tokens,
+        "cms_topk_estimate": text.cms_topk_estimate,
         "bloom_tokens": text.bloom_tokens,
         # distributed sketch unions: per-half sketches merged by the
         # sketch monoid; oracle = whole-corpus sketch (exact mergeability)
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         DATASET_SPLIT_SQL,
         BLOOM_TOKENS_SQL,
         CMS_TOKENS_SQL,
+        CMS_TOPK_ESTIMATE_SQL,
         DECON_SQL,
         HLL_TOKENS_SQL,
         PII_SCRUB_SQL,
@@ -386,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": TOP_TOKENS_SQL,
         "hll_tokens": HLL_TOKENS_SQL,
         "cms_tokens": CMS_TOKENS_SQL,
+        "cms_topk_estimate": CMS_TOPK_ESTIMATE_SQL,
         "bloom_tokens": BLOOM_TOKENS_SQL,
         # the union ops' oracle IS the whole-corpus sketch: a green row
         # proves union(sketch(A), sketch(B)) == sketch(A ∪ B) bit-exactly

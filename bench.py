@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "json_props_stats",
     "value_outliers",
     "weekly_active_users",
+    "cms_topk_estimate",
     "skipgram_pairs",
     # decision-support analytics family
     "promo_revenue",

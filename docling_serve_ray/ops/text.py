@@ -1345,3 +1345,54 @@ def skipgram_pairs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return cands.repartition(1).map_batches(final_top, batch_format="pandas")
+
+
+# --- sketch composition: CMS point estimates for the exact heavy hitters -----
+
+CMS_TOPK_ESTIMATE_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, CAST(c AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank
+  FROM cnt
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+),
+sk AS (
+  SELECT r.r AS sketch_row,
+         CAST(md5_number_upper(cnt.tok || ':cms' || r.r) % {CMS_W} AS BIGINT) AS col,
+         CAST(SUM(cnt.c) AS BIGINT) AS total
+  FROM cnt, (SELECT UNNEST(generate_series(0, {CMS_D - 1})) AS r) r
+  GROUP BY r.r, md5_number_upper(cnt.tok || ':cms' || r.r) % {CMS_W}
+)
+SELECT t.tok AS token, t.cnt, t.rank,
+       CAST(MIN(sk.total) AS BIGINT) AS cms_est
+FROM top t
+CROSS JOIN (SELECT UNNEST(generate_series(0, {CMS_D - 1})) AS r) rr
+JOIN sk ON sk.sketch_row = rr.r
+       AND sk.col = md5_number_upper(t.tok || ':cms' || rr.r) % {CMS_W}
+GROUP BY t.tok, t.cnt, t.rank
+"""
+
+
+def cms_topk_estimate(sf_dir: str) -> ray.data.Dataset:
+    """Sketch composition: the exact top-20 tokens annotated with their
+    Count-Min point estimates — the screening query a 100-TB pipeline
+    answers FROM THE SKETCH instead of re-scanning the corpus (here both
+    sides run so the one-sided guarantee est ≥ true is itself oracle-
+    checked). Both inputs are finished aggregates (20 heavy hitters, a
+    4×{CMS_W}-cell grid), so the composition is driver-side by design —
+    no corpus pass happens in this op beyond the two underlying queries."""
+    top = top_tokens(sf_dir).to_pandas()
+    sketch = cms_tokens(sf_dir).to_pandas()
+    est = [cms_estimate(sketch, t) for t in top["token"]]
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "token": top["token"],
+                "cnt": top["cnt"].astype("int64"),
+                "rank": top["rank"].astype("int64"),
+                "cms_est": pd.Series(est, dtype="int64"),
+            }
+        )
+    )

@@ -65,6 +65,7 @@ SUBSET = [
     "json_props_stats",
     "value_outliers",
     "weekly_active_users",
+    "cms_topk_estimate",
     "skipgram_pairs",
     # decision-support analytics family (ops/analytics.py)
     "promo_revenue",
@@ -1324,3 +1325,13 @@ def test_revenue_rollup_internally_consistent(ray_session):
     per_nation = cells.groupby("n_name").revenue_c.sum()
     for _, r in nat_totals.iterrows():
         assert int(r.revenue_c) == int(per_nation[r.n_name])
+
+
+def test_cms_estimate_one_sided_guarantee(ray_session):
+    """Count-Min never underestimates: every top-20 token's sketch
+    estimate must be >= its true count (equality when no collision)."""
+    from docling_serve_ray.ops.text import cms_topk_estimate
+
+    df = cms_topk_estimate(SF).to_pandas()
+    assert len(df) == 20
+    assert (df["cms_est"] >= df["cnt"]).all()
