@@ -52,9 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.fingerprint,
         "dataset_split": text.dataset_split,
         "top_tokens": text.top_tokens,
+        "top_tokens_per_lang": text.top_tokens_per_lang,
         "pmi_bigrams": text.pmi_bigrams,
         "skipgram_pairs": text.skipgram_pairs,
         "hll_tokens": text.hll_tokens,
+        "hll_by_source": text.hll_by_source,
         "cms_tokens": text.cms_tokens,
         "cms_topk_estimate": text.cms_topk_estimate,
         "bloom_tokens": text.bloom_tokens,
@@ -347,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         CMS_TOPK_ESTIMATE_SQL,
         DECON_SQL,
         HLL_TOKENS_SQL,
+        HLL_BY_SOURCE_SQL,
         PII_SCRUB_SQL,
         REGEX_TOKEN_COUNT_SQL,
         REPETITION_SCORE_SQL,
@@ -356,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         PMI_BIGRAMS_SQL,
         SKIPGRAM_PAIRS_SQL,
         TOP_TOKENS_SQL,
+        TOP_TOKENS_PER_LANG_SQL,
         LEXICAL_STATS_SQL,
     )
 
@@ -386,7 +390,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
         "dataset_split": DATASET_SPLIT_SQL,
         "top_tokens": TOP_TOKENS_SQL,
+        "top_tokens_per_lang": TOP_TOKENS_PER_LANG_SQL,
         "hll_tokens": HLL_TOKENS_SQL,
+        "hll_by_source": HLL_BY_SOURCE_SQL,
         "cms_tokens": CMS_TOKENS_SQL,
         "cms_topk_estimate": CMS_TOPK_ESTIMATE_SQL,
         "bloom_tokens": BLOOM_TOKENS_SQL,

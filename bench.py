@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "value_outliers",
     "weekly_active_users",
     "cms_topk_estimate",
+    "top_tokens_per_lang",
+    "hll_by_source",
     "skipgram_pairs",
     # decision-support analytics family
     "promo_revenue",

@@ -1396,3 +1396,140 @@ def cms_topk_estimate(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+# --- grouped heavy hitters: top tokens per language ---------------------------
+
+TOP_TOKENS_PER_LANG_K = 5
+
+TOP_TOKENS_PER_LANG_SQL = f"""
+WITH w AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY lang, token)
+SELECT lang, token, cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT)
+         AS rank
+FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) <= {TOP_TOKENS_PER_LANG_K}
+"""
+
+
+def top_tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language top-5 tokens — grouped heavy hitters over an
+    UNBOUNDED key domain ((lang, token) cardinality is corpus-scale,
+    unlike grouped_topk's per-customer orders). Combiner → byte-scaled
+    bucketed (lang, token) count reduce with a per-bucket per-lang top-k
+    cut — a bucket holds complete (lang, token) groups, so its local
+    top-k per lang is a superset-safe candidate set — then one tiny
+    global re-rank over buckets × langs × k rows."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "lang": batch["lang"].repeat(toks.str.len()),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+        c = flat.groupby(["lang", "token"], as_index=False, sort=False).size()
+        return c.rename(columns={"size": "pc"}).astype({"pc": "int64"})
+
+    def per_bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang", "token"], as_index=False).agg(cnt=("pc", "sum"))
+        out["cnt"] = out["cnt"].astype("int64")
+        out = out.sort_values(["lang", "cnt", "token"],
+                              ascending=[True, False, True])
+        return out.groupby("lang", as_index=False, group_keys=False).head(
+            TOP_TOKENS_PER_LANG_K
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    cands = bucketed_group_agg(
+        _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["lang", "token"], per_bucket_top, num_buckets=nb,
+    )
+
+    def final_top(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(["lang", "cnt", "token"],
+                              ascending=[True, False, True])
+        s = s.groupby("lang", as_index=False, group_keys=False).head(
+            TOP_TOKENS_PER_LANG_K
+        )
+        s = s.reset_index(drop=True)
+        s["rank"] = s.groupby("lang").cumcount().astype("int64") + 1
+        return s[["lang", "token", "cnt", "rank"]]
+
+    return cands.repartition(1).map_batches(final_top, batch_format="pandas")
+
+
+# --- grouped mergeable sketch: HLL registers per source ------------------------
+
+HLL_BY_SOURCE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+r AS (
+  SELECT source,
+         CAST(md5_number_upper(tok) >> 52 AS BIGINT) AS register,
+         md5_number_upper(tok) & ((CAST(1 AS UBIGINT) << 52) - 1) AS rem
+  FROM toks
+),
+s1 AS (SELECT source, register, rem | (rem >> 1) AS x FROM r),
+s2 AS (SELECT source, register, x | (x >> 2) AS x FROM s1),
+s3 AS (SELECT source, register, x | (x >> 4) AS x FROM s2),
+s4 AS (SELECT source, register, x | (x >> 8) AS x FROM s3),
+s5 AS (SELECT source, register, x | (x >> 16) AS x FROM s4),
+s6 AS (SELECT source, register, x | (x >> 32) AS x FROM s5)
+SELECT source, register, CAST(53 - MIN(bit_count(x)) AS BIGINT) AS rho
+FROM s6 GROUP BY source, register
+"""
+
+
+def hll_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Per-source HLL register tables (p=12) of distinct tokens — the
+    GROUPED mergeable sketch: one register table per source, each
+    independently mergeable with any other shard's table for the same
+    source (register-wise max), which is how a 100-TB pipeline keeps a
+    distinct-token profile per provenance without ever re-scanning.
+    Same vectorized register/rho math as hll_tokens with the group key
+    riding along; the reduce is bucketed on (source, register)."""
+    from .dedup import _md5_64_memo
+    from .shuffle import bucketed_group_agg
+
+    mask52 = np.uint64((1 << 52) - 1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "source": batch["source"].repeat(toks.str.len()),
+                "tok": np.concatenate(toks.to_numpy()),
+            }
+        ).drop_duplicates()
+        if not len(flat):
+            return pd.DataFrame({"source": [], "register": pd.Series(dtype="int64"),
+                                 "rho": pd.Series(dtype="int64")})
+        h = np.fromiter(
+            (_md5_64_memo(t) for t in flat["tok"]), dtype=np.uint64, count=len(flat)
+        )
+        reg = (h >> np.uint64(52)).astype("int64")
+        rem = h & mask52
+        bitlen = np.frexp(rem.astype("float64"))[1].astype("int64")
+        out = pd.DataFrame(
+            {"source": flat["source"].to_numpy(), "register": reg, "rho": 53 - bitlen}
+        )
+        return out.groupby(["source", "register"], as_index=False)["rho"].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source", "register"], as_index=False)["rho"].max()
+        return out.astype({"register": "int64", "rho": "int64"})
+
+    ds = _docs(sf_dir, columns=("text", "source")).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_group_agg(ds, ["source", "register"], merge, num_buckets=64)

@@ -66,6 +66,8 @@ SUBSET = [
     "value_outliers",
     "weekly_active_users",
     "cms_topk_estimate",
+    "top_tokens_per_lang",
+    "hll_by_source",
     "skipgram_pairs",
     # decision-support analytics family (ops/analytics.py)
     "promo_revenue",
