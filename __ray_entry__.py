@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": cluster.embedding_clusters,
         "dup_cluster_sizes": cluster.dup_cluster_sizes,
         "dedup_apply": curation.dedup_apply,
+        "curation_report": curation.curation_report,
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
         "weighted_mix": curation.weighted_mix,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.curation import (
         CORPUS_STATS_SQL,
         DEDUP_APPLY_SQL,
+        CURATION_REPORT_SQL,
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
@@ -424,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
         "dup_cluster_sizes": DUP_CLUSTER_SIZES_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
+        "curation_report": CURATION_REPORT_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dup_ngram_coverage",
     "dedup_apply",
+    "curation_report",
     "agg_pricing",
     "join_revenue",
     "events_window",

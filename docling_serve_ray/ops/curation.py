@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ray.data.aggregate import Sum
 
 from .text import STOPWORDS
 
@@ -1118,3 +1119,138 @@ def tokenize_ids(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation report (the composed deliverable)
+# ---------------------------------------------------------------------------
+
+CURATION_REPORT_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, length(text) AS n_chars, string_split(text, ' ') AS words
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang,
+         len(words) AS n_tokens,
+         n_chars - (len(words) - 1) AS sum_tok,
+         len(list_filter(words, w -> w IN ('the','a','and','of','to'))) AS n_stop,
+         len(list_distinct(words)) AS n_distinct
+  FROM t
+),
+q AS (
+  SELECT doc_id, lang,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hv
+  FROM f
+  WHERE n_tokens >= 20 AND n_tokens <= 5000
+    AND sum_tok >= 3 * n_tokens AND sum_tok <= 10 * n_tokens
+    AND n_stop >= 2 AND 2 * n_distinct >= n_tokens
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+         array_to_string(words[i*20+1 : (i+1)*20], ' ') AS ptext,
+         md5(array_to_string(words[i*20+1 : (i+1)*20], ' ')) AS fp,
+         doc_id * 100000 + i AS pos_code
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+),
+k AS (SELECT fp, MIN(pos_code) AS keeper FROM p GROUP BY fp),
+surv AS (
+  SELECT p.doc_id,
+         SUM(len(string_split(p.ptext, ' '))) AS n_clean_tokens
+  FROM p JOIN k ON p.fp = k.fp AND p.pos_code = k.keeper
+  GROUP BY p.doc_id
+)
+SELECT CASE WHEN q.hv < 13 THEN 'train' WHEN q.hv < 15 THEN 'val' ELSE 'test' END
+         AS split,
+       q.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_clean_tokens) AS BIGINT) AS n_tokens
+FROM q JOIN surv s ON q.doc_id = s.doc_id
+GROUP BY 1, q.lang
+"""
+
+
+def curation_report(sf_dir: str) -> ray.data.Dataset:
+    """The composed end-to-end curation deliverable: quality rules →
+    paragraph-level dedup survival → deterministic split assignment →
+    per-(split, lang) document and clean-token counts — the summary table
+    a dataset card publishes. Composition cost: the quality/split/lang
+    side is one streaming scan emitting thin (doc_id, lang, split) rows
+    for passing docs; the dedup side is paragraph_dedup_apply reduced to
+    (doc_id, n_clean_tokens) ints; ONE int-keyed hash join intersects
+    them; the final roll-up domain is splits × languages (tiny)."""
+    from .dedup import paragraph_dedup_apply
+    from .shuffle import input_bytes_estimate, join_partitions
+
+    surv = paragraph_dedup_apply(sf_dir).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "sid": b["doc_id"].astype("int64"),
+                "n_clean_tokens": b["clean_text"].str.split(" ").str.len().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    stops = set(STOPWORDS)
+
+    def qualify(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        n_chars = b["text"].str.len().astype("int64")
+        sum_tok = n_chars - (n_tokens - 1)
+        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stops)).astype("int64")
+        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+        keep = (
+            (n_tokens >= QF_MIN_WORDS) & (n_tokens <= QF_MAX_WORDS)
+            & (sum_tok >= QF_MIN_MEAN_WORD_LEN * n_tokens)
+            & (sum_tok <= QF_MAX_MEAN_WORD_LEN * n_tokens)
+            & (n_stop >= QF_MIN_STOPWORDS)
+            & (2 * n_distinct >= n_tokens)
+        )
+        kept = b.loc[keep]
+        hv = kept["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[0], 16)
+        )
+        split = np.where(hv < 13, "train", np.where(hv < 15, "val", "test"))
+        return pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].astype("int64"),
+                "lang": kept["lang"].astype(str),
+                "split": pd.Series(split, index=kept.index, dtype=str),
+            }
+        )
+
+    q = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(qualify, batch_format="pandas")
+
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    )
+    j = q.join(surv, "inner", P, on=("doc_id",), right_on=("sid",), **jkw)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["split", "lang"], as_index=False).agg(
+            n=("n_clean_tokens", "size"), tk=("n_clean_tokens", "sum")
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("tk", alias_name="n_tokens"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "split": b["split"],
+                "lang": b["lang"],
+                "n_docs": b["n_docs"].astype("int64"),
+                "n_tokens": b["n_tokens"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

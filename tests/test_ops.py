@@ -34,6 +34,7 @@ SUBSET = [
     "dup_ngram_coverage",
     "keyword_search",
     "dedup_apply",
+    "curation_report",
     "agg_pricing",
     "join_revenue",
     "top_orders",
