@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": analytics.small_qty_revenue,
         "rfm_features": analytics.rfm_features,
         "revenue_rollup": analytics.revenue_rollup,
+        "ship_delay_histogram": analytics.ship_delay_histogram,
+        "customer_value_deciles": analytics.customer_value_deciles,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -303,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
         RFM_FEATURES_SQL,
         SMALL_QTY_REVENUE_SQL,
         TOP_SUPPLIER_SQL,
+        SHIP_DELAY_HISTOGRAM_SQL,
+        VALUE_DECILES_SQL,
     )
     from docling_serve_ray.ops.media_ops import MEDIA_DEDUP_SQL, MEDIA_META_SQL
     from docling_serve_ray.ops.relational import (
@@ -474,6 +478,8 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
         "rfm_features": RFM_FEATURES_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
+        "ship_delay_histogram": SHIP_DELAY_HISTOGRAM_SQL,
+        "customer_value_deciles": VALUE_DECILES_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "small_qty_revenue",
     "rfm_features",
     "revenue_rollup",
+    "ship_delay_histogram",
+    "customer_value_deciles",
 ]
 
 

@@ -695,3 +695,161 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
 
     # the base aggregate is nations × years rows — one batch by construction
     return base.repartition(1).map_batches(add_rollup, batch_format="pandas")
+
+
+# --- shipping delay distribution (date-lag arithmetic over the big-big join) -----
+
+SHIP_DELAY_HISTOGRAM_SQL = """
+SELECT CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate) / 7.0) AS BIGINT)
+         AS delay_weeks,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def ship_delay_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Distribution of order-to-ship delay in whole weeks — the date-lag
+    histogram. The only corpus-sized step is the lineitem ⋈ orders hash
+    join (shipdate must meet its order's orderdate); the per-batch partial
+    reduces straight to (delay_weeks, count) rows, so the final groupby
+    domain is a few dozen buckets regardless of corpus size."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/lineitem.parquet")
+    )
+    j = li.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b["l_shipdate"] - b["o_orderdate"]).dt.days
+        weeks = np.floor(days / 7.0).astype("int64")
+        return (
+            pd.DataFrame({"delay_weeks": weeks})
+            .groupby("delay_weeks", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("delay_weeks")
+        .aggregate(Sum("n", alias_name="n_lineitems"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "delay_weeks": b["delay_weeks"].astype("int64"),
+                "n_lineitems": b["n_lineitems"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- exact customer-value deciles (integer rank arithmetic, no sort) -------------
+
+VALUE_DECILES_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, monetary_c,
+         row_number() OVER (ORDER BY monetary_c, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM m
+)
+SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(MIN(monetary_c) AS BIGINT) AS min_monetary_c,
+       CAST(MAX(monetary_c) AS BIGINT) AS max_monetary_c,
+       CAST(SUM(monetary_c) AS BIGINT) AS sum_monetary_c
+FROM r GROUP BY 1
+"""
+
+
+def customer_value_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Customers bucketed into exact lifetime-value deciles (decile =
+    (rank-1)*10/n under ORDER BY (monetary, custkey)) with per-decile
+    count/min/max/sum — the audience-segmentation cut, computed WITHOUT a
+    global sort: per-customer monetary roll-up (bucketed, corpus-scale
+    keys), then the global_rank offset trick — a (monetary value, count)
+    histogram reaches the driver (value domain ≈ distinct totals, far
+    smaller than customers), cumulative offsets broadcast, and one
+    bucketed value-grouped pass assigns each customer's exact rank and
+    decile locally; the final reduce is 10 rows."""
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def mon_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["o_totalprice"])
+        return (
+            pd.DataFrame({"o_custkey": b["o_custkey"], "m": cents})
+            .groupby("o_custkey", as_index=False)
+            .agg(m=("m", "sum"))
+        )
+
+    def mon_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(monetary_c=("m", "sum"))
+        return s.astype({"o_custkey": "int64", "monetary_c": "int64"})
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/orders.parquet"))
+    mon = bucketed_group_agg(ds, ["o_custkey"], mon_final, partial_fn=mon_partial,
+                             num_buckets=nb).materialize()
+
+    # (monetary value, count) histogram -> driver offsets (value domain only)
+    hist = (
+        mon.map_batches(
+            lambda b: b.groupby("monetary_c", as_index=False)
+            .size().rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .groupby("monetary_c")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("monetary_c")
+    )
+    n_total = int(hist["c"].sum())
+    offsets = dict(
+        zip(hist["monetary_c"].astype("int64"),
+            (hist["c"].cumsum() - hist["c"]).astype("int64"))
+    )
+    off_ref = ray.put((n_total, offsets))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        n_tot, offs = ray.get(off_ref)
+        g = g.sort_values(["monetary_c", "o_custkey"])
+        local = g.groupby("monetary_c", sort=False).cumcount() + 1
+        base = g["monetary_c"].map(offs).to_numpy()
+        rn = base + local.to_numpy()
+        decile = ((rn - 1) * 10 // n_tot).astype("int64")
+        out = pd.DataFrame({"decile": decile, "m": g["monetary_c"].to_numpy()})
+        return out.groupby("decile", as_index=False).agg(
+            n_customers=("m", "size"), min_monetary_c=("m", "min"),
+            max_monetary_c=("m", "max"), sum_monetary_c=("m", "sum"),
+        )
+
+    # bucket by monetary value: complete value groups per bucket make the
+    # local tie-ranked cumcount + offset an EXACT global row_number
+    per_bucket = bucketed_group_agg(mon, ["monetary_c"], assign, num_buckets=64)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("decile", as_index=False).agg(
+            n_customers=("n_customers", "sum"), min_monetary_c=("min_monetary_c", "min"),
+            max_monetary_c=("max_monetary_c", "max"), sum_monetary_c=("sum_monetary_c", "sum"),
+        )
+        return s.astype({"decile": "int64", "n_customers": "int64",
+                         "min_monetary_c": "int64", "max_monetary_c": "int64",
+                         "sum_monetary_c": "int64"})
+
+    return per_bucket.repartition(1).map_batches(final, batch_format="pandas")

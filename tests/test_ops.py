@@ -79,6 +79,8 @@ SUBSET = [
     "small_qty_revenue",
     "rfm_features",
     "revenue_rollup",
+    "ship_delay_histogram",
+    "customer_value_deciles",
 ]
 
 
