@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
         "media_dedup": media_ops.media_dedup,
+        "video_frame_sample": media_ops.video_frame_sample,
     }
 
 
@@ -308,7 +309,11 @@ def oracle_sql() -> dict[str, str]:
         SHIP_DELAY_HISTOGRAM_SQL,
         VALUE_DECILES_SQL,
     )
-    from docling_serve_ray.ops.media_ops import MEDIA_DEDUP_SQL, MEDIA_META_SQL
+    from docling_serve_ray.ops.media_ops import (
+        FRAME_SAMPLE_SQL,
+        MEDIA_DEDUP_SQL,
+        MEDIA_META_SQL,
+    )
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
         ASOF_JOIN_SQL,
@@ -492,4 +497,5 @@ def oracle_sql() -> dict[str, str]:
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
         "media_dedup": MEDIA_DEDUP_SQL,
+        "video_frame_sample": FRAME_SAMPLE_SQL,
     }

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "group_sample",
     "pmi_bigrams",
     "media_dedup",
+    "video_frame_sample",
     "priority_with_returns",
     "top_tokens",
     "hll_tokens",

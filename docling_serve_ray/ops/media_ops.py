@@ -135,3 +135,79 @@ def media_dedup(sf_dir: str) -> ray.data.Dataset:
         docs.map_batches(rows, batch_format="pyarrow"),
         ["fp"], keepers, num_buckets=nb,
     )
+
+
+# ---------------------------------------------------------------------------
+# video_frame_sample: the frame-sampling stage as a driver-contract query
+# ---------------------------------------------------------------------------
+
+# Every doc_id % 3 == 0 document becomes a synthetic "video" (bytes = UTF-8
+# text, mime video/mp4 — the no-ffmpeg stand-in payload, same convention as
+# _fake_media). The stub decoder's duration rule and the evenly-spaced
+# timestamp arithmetic are exact integer math, so the sampling schedule has
+# a SQL twin; frame BYTES are exercised on the Ray side (sha1-derived) but
+# the oracle checks their deterministic length (20-byte digest + ≤32-byte
+# prefix) — hashing the frames themselves needs sha1-over-binary, which
+# DuckDB lacks.
+FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT 'v-' || doc_id AS media_ref, strlen(text) AS L
+  FROM documents WHERE doc_id % 3 = 0
+),
+f AS (
+  SELECT media_ref,
+         CAST(k.k AS BIGINT) AS frame_idx,
+         CAST(((1000 + (L % 9973) * 10) * (2 * k.k + 1)) // 16 AS BIGINT) AS ts_ms,
+         CAST(20 + least(32, L) AS BIGINT) AS frame_bytes_len
+  FROM m, (SELECT UNNEST(generate_series(0, 7)) AS k) k
+)
+SELECT media_ref, frame_idx, ts_ms, frame_bytes_len FROM f
+"""
+
+
+def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling as a first-class query: synthetic video rows (every
+    third document) through the REAL actor-pool stage
+    (stages/media.FrameSampleActor — decoder pinned in actor state, small
+    batches for the large binary rows) → 8 evenly-spaced frames each,
+    verified against the integer sampling-schedule oracle. The frame
+    payloads are produced and measured (length column) — the plumbing a
+    real ffmpeg decoder would drop into unchanged."""
+    from ..pipelines.media import sample_video_frames
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fake_video(batch: pa.Table) -> pa.Table:
+        ids = [d for d in batch["doc_id"].to_pylist() if d % 3 == 0]
+        texts = [
+            t for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+            if d % 3 == 0
+        ]
+        return pa.table(
+            {
+                "media_ref": pa.array([f"v-{d}" for d in ids], pa.string()),
+                "doc_id": pa.array([str(d) for d in ids], pa.string()),
+                "bytes": pa.array([t.encode("utf-8") for t in texts], pa.large_binary()),
+                "mime": pa.array(["video/mp4"] * len(ids), pa.string()),
+            }
+        )
+
+    frames = sample_video_frames(docs.map_batches(fake_video, batch_format="pyarrow"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "frame_idx": pc.cast(batch["frame_idx"], pa.int64()),
+                "ts_ms": pc.cast(batch["ts_ms"], pa.int64()),
+                "frame_bytes_len": pc.cast(
+                    pc.binary_length(batch["frame_bytes"]), pa.int64()
+                ),
+            }
+        )
+
+    return frames.map_batches(finalize, batch_format="pyarrow")

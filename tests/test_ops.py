@@ -53,6 +53,7 @@ SUBSET = [
     "group_sample",
     "pmi_bigrams",
     "media_dedup",
+    "video_frame_sample",
     "priority_with_returns",
     # sub-document dedup (ops/dedup.py)
     "paragraph_dedup",
