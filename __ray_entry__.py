@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_spans": wrap.convert_documents_table,
         "convert_markdown": wrap.convert_documents_markdown,
         "convert_html": wrap.convert_documents_html,
+        "convert_text": wrap.convert_documents_text,
         # --- text analysis ---
         "token_count": text.token_count,
         "text_quality": text.text_quality,
@@ -202,6 +203,27 @@ paras AS (
 SELECT w.doc_id,
        '# Document ' || w.doc_id || ' from ' || w.source || chr(10) || chr(10) || p.body
          AS md_content
+FROM w JOIN paras p USING (doc_id)
+"""
+
+
+_CONVERT_TEXT_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         string_agg(array_to_string(words[i*20+1 : (i+1)*20], ' '), chr(10) || chr(10) ORDER BY i) AS body
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       'Document ' || w.doc_id || ' from ' || w.source || chr(10) || chr(10) || p.body
+         AS text_content
 FROM w JOIN paras p USING (doc_id)
 """
 
@@ -378,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_spans": _CONVERT_SPANS_SQL,
         "convert_markdown": _CONVERT_MD_SQL,
         "convert_html": _CONVERT_HTML_SQL,
+        "convert_text": _CONVERT_TEXT_SQL,
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
             " FROM documents"

@@ -122,3 +122,15 @@ def convert_documents_html(sf_dir: str) -> ray.data.Dataset:
     ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
     ds = build_convert_pipeline(ds, JobOptions(to_formats=("html",)))
     return ds.select_columns(["doc_id", "html_content"])
+
+
+def convert_documents_text(sf_dir: str) -> ray.data.Dataset:
+    """Same pipeline, strict plain-text export column (reference
+    strict_text surface, response_preparation.py:94-98: markdown syntax
+    stripped, prose only)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    ds = build_convert_pipeline(ds, JobOptions(to_formats=("text",)))
+    return ds.select_columns(["doc_id", "text_content"])

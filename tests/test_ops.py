@@ -18,6 +18,7 @@ TABLES = (
 
 SUBSET = [
     "convert_spans",
+    "convert_text",
     "token_count",
     "lang_id",
     "exact_dedup",
