@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_markdown": wrap.convert_documents_markdown,
         "convert_html": wrap.convert_documents_html,
         "convert_text": wrap.convert_documents_text,
+        "convert_doctags": wrap.convert_documents_doctags,
         # --- text analysis ---
         "token_count": text.token_count,
         "text_quality": text.text_quality,
@@ -227,6 +228,29 @@ SELECT w.doc_id,
 FROM w JOIN paras p USING (doc_id)
 """
 
+
+_CONVERT_DOCTAGS_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         string_agg('<paragraph><loc_' || CAST(i + 1 AS VARCHAR) || '>'
+                    || array_to_string(words[i*20+1 : (i+1)*20], ' ')
+                    || '</paragraph>', '' ORDER BY i) AS body
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       '<doctag><title><loc_0>Document ' || w.doc_id || ' from ' || w.source
+         || '</title>' || p.body || '</doctag>' AS doctags_content
+FROM w JOIN paras p USING (doc_id)
+"""
+
 _LANG_ID_SQL = """
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
@@ -401,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_markdown": _CONVERT_MD_SQL,
         "convert_html": _CONVERT_HTML_SQL,
         "convert_text": _CONVERT_TEXT_SQL,
+        "convert_doctags": _CONVERT_DOCTAGS_SQL,
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
             " FROM documents"

@@ -33,6 +33,7 @@ CORPUS_DIR = f"/tmp/graft_bench_corpus_{N_DOCS}"
 BENCH_QUERIES = [
     "convert_spans",
     "convert_text",
+    "convert_doctags",
     "token_count",
     "exact_dedup",
     "minhash_dedup",

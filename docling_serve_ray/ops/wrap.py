@@ -134,3 +134,14 @@ def convert_documents_text(sf_dir: str) -> ray.data.Dataset:
     ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
     ds = build_convert_pipeline(ds, JobOptions(to_formats=("text",)))
     return ds.select_columns(["doc_id", "text_content"])
+
+
+def convert_documents_doctags(sf_dir: str) -> ray.data.Dataset:
+    """Same pipeline, lossless doctags export column (the reference's
+    golden-asserted `<doctag>` serialization shape)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    ds = build_convert_pipeline(ds, JobOptions(to_formats=("doctags",)))
+    return ds.select_columns(["doc_id", "doctags_content"])

@@ -19,6 +19,7 @@ TABLES = (
 SUBSET = [
     "convert_spans",
     "convert_text",
+    "convert_doctags",
     "token_count",
     "lang_id",
     "exact_dedup",
