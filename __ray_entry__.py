@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_html": wrap.convert_documents_html,
         "convert_text": wrap.convert_documents_text,
         "convert_doctags": wrap.convert_documents_doctags,
+        "convert_json": wrap.convert_documents_json,
         # --- text analysis ---
         "token_count": text.token_count,
         "text_quality": text.text_quality,
@@ -251,6 +252,39 @@ SELECT w.doc_id,
 FROM w JOIN paras p USING (doc_id)
 """
 
+
+_CONVERT_JSON_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 'title' AS kind,
+         'Document ' || doc_id || ' from ' || source AS text,
+         '' AS media_ref, 0 AS off
+  FROM w
+  UNION ALL
+  SELECT doc_id, 'paragraph',
+         array_to_string(words[i*20+1 : (i+1)*20], ' '), '',
+         CAST(i + 1 AS INTEGER)
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+),
+b AS (
+  SELECT doc_id,
+         list(struct_pack(kind := kind, text := text, media_ref := media_ref,
+                          "offset" := off) ORDER BY off) AS body
+  FROM spans GROUP BY doc_id
+)
+SELECT doc_id,
+       to_json(struct_pack(schema_name := 'DoclingDocument',
+                           version := '1.0.0', name := doc_id,
+                           body := body))::VARCHAR AS json_content
+FROM b
+"""
+
 _LANG_ID_SQL = """
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
@@ -426,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_html": _CONVERT_HTML_SQL,
         "convert_text": _CONVERT_TEXT_SQL,
         "convert_doctags": _CONVERT_DOCTAGS_SQL,
+        "convert_json": _CONVERT_JSON_SQL,
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
             " FROM documents"

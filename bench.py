@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "convert_spans",
     "convert_text",
     "convert_doctags",
+    "convert_json",
     "token_count",
     "exact_dedup",
     "minhash_dedup",

@@ -145,3 +145,16 @@ def convert_documents_doctags(sf_dir: str) -> ray.data.Dataset:
     ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
     ds = build_convert_pipeline(ds, JobOptions(to_formats=("doctags",)))
     return ds.select_columns(["doc_id", "doctags_content"])
+
+
+def convert_documents_json(sf_dir: str) -> ray.data.Dataset:
+    """Same pipeline, lossless DoclingDocument-shaped JSON export column.
+    The oracle rebuilds the EXACT string with DuckDB's to_json (verified
+    bit-identical to Python's compact json.dumps: key order, escaping,
+    raw non-ASCII)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    ds = build_convert_pipeline(ds, JobOptions(to_formats=("json",)))
+    return ds.select_columns(["doc_id", "json_content"])

@@ -20,6 +20,7 @@ SUBSET = [
     "convert_spans",
     "convert_text",
     "convert_doctags",
+    "convert_json",
     "token_count",
     "lang_id",
     "exact_dedup",
