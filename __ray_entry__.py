@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": analytics.revenue_rollup,
         "ship_delay_histogram": analytics.ship_delay_histogram,
         "customer_value_deciles": analytics.customer_value_deciles,
+        "discount_revenue": analytics.discount_revenue,
+        "brand_qty_revenue": analytics.brand_qty_revenue,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -388,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         TOP_SUPPLIER_SQL,
         SHIP_DELAY_HISTOGRAM_SQL,
         VALUE_DECILES_SQL,
+        DISCOUNT_REVENUE_SQL,
+        BRAND_QTY_REVENUE_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -568,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "ship_delay_histogram": SHIP_DELAY_HISTOGRAM_SQL,
         "customer_value_deciles": VALUE_DECILES_SQL,
+        "discount_revenue": DISCOUNT_REVENUE_SQL,
+        "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

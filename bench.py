@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "ship_delay_histogram",
     "customer_value_deciles",
+    "discount_revenue",
+    "brand_qty_revenue",
 ]
 
 

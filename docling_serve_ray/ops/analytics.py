@@ -853,3 +853,119 @@ def customer_value_deciles(sf_dir: str) -> ray.data.Dataset:
                          "sum_monetary_c": "int64"})
 
     return per_bucket.repartition(1).map_batches(final, batch_format="pandas")
+
+
+# --- Q6 shape: forecast revenue change (single-table filter-aggregate) -----------
+
+DISCOUNT_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def discount_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 shape: the canonical single-table filter-aggregate
+    (forecast-revenue-change). Pure streaming: the predicate evaluates
+    vectorized per batch, each batch reduces to one (cents, count) row,
+    and the global sum is a scalar fold — no shuffle of any kind. The
+    date window is also pushed into the parquet read as a row-group
+    filter, so pruned row groups never leave storage."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+            & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < 24)
+        )
+        cents = _cents(b.loc[keep, "l_extendedprice"] * b.loc[keep, "l_discount"])
+        return pd.DataFrame({"revenue_c": [int(cents.sum())],
+                             "n_lines": [int(keep.sum())]})
+
+    agg = ds.map_batches(partial, batch_format="pandas").sum(["revenue_c", "n_lines"])
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "revenue_c": [int(agg["sum(revenue_c)"])],
+                "n_lines": [int(agg["sum(n_lines)"])],
+            }
+        )
+    )
+
+
+# --- Q19 shape: disjunctive brand/quantity predicates over the part dimension ----
+
+BRAND_QTY_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15 AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 25 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 35 AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+def brand_qty_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 shape: OR-of-ANDs predicates mixing fact (quantity) and
+    dimension (brand, size) attributes. The dimension side collapses to
+    TWO broadcast lookups (partkey → brand-class int, partkey → size),
+    so each disjunct evaluates vectorized inside one fact-table
+    map_batches — the classic join-turned-broadcast-predicate; output is
+    the global (cents, count) scalar pair."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    brand_class = np.select(
+        [part["p_brand"] == "Brand#1", part["p_brand"] == "Brand#2",
+         part["p_brand"] == "Brand#3"],
+        [1, 2, 3], default=0,
+    ).astype("int64")
+    ref = ray.put((keys[order], brand_class[order],
+                   part["p_size"].to_numpy()[order].astype("int64")))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys_, bc_, size_ = ray.get(ref)
+        idx = np.clip(np.searchsorted(keys_, b["l_partkey"].to_numpy()), 0,
+                      len(keys_) - 1)
+        hit = keys_[idx] == b["l_partkey"].to_numpy()
+        bc, size = np.where(hit, bc_[idx], 0), size_[idx]
+        qty = b["l_quantity"].to_numpy()
+        keep = (
+            ((bc == 1) & (size <= 15) & (qty >= 1) & (qty <= 11))
+            | ((bc == 2) & (size <= 25) & (qty >= 10) & (qty <= 20))
+            | ((bc == 3) & (size <= 35) & (qty >= 20) & (qty <= 30))
+        )
+        cents = _cents(
+            b.loc[keep, "l_extendedprice"] * (1 - b.loc[keep, "l_discount"])
+        )
+        return pd.DataFrame({"revenue_c": [int(cents.sum())],
+                             "n_lines": [int(keep.sum())]})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = li.map_batches(partial, batch_format="pandas").sum(["revenue_c", "n_lines"])
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "revenue_c": [int(agg["sum(revenue_c)"])],
+                "n_lines": [int(agg["sum(n_lines)"])],
+            }
+        )
+    )

@@ -85,6 +85,8 @@ SUBSET = [
     "revenue_rollup",
     "ship_delay_histogram",
     "customer_value_deciles",
+    "discount_revenue",
+    "brand_qty_revenue",
 ]
 
 
