@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_value_deciles": analytics.customer_value_deciles,
         "discount_revenue": analytics.discount_revenue,
         "brand_qty_revenue": analytics.brand_qty_revenue,
+        "segment_repeat_customers": analytics.segment_repeat_customers,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -392,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         VALUE_DECILES_SQL,
         DISCOUNT_REVENUE_SQL,
         BRAND_QTY_REVENUE_SQL,
+        SEGMENT_REPEAT_CUSTOMERS_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -574,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_value_deciles": VALUE_DECILES_SQL,
         "discount_revenue": DISCOUNT_REVENUE_SQL,
         "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
+        "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

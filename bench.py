@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "customer_value_deciles",
     "discount_revenue",
     "brand_qty_revenue",
+    "segment_repeat_customers",
 ]
 
 

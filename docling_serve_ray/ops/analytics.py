@@ -969,3 +969,62 @@ def brand_qty_revenue(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+# --- repeat-customer rate per market segment -------------------------------------
+
+SEGMENT_REPEAT_CUSTOMERS_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT cu.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (c.n_orders >= 2) AS BIGINT) AS n_repeat,
+       CAST(SUM(c.n_orders) AS BIGINT) AS n_orders
+FROM c JOIN customer cu ON c.o_custkey = cu.c_custkey
+GROUP BY cu.c_mktsegment
+"""
+
+
+def segment_repeat_customers(sf_dir: str) -> ray.data.Dataset:
+    """Repeat-purchase rate per market segment as exact integer counts
+    (customers, repeat customers, total orders) — the retention KPI cut.
+    Per-customer order counts reduce through the byte-scaled bucketed
+    pattern; the segment hop is one broadcast lookup applied INSIDE the
+    reduce, so the final groupby is the handful of segments."""
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    seg_ref = _broadcast_dim(f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(n=("n", "sum"))
+        seg = _lookup(seg_ref, s["o_custkey"].to_numpy())
+        f = pd.DataFrame({"c_mktsegment": seg, "n": s["n"].astype("int64")})
+        out = f.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("n", "size"),
+            n_repeat=("n", lambda x: int((x >= 2).sum())),
+            n_orders=("n", "sum"),
+        )
+        return out.astype({"n_customers": "int64", "n_repeat": "int64",
+                           "n_orders": "int64"})
+
+    nb_inner = 32
+    per_bucket = bucketed_group_agg(ds, ["o_custkey"], final,
+                                    partial_fn=partial, num_buckets=nb_inner)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("n_customers", "sum"), n_repeat=("n_repeat", "sum"),
+            n_orders=("n_orders", "sum"),
+        )
+        return s.astype({"n_customers": "int64", "n_repeat": "int64",
+                         "n_orders": "int64"})
+
+    return per_bucket.repartition(1).map_batches(merge, batch_format="pandas")

@@ -87,6 +87,7 @@ SUBSET = [
     "customer_value_deciles",
     "discount_revenue",
     "brand_qty_revenue",
+    "segment_repeat_customers",
 ]
 
 
