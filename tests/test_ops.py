@@ -1347,3 +1347,37 @@ def test_cms_estimate_one_sided_guarantee(ray_session):
     df = cms_topk_estimate(SF).to_pandas()
     assert len(df) == 20
     assert (df["cms_est"] >= df["cnt"]).all()
+
+
+def test_containment_dominates_jaccard(ray_session):
+    """Set algebra: C(A,B) = inter/min ≥ inter/union = J(A,B) for every
+    pair, so each Jaccard pair must appear in the containment output with
+    containment_micro ≥ jaccard_micro (both ops share the augmented
+    corpus and shingle machinery)."""
+    from docling_serve_ray.ops.dedup import ngram_containment, ngram_jaccard_dedup
+
+    jac = ngram_jaccard_dedup(SF).to_pandas()
+    cont = ngram_containment(SF).to_pandas()
+    cmap = {(a, b): c for a, b, c in
+            cont[["doc_a", "doc_b", "containment_micro"]].itertuples(index=False)}
+    for a, b, j in jac[["doc_a", "doc_b", "jaccard_micro"]].itertuples(index=False):
+        assert (a, b) in cmap, (a, b)
+        assert cmap[(a, b)] >= j
+
+
+def test_tokenize_ids_consistent_with_vocab(ray_session):
+    """Every non-zero token_id must be a valid vocab id, and id 0 (OOV)
+    must correspond only to tokens below min_count — the vocab/tokenize
+    pair is a coherent codec."""
+    from docling_serve_ray.ops.curation import VOCAB_MIN_COUNT, tokenize_ids, vocab_build
+
+    vocab = vocab_build(SF).to_pandas()
+    ids = set(vocab["vocab_id"])
+    toks = tokenize_ids(SF).to_pandas()
+    nonzero = set(toks.loc[toks["token_id"] > 0, "token_id"])
+    assert nonzero <= ids
+    # every vocab token is frequent enough to appear at least min_count
+    # times in the id stream (counts are corpus-global by construction)
+    counts = toks["token_id"].value_counts()
+    for vid in ids:
+        assert counts.get(vid, 0) >= VOCAB_MIN_COUNT
