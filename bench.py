@@ -4,6 +4,18 @@ Default: converts the cached deterministic synthetic interleaved corpus
 (flagship end-to-end pipeline, BASELINE.md headline metric) and times the
 headline ops-suite queries over $GRAFT_SF_DIR.
 
+CRASH ISOLATION (round-5, VERDICT r4 #1): Ray 2.49 has twice fataled
+(`reference_count.cc` C++ abort) in long single-session runs, zeroing the
+whole BENCH_r04 artifact. The default entrypoint is now an ORCHESTRATOR:
+it runs the query suite in CHUNKS of ~15, each chunk a fresh subprocess
+with its own Ray session, and every finished query's timing is appended
+(flushed + fsynced) to a partial JSONL file the moment it lands. A session
+fatal therefore costs at most the one in-flight query: the orchestrator
+resumes the chunk after the crash point, retries the crashed query once in
+a fresh session, then skips it and reports it under "failed_queries".
+The flagship conversion runs in its own subprocess, retried once.
+The final single-line JSON always parses, even if chunks were killed.
+
 --scaling: runs the flagship conversion at two parallelism levels (default
 4 and 16 CPUs, fresh processes — the sandbox stand-in for N and 4N nodes)
 on the same corpus and reports throughput at both plus scaling efficiency.
@@ -13,14 +25,22 @@ Env knobs:
   GRAFT_SF_DIR       testdata dir for ops queries (default /root/testdata/sf0.1)
   GRAFT_BENCH_DOCS   synthetic corpus size (default 100000)
   GRAFT_BENCH_QUERIES  "0" to skip the ops-suite query timings
+  GRAFT_BENCH_FLAGSHIP "0" to skip the flagship conversion (tests)
+  GRAFT_BENCH_ONLY   comma-separated query subset (tests)
+  GRAFT_BENCH_CHUNK  queries per fresh Ray session (default 15)
+  GRAFT_BENCH_PARTIAL path for the incremental JSONL (default under /tmp)
+  GRAFT_BENCH_KILL_AT  (tests) SIGKILL the chunk worker when it reaches
+                       this query — proves the kill-resilience contract
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -174,7 +194,7 @@ def run_flagship(input_dir: str, repeats: int = 3) -> dict:
     }
 
 
-def main() -> None:
+def _init_ray() -> None:
     import ray
 
     if not ray.is_initialized():
@@ -186,22 +206,155 @@ def main() -> None:
         )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
+
+def _bench_names() -> list[str]:
+    only = os.environ.get("GRAFT_BENCH_ONLY")
+    if only:
+        return [n for n in only.split(",") if n]
+    return BENCH_QUERIES
+
+
+def run_chunk(names: list[str], out_path: str) -> None:
+    """Worker mode: time each query in THIS process's fresh Ray session,
+    appending one flushed+fsynced JSONL line per finished query. A Ray
+    core fatal here kills only this process; everything already written
+    survives for the orchestrator."""
+    import ray
+
+    _init_ray()
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    kill_at = os.environ.get("GRAFT_BENCH_KILL_AT")
+    with open(out_path, "a") as f:
+        for name in names:
+            if kill_at and name == kill_at:
+                os.kill(os.getpid(), signal.SIGKILL)
+            t0 = time.time()
+            _consume(qs[name](SF_DIR))
+            f.write(json.dumps({"query": name, "sec": round(time.time() - t0, 2)}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    ray.shutdown()
+
+
+def run_flagship_worker(out_path: str) -> None:
+    """Worker mode: the flagship conversion in its own Ray session."""
+    import ray
+
+    _init_ray()
+    input_dir = ensure_corpus()
+    flagship = run_flagship(input_dir)
+    with open(out_path, "a") as f:
+        f.write(json.dumps({"flagship": flagship}) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    ray.shutdown()
+
+
+def _read_partial(out_path: str) -> tuple[dict[str, float], dict | None]:
+    queries: dict[str, float] = {}
+    flagship = None
+    if not os.path.exists(out_path):
+        return queries, flagship
+    with open(out_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue  # torn final line from a killed worker
+            if "flagship" in rec:
+                flagship = rec["flagship"]
+            elif "query" in rec:
+                queries[rec["query"]] = rec["sec"]
+    return queries, flagship
+
+
+def _spawn(args: list[str]) -> int:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL if os.environ.get("GRAFT_BENCH_VERBOSE") != "1" else None,
+    )
+    return proc.returncode
+
+
+def main() -> None:
+    """Orchestrator: chunked fresh-Ray-session subprocesses + incremental
+    JSONL, so one Ray core fatal costs one query, not the round."""
+    out_path = os.environ.get("GRAFT_BENCH_PARTIAL") or tempfile.mktemp(
+        prefix="graft_bench_partial_", suffix=".jsonl"
+    )
+    open(out_path, "w").close()
+
+    failed: list[str] = []
+    queries: dict[str, float] = {}
+    if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
+        chunk_size = max(1, int(os.environ.get("GRAFT_BENCH_CHUNK", "15")))
+        pending = list(_bench_names())
+        attempts: dict[str, int] = {}
+        while pending:
+            batch = pending[:chunk_size]
+            rest = pending[chunk_size:]
+            rc = _spawn(["--chunk", "--out", out_path, *batch])
+            queries, _ = _read_partial(out_path)
+            if rc == 0:
+                pending = rest
+                continue
+            # Crashed mid-chunk: the first not-yet-recorded query was
+            # in-flight. Retry it once in a fresh session; on a second
+            # crash, skip it and keep going.
+            remaining = [n for n in batch if n not in queries]
+            if remaining:
+                head = remaining[0]
+                attempts[head] = attempts.get(head, 0) + 1
+                if attempts[head] >= 2:
+                    failed.append(head)
+                    remaining = remaining[1:]
+            pending = remaining + rest
+
+    flagship = None
+    if os.environ.get("GRAFT_BENCH_FLAGSHIP", "1") != "0":
+        for _ in range(2):  # retry the flagship once on a session fatal
+            rc = _spawn(["--flagship", "--out", out_path])
+            _, flagship = _read_partial(out_path)
+            if rc == 0 and flagship is not None:
+                break
+
+    out = {
+        "metric": "flagship end-to-end conversion wall time (synthetic interleaved corpus)",
+        "value": flagship["wall_s"] if flagship else None,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "num_cpus": NUM_CPUS,
+        "flagship": flagship,
+        "bench_docs": N_DOCS,
+    }
+    if failed:
+        out["failed_queries"] = failed
+    print(json.dumps(out))
+
+
+def main_single() -> None:
+    """Legacy single-session run (used by --scaling's flagship-only
+    children, where one short job doesn't need crash isolation)."""
+    import ray
+
+    _init_ray()
     input_dir = ensure_corpus()
 
-    # ops-suite queries run BEFORE the 100k-doc flagship so their timings
-    # can't inherit any state from the big actor-pool job (the flagship
-    # itself is robust to ordering: own warm-up + best-of-2). Shared-box
-    # load noise still dominates individual query timings — compare
-    # rounds via best-of-N, not single numbers.
     queries: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
         import __ray_entry__ as entrymod
 
         qs = entrymod.queries()
-        for name in BENCH_QUERIES:
+        for name in _bench_names():
             t0 = time.time()
             _consume(qs[name](SF_DIR))
             queries[name] = round(time.time() - t0, 2)
@@ -272,7 +425,7 @@ def run_scaling() -> None:
                 burners.append(p)
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                [sys.executable, os.path.abspath(__file__), "--single"],
                 env=env,
                 capture_output=True,
                 text=True,
@@ -325,5 +478,12 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--chunk" in sys.argv:
+        i = sys.argv.index("--out")
+        run_chunk([a for a in sys.argv[i + 2 :] if not a.startswith("--")], sys.argv[i + 1])
+    elif "--flagship" in sys.argv:
+        run_flagship_worker(sys.argv[sys.argv.index("--out") + 1])
+    elif "--single" in sys.argv:
+        main_single()
     else:
         main()
