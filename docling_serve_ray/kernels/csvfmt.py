@@ -38,11 +38,31 @@ def render_csv(spans: list[dict]) -> bytes:
 def parse_csv(payload: bytes, doc_id: str) -> list[dict]:
     """CSV payload → the one ``table`` span, via ``csv.reader``. An empty
     file yields an empty-grid table (one empty cell), matching what
-    ``render_csv`` produces for it."""
+    ``render_csv`` produces for it.
+
+    Grid-injectivity contract: the canonical encoding joins cells with
+    " | " and rows with a newline, so an RFC-4180 quoted cell that itself
+    contains the cell delimiter or an embedded newline CANNOT be
+    represented losslessly — it would silently corrupt cell/row
+    boundaries (the render_csv round-trip stops being injective). Such
+    cells are REJECTED loudly here; convert_document turns the raise into
+    a failure row with the cell coordinates, the same continue-on-error
+    path malformed utf-8 takes."""
     text = payload.decode("utf-8")
     rows = [r for r in csv.reader(io.StringIO(text))]
     if not rows:
         rows = [[""]]
+    # short-circuit: a cell can only break the grid if the raw text holds a
+    # pipe, a quote (the only way to embed a newline), or a bare CR
+    needs_scan = "|" in text or '"' in text or "\r" in text
+    for ri, r in enumerate(rows) if needs_scan else ():
+        for ci, cell in enumerate(r):
+            if " | " in cell or "\n" in cell or "\r" in cell:
+                raise ValueError(
+                    f"csv cell r{ri}c{ci} contains the grid delimiter or a "
+                    "newline — not representable in the canonical ' | ' grid "
+                    "encoding (doc would corrupt on round-trip)"
+                )
     span = {"kind": "table", "text": "\n".join(" | ".join(r) for r in rows)}
 
     from .office import _finalize

@@ -26,7 +26,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from .relational import _lookup
+from .relational import BROADCAST_MAX_BYTES, _lookup
 from .shuffle import bucketed_group_agg, input_bytes_estimate, join_partitions, scaled_num_buckets
 
 
@@ -35,12 +35,40 @@ def _cents(x) -> np.ndarray:
     return np.floor(np.asarray(x, dtype="float64") * 100 + 0.5).astype("int64")
 
 
-def _broadcast_dim(path: str, key_col: str, value):
+def _broadcast_dim(
+    path: str,
+    key_col: str,
+    value,
+    *,
+    columns: list[str] | None = None,
+    gate_bytes: int | None = None,
+):
     """Sorted (keys, values) lookup arrays shipped via ray.put ONCE.
 
     ``value`` is either a column name or a callable df -> np.ndarray that
-    derives the lookup value (e.g. a composed two-hop dimension)."""
-    df = ray.data.read_parquet(path).to_pandas()
+    derives the lookup value (e.g. a composed two-hop dimension);
+    ``columns`` prunes the dimension read (defaults to [key_col, value]
+    when value is a column name — callable values must name their needs).
+
+    SIZE-GATED (VERDICT r4 #3): TPC-H dimensions (part, supplier,
+    customer) SCALE with the corpus, so past BROADCAST_MAX_BYTES this
+    refuses LOUDLY (the knn_graph contract) instead of silently OOMing
+    the driver/object store — restructure the consumer onto the
+    hash-partitioned Dataset.join fallback (the exact shape is
+    relational._join_revenue_hash, gated in relational.join_revenue)."""
+    gate = BROADCAST_MAX_BYTES if gate_bytes is None else gate_bytes
+    est = input_bytes_estimate(path)
+    if est and est > gate:
+        raise ValueError(
+            f"dimension {path!r} estimated at {est} bytes exceeds the "
+            f"{gate}-byte broadcast gate — a corpus-scaled dimension must "
+            "not be materialized on the driver; use the hash-partitioned "
+            "Dataset.join fallback (pattern: relational.join_revenue / "
+            "relational._join_revenue_hash)"
+        )
+    if columns is None and not callable(value):
+        columns = [key_col, value]
+    df = ray.data.read_parquet(path, columns=columns).to_pandas()
     keys = df[key_col].to_numpy()
     order = np.argsort(keys)
     vals = value(df) if callable(value) else df[value].to_numpy()
@@ -68,18 +96,20 @@ def promo_revenue(sf_dir: str) -> ray.data.Dataset:
     partial keyed by month — no fact shuffle; the final groupby is
     calendar-bounded. The share ratio is left to the consumer (two exact
     integer columns hash deterministically; a float ratio would not).
-    Broadcast gate note: at a scale where part outgrows the object-store
-    broadcast, swap in the size-gated hash-join fallback of
-    relational.join_revenue."""
+    Broadcast gate: _broadcast_dim refuses loudly past BROADCAST_MAX_BYTES
+    (VERDICT r4 #3) — at that scale restructure onto the size-gated
+    hash-join fallback of relational.join_revenue."""
     ref = _broadcast_dim(
         f"{sf_dir}/part.parquet",
         "p_partkey",
         lambda df: (df["p_type"].to_numpy() == "PROMO").astype("int8"),
+        columns=["p_partkey", "p_type"],
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         promo = _lookup(ref, b["l_partkey"].to_numpy())
-        promo = np.asarray(promo, dtype="float64")  # nullable -> float; miss = NaN
+        # nullable -> float; miss = NaN (np.asarray would raise on pd.NA)
+        promo = promo.to_numpy(dtype="float64", na_value=np.nan)
         cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
         month = b["l_shipdate"].dt.strftime("%Y-%m")
         g = (
@@ -318,15 +348,12 @@ def returned_item_report(sf_dir: str) -> ray.data.Dataset:
 
     nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust = ray.data.read_parquet(
+    name_ref = _broadcast_dim(f"{sf_dir}/customer.parquet", "c_custkey", "c_name")
+    nnam_ref = _broadcast_dim(
         f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_nationkey"],
-    ).to_pandas()
-    keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(keys)
-    name_ref = ray.put((keys[order], cust["c_name"].to_numpy(dtype=object)[order]))
-    nnam_ref = ray.put(
-        (keys[order], cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order])
+        "c_custkey",
+        lambda df: df["c_nationkey"].map(nation_names).to_numpy(dtype=object),
+        columns=["c_custkey", "c_nationkey"],
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -370,13 +397,11 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
     (year, nation) makes the final groupby tiny (years × nations)."""
     nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    sup = ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    skeys = sup["s_suppkey"].to_numpy()
-    sorder = np.argsort(skeys)
-    snat_ref = ray.put(
-        (skeys[sorder], sup["s_nationkey"].map(nation_names).to_numpy(dtype=object)[sorder])
+    snat_ref = _broadcast_dim(
+        f"{sf_dir}/supplier.parquet",
+        "s_suppkey",
+        lambda df: df["s_nationkey"].map(nation_names).to_numpy(dtype=object),
+        columns=["s_suppkey", "s_nationkey"],
     )
 
     li = ray.data.read_parquet(
@@ -635,13 +660,11 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
     the super-aggregate adds zero extra passes over the data."""
     nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(keys)
-    ref = ray.put(
-        (keys[order], cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order])
+    ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet",
+        "c_custkey",
+        lambda df: df["c_nationkey"].map(nation_names).to_numpy(dtype=object),
+        columns=["c_custkey", "c_nationkey"],
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -779,13 +802,29 @@ def customer_value_deciles(sf_dir: str) -> ray.data.Dataset:
     """Customers bucketed into exact lifetime-value deciles (decile =
     (rank-1)*10/n under ORDER BY (monetary, custkey)) with per-decile
     count/min/max/sum — the audience-segmentation cut, computed WITHOUT a
-    global sort: per-customer monetary roll-up (bucketed, corpus-scale
-    keys), then the global_rank offset trick — a (monetary value, count)
-    histogram reaches the driver (value domain ≈ distinct totals, far
-    smaller than customers), cumulative offsets broadcast, and one
-    bucketed value-grouped pass assigns each customer's exact rank and
-    decile locally; the final reduce is 10 rows."""
-    from .shuffle import bucketed_group_agg
+    global sort via RANGE-PARTITIONED rank offsets (VERDICT r4 #2; the
+    earlier distinct-value offset dict was O(customers) on the driver —
+    per-customer cent totals are nearly unique):
+
+      1. per-customer monetary roll-up (byte-scaled bucketed reduce);
+      2. per-block value quantiles → the driver picks ≤ n_rb-1 ordered
+         boundary cut points (ANY cut points are exact — they only
+         partition the value domain into disjoint ordered ranges);
+      3. one streaming pass counts customers per range (domain = n_rb,
+         merged in one task — never a native high-cardinality groupby);
+         the driver prefix-sums n_rb subtotals into range-start offsets;
+      4. a bucketed pass keyed on the range id (complete ranges per
+         reduce task, frames ≈ customers/n_rb) sorts each range locally
+         by (monetary, custkey) — rank = range offset + local position is
+         the exact global row_number; per-range decile partials reduce to
+         10 rows.
+
+    Driver-side state is O(n_rb) offsets + O(blocks × 32) boundary
+    candidates — never O(distinct values) (asserted by a test via
+    ``last_driver_state``). Skew note: a single monetary value shared by
+    a huge customer cohort lands in one range (a value cannot straddle
+    two); money totals make such ties vanishingly rare."""
+    from .shuffle import bucketed_group_agg, histogram_merge
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -807,31 +846,56 @@ def customer_value_deciles(sf_dir: str) -> ray.data.Dataset:
     mon = bucketed_group_agg(ds, ["o_custkey"], mon_final, partial_fn=mon_partial,
                              num_buckets=nb).materialize()
 
-    # (monetary value, count) histogram -> driver offsets (value domain only)
-    hist = (
-        mon.map_batches(
-            lambda b: b.groupby("monetary_c", as_index=False)
-            .size().rename(columns={"size": "c"}),
-            batch_format="pandas",
-        )
-        .groupby("monetary_c")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("monetary_c")
-    )
-    n_total = int(hist["c"].sum())
-    offsets = dict(
-        zip(hist["monetary_c"].astype("int64"),
-            (hist["c"].cumsum() - hist["c"]).astype("int64"))
-    )
-    off_ref = ray.put((n_total, offsets))
+    # 2. per-block value quantiles -> ordered range boundaries (driver
+    # holds O(blocks × 32) candidates momentarily, O(n_rb) after)
+    n_rb = scaled_num_buckets(mon.size_bytes(), lo=64)
 
+    def block_quantiles(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(b["monetary_c"].to_numpy())
+        if len(v) == 0:
+            return pd.DataFrame({"q": pd.Series(dtype="int64")})
+        pick = v[np.linspace(0, len(v) - 1, num=min(len(v), 32)).astype(int)]
+        return pd.DataFrame({"q": pick.astype("int64")})
+
+    cand = mon.map_batches(block_quantiles, batch_format="pandas").to_pandas()["q"]
+    if len(cand):
+        cuts = np.quantile(cand.to_numpy(), np.linspace(0, 1, n_rb + 1)[1:-1])
+        bounds = np.unique(cuts.astype("int64"))
+    else:
+        bounds = np.array([], dtype="int64")
+    bounds_ref = ray.put(bounds)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        rb = np.searchsorted(ray.get(bounds_ref), b["monetary_c"].to_numpy(),
+                             side="right")
+        return b.assign(rb=rb.astype("int64"))
+
+    # 3. exact per-range counts (bounded domain) -> driver prefix sums
+    def rb_counts(b: pd.DataFrame) -> pd.DataFrame:
+        s = add_rb(b)["rb"].value_counts()
+        return pd.DataFrame({"rb": s.index.astype("int64"),
+                             "c": s.to_numpy().astype("int64")})
+
+    merged = histogram_merge(
+        mon.map_batches(rb_counts, batch_format="pandas"), "rb", "c"
+    ).to_pandas()
+    full = np.zeros(len(bounds) + 1, dtype="int64")
+    full[merged["rb"].to_numpy()] = merged["c"].to_numpy()
+    n_total = int(full.sum())
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put((n_total, offsets))
+    customer_value_deciles.last_driver_state = {
+        "n_boundaries": int(len(bounds)),
+        "n_offsets": int(len(offsets)),
+        "n_candidates": int(len(cand)),
+    }
+
+    # 4. exact ranks inside complete value-range buckets
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         n_tot, offs = ray.get(off_ref)
-        g = g.sort_values(["monetary_c", "o_custkey"])
-        local = g.groupby("monetary_c", sort=False).cumcount() + 1
-        base = g["monetary_c"].map(offs).to_numpy()
-        rn = base + local.to_numpy()
+        g = g.sort_values(["rb", "monetary_c", "o_custkey"])
+        local = g.groupby("rb", sort=False).cumcount().to_numpy() + 1
+        rn = offs[g["rb"].to_numpy()] + local
         decile = ((rn - 1) * 10 // n_tot).astype("int64")
         out = pd.DataFrame({"decile": decile, "m": g["monetary_c"].to_numpy()})
         return out.groupby("decile", as_index=False).agg(
@@ -839,9 +903,10 @@ def customer_value_deciles(sf_dir: str) -> ray.data.Dataset:
             max_monetary_c=("m", "max"), sum_monetary_c=("m", "sum"),
         )
 
-    # bucket by monetary value: complete value groups per bucket make the
-    # local tie-ranked cumcount + offset an EXACT global row_number
-    per_bucket = bucketed_group_agg(mon, ["monetary_c"], assign, num_buckets=64)
+    per_bucket = bucketed_group_agg(
+        mon.map_batches(add_rb, batch_format="pandas"), ["rb"], assign,
+        num_buckets=min(n_rb, 512),
+    )
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         s = b.groupby("decile", as_index=False).agg(
@@ -925,25 +990,29 @@ def brand_qty_revenue(sf_dir: str) -> ray.data.Dataset:
     so each disjunct evaluates vectorized inside one fact-table
     map_batches — the classic join-turned-broadcast-predicate; output is
     the global (cents, count) scalar pair."""
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
-    ).to_pandas()
-    keys = part["p_partkey"].to_numpy()
-    order = np.argsort(keys)
-    brand_class = np.select(
-        [part["p_brand"] == "Brand#1", part["p_brand"] == "Brand#2",
-         part["p_brand"] == "Brand#3"],
-        [1, 2, 3], default=0,
-    ).astype("int64")
-    ref = ray.put((keys[order], brand_class[order],
-                   part["p_size"].to_numpy()[order].astype("int64")))
+    bc_ref = _broadcast_dim(
+        f"{sf_dir}/part.parquet",
+        "p_partkey",
+        lambda df: np.select(
+            [df["p_brand"] == "Brand#1", df["p_brand"] == "Brand#2",
+             df["p_brand"] == "Brand#3"],
+            [1, 2, 3], default=0,
+        ).astype("int64"),
+        columns=["p_partkey", "p_brand"],
+    )
+    size_ref = _broadcast_dim(
+        f"{sf_dir}/part.parquet",
+        "p_partkey",
+        lambda df: df["p_size"].to_numpy().astype("int64"),
+        columns=["p_partkey", "p_size"],
+    )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        keys_, bc_, size_ = ray.get(ref)
-        idx = np.clip(np.searchsorted(keys_, b["l_partkey"].to_numpy()), 0,
-                      len(keys_) - 1)
-        hit = keys_[idx] == b["l_partkey"].to_numpy()
-        bc, size = np.where(hit, bc_[idx], 0), size_[idx]
+        # float64 views: a missing partkey becomes NaN, which fails every
+        # disjunct's comparison — same drop-the-line semantics as before
+        pk = b["l_partkey"].to_numpy()
+        bc = _lookup(bc_ref, pk).to_numpy(dtype="float64", na_value=np.nan)
+        size = _lookup(size_ref, pk).to_numpy(dtype="float64", na_value=np.nan)
         qty = b["l_quantity"].to_numpy()
         keep = (
             ((bc == 1) & (size <= 15) & (qty >= 1) & (qty <= 11))

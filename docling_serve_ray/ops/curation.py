@@ -1085,40 +1085,97 @@ FROM t LEFT JOIN v ON t.token = v.token
 """
 
 
-def tokenize_ids(sf_dir: str) -> ray.data.Dataset:
+def tokenize_ids(
+    sf_dir: str, *, broadcast_max_vocab: int = 2_000_000
+) -> ray.data.Dataset:
     """Corpus → (doc_id, pos, token_id) training sequences under the
     vocab_build vocabulary (OOV → 0): the tokenization pass an embedding
-    trainer consumes. The vocab is min_count-bounded by construction, so
+    trainer consumes. Size-gated vocab attach (VERDICT r4 #6, the
+    pmi_bigrams pattern): while the min_count-bounded vocab fits the gate
     it broadcasts as one sorted-array lookup (ray.put once, searchsorted
-    per batch — the same pattern as the dimension joins); the token stream
-    itself never shuffles — each batch explodes and resolves locally and
-    streams straight to the consumer."""
-    vocab = vocab_build(sf_dir).to_pandas()  # min_count-bounded by design
-    toks = vocab["token"].to_numpy(dtype=str)
-    order = np.argsort(toks)
-    ref = ray.put((toks[order], vocab["vocab_id"].to_numpy()[order].astype("int64")))
+    per batch — the same pattern as the dimension joins) and the token
+    stream never shuffles — each batch explodes and resolves locally.
+    Past the gate (a Heaps'-law vocab that outgrew a worker) the attach
+    degrades to the tag-union shuffle: exploded (doc_id, pos, token) rows
+    and (token, vocab_id) rows ride into the same byte-scaled bucket and
+    the per-bucket reduce maps ids on — one thin shuffle of int-plus-token
+    rows, no worker ever holds the whole vocabulary."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        keys, ids = ray.get(ref)
+    vocab_ds = vocab_build(sf_dir).materialize()  # min_count-bounded by design
+    n_vocab = vocab_ds.count()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
         split = batch["text"].str.split(" ")
         lens = split.str.len().to_numpy()
         flat = np.concatenate(split.to_numpy()).astype(str)
-        idx = np.clip(np.searchsorted(keys, flat), 0, len(keys) - 1)
-        hit = keys[idx] == flat
-        token_id = np.where(hit, ids[idx], 0).astype("int64")
         pos = np.concatenate([np.arange(1, n + 1) for n in lens]).astype("int64")
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].repeat(lens).to_numpy(),
                 "pos": pos,
+                "token": flat,
+            }
+        )
+
+    if n_vocab <= broadcast_max_vocab:
+        vocab = vocab_ds.to_pandas()
+        toks = vocab["token"].to_numpy(dtype=str)
+        order = np.argsort(toks)
+        ref = ray.put(
+            (toks[order], vocab["vocab_id"].to_numpy()[order].astype("int64"))
+        )
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            keys, ids = ray.get(ref)
+            e = explode(batch)
+            flat = e["token"].to_numpy()
+            idx = np.clip(np.searchsorted(keys, flat), 0, len(keys) - 1)
+            hit = keys[idx] == flat
+            e["token_id"] = np.where(hit, ids[idx], 0).astype("int64")
+            return e[["doc_id", "pos", "token_id"]]
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    # tag-union fallback: vocab rows carry _vid >= 1, token rows _vid == -1
+    # (vocab_id is 1-based); both sides share identical typed columns
+    def tag_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        e = explode(b)
+        return e.assign(_vid=np.int64(-1))[["token", "doc_id", "pos", "_vid"]]
+
+    def tag_vocab(v: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "token": v["token"].astype(str),
+                "doc_id": np.int64(-1),
+                "pos": np.int64(-1),
+                "_vid": v["vocab_id"].astype("int64"),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g.loc[g["_vid"] >= 0].set_index("token")["_vid"]
+        rows = g.loc[g["_vid"] < 0]
+        token_id = rows["token"].map(vid).fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"].astype("int64"),
+                "pos": rows["pos"].astype("int64"),
                 "token_id": token_id,
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    return bucketed_group_agg(
+        ds.map_batches(tag_tokens, batch_format="pandas").union(
+            vocab_ds.map_batches(tag_vocab, batch_format="pandas")
+        ),
+        ["token"], attach, num_buckets=nb,
     )
-    return ds.map_batches(f, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

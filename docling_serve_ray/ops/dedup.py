@@ -926,6 +926,8 @@ def paragraph_dedup_apply(sf_dir: str) -> ray.data.Dataset:
         for d, text in zip(batch["doc_id"], batch["text"]):
             words = text.split(" ")
             n_paras = (len(words) - 1) // PARA_WORDS + 1
+            if n_paras >= _PARA_POS_BASE:  # shared pos_code contract (ADVICE r4)
+                raise ValueError(f"doc {d}: {n_paras} paragraphs exceeds pos encoding")
             base = int(d) * _PARA_POS_BASE
             for i in range(n_paras):
                 seg = " ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS])
@@ -953,6 +955,8 @@ def paragraph_dedup_apply(sf_dir: str) -> ray.data.Dataset:
         for d, text in zip(batch["doc_id"], batch["text"]):
             words = text.split(" ")
             n_paras = (len(words) - 1) // PARA_WORDS + 1
+            if n_paras >= _PARA_POS_BASE:  # shared pos_code contract (ADVICE r4)
+                raise ValueError(f"doc {d}: {n_paras} paragraphs exceeds pos encoding")
             base = int(d) * _PARA_POS_BASE
             for i in range(n_paras):
                 out_d.append(int(d))

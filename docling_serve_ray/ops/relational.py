@@ -2310,10 +2310,17 @@ def weekly_active_users(sf_dir: str) -> ray.data.Dataset:
     across overlapping windows). The scale-safe shape: dedupe to (day,
     user) pairs per batch (the only corpus-sized reduction), explode each
     pair into the ≤7 window-days it serves — a bounded 7× blowup of the
-    PAIR stream, not the event stream — and bucketed-distinct-count per
-    window day. Days beyond the corpus max are trimmed with one scalar
-    driver bound (calendar metadata, not data)."""
-    from .shuffle import bucketed_group_agg
+    PAIR stream, not the event stream — then an exact distinct count in
+    two bounded stages (VERDICT r4 #5): the bucketed reduce is keyed on
+    the (day, user) PAIR, so one reduce task's frame holds pairs/N_buckets
+    rows (byte-scaled), never a whole day's user set — it dedupes its
+    complete pair groups and emits per-day partial counts; the per-day
+    partials then merge in one task over a calendar-bounded domain
+    (days × N_buckets rows). A day-keyed reduce would instead hand one
+    task ~users-per-window rows (~10^9 at 100 TB). Days beyond the corpus
+    max are trimmed with one scalar driver bound (calendar metadata, not
+    data)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
@@ -2336,16 +2343,29 @@ def weekly_active_users(sf_dir: str) -> ray.data.Dataset:
             )
         return pd.concat(frames, ignore_index=True).drop_duplicates()
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("day")["user_id"].nunique()
+    def pair_dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        # complete (day, user) groups per bucket → local drop_duplicates
+        # IS the exact global distinct; emit bounded per-day partials
+        s = g.drop_duplicates(["day", "user_id"]).groupby("day").size()
         return pd.DataFrame(
             {
                 "day": s.index.strftime("%Y-%m-%d"),
-                "n_users": s.to_numpy().astype("int64"),
+                "n": s.to_numpy().astype("int64"),
             }
         )
 
-    return bucketed_group_agg(
-        ds.map_batches(explode_windows, batch_format="pandas"),
-        ["day"], final, num_buckets=16,
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/events.parquet") * WAU_WINDOW_DAYS
     )
+    partials = bucketed_group_agg(
+        ds.map_batches(explode_windows, batch_format="pandas"),
+        ["day", "user_id"], pair_dedup_count, num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("day", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {"day": s["day"], "n_users": s["n"].astype("int64")}
+        )
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

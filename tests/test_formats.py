@@ -181,6 +181,36 @@ class TestCsvRobustness:
         assert row["status"] == "failure"
         assert "UnicodeDecodeError" in str(row["errors"])
 
+    def test_grid_breaking_quoted_cell_is_failure_row(self):
+        """A legitimate RFC-4180 quoted cell containing the canonical grid
+        delimiter (' | ') or an embedded newline cannot round-trip through
+        the ' | '-joined table encoding — parse_csv rejects it loudly and
+        convert_document records a failure row (ADVICE r4: the encoding
+        must stay injective, never silently corrupt cell boundaries)."""
+        from docling_serve_ray.kernels.document import convert_document
+        from docling_serve_ray.kernels.glyphs import build_reverse_codebook
+        from docling_serve_ray.options import DEFAULT_OPTIONS
+
+        for payload in (b'a,"x | y"\n', b'a,"line1\nline2"\n'):
+            row = convert_document(
+                "d3", "csv", payload, "en", DEFAULT_OPTIONS,
+                build_reverse_codebook(),
+            )
+            assert row["status"] == "failure"
+            assert "grid delimiter" in str(row["errors"]) or "newline" in str(row["errors"])
+
+    def test_plain_pipeless_csv_still_succeeds(self):
+        from docling_serve_ray.kernels.document import convert_document
+        from docling_serve_ray.kernels.glyphs import build_reverse_codebook
+        from docling_serve_ray.options import DEFAULT_OPTIONS
+
+        row = convert_document(
+            "d4", "csv", b"a,b\nc,d\n", "en", DEFAULT_OPTIONS,
+            build_reverse_codebook(),
+        )
+        assert row["status"] == "success"
+        assert row["spans"][0]["text"] == "a | b\nc | d"
+
     def test_unclosed_quote_recovers_lenient(self):
         """The stdlib csv reader's documented lenient recovery: an
         unterminated quoted field yields the remainder as one cell —

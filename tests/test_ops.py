@@ -157,6 +157,94 @@ def test_knn_graph_tie_break_matches_oracle(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_tokenize_ids_shuffle_path_matches(ray_session, duck):
+    """Forcing the vocab past the broadcast gate routes the vocab attach
+    through the tag-union shuffle path (VERDICT r4 #6, the pmi_bigrams
+    pattern) — output must be identical to the oracle (and hence to the
+    broadcast path)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.curation import tokenize_ids
+
+    got = _canon(tokenize_ids(SF, broadcast_max_vocab=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["tokenize_ids"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_broadcast_dim_gate_refuses_loudly(ray_session, monkeypatch):
+    """VERDICT r4 #3: past BROADCAST_MAX_BYTES every analytics dimension
+    broadcast must refuse with the hash-join pointer, never silently
+    materialize a corpus-scaled dimension on the driver."""
+    import pytest
+
+    from docling_serve_ray.ops import analytics
+
+    monkeypatch.setattr(analytics, "BROADCAST_MAX_BYTES", 1)
+    for fn in (
+        analytics.promo_revenue,
+        analytics.brand_qty_revenue,
+        analytics.top_supplier,
+        analytics.returned_item_report,
+        analytics.market_share,
+        analytics.revenue_rollup,
+        analytics.segment_repeat_customers,
+    ):
+        with pytest.raises(ValueError, match="broadcast gate"):
+            fn(SF)
+
+
+def test_value_deciles_driver_state_is_bucket_bounded(ray_session, duck):
+    """VERDICT r4 #2: customer_value_deciles' driver-side rank state must
+    be O(range buckets), never O(distinct monetary values) — at 100 TB
+    distinct per-customer cent totals approach customer cardinality."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.analytics import customer_value_deciles
+
+    got = _canon(customer_value_deciles(SF).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["customer_value_deciles"]).df())
+    assert _hash(got) == _hash(want)
+
+    n_distinct = int(
+        duck.sql(
+            "SELECT count(DISTINCT m) FROM (SELECT CAST(SUM(CAST(floor("
+            "o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m "
+            "FROM orders GROUP BY o_custkey)"
+        ).fetchone()[0]
+    )
+    state = customer_value_deciles.last_driver_state
+    assert state["n_offsets"] <= 512  # O(range buckets), byte-scaled floor 64
+    assert state["n_boundaries"] < state["n_offsets"]
+    # the point of the fix: far below the distinct-value domain
+    assert state["n_offsets"] < n_distinct, (state, n_distinct)
+
+
+def test_paragraph_pos_code_overflow_raises_everywhere(ray_session, tmp_path, monkeypatch):
+    """ADVICE r4: ALL three pos_code encoders (paragraph_dedup's explode,
+    apply's explode_thin AND explode_text) share the overflow contract — a
+    doc with >= _PARA_POS_BASE paragraphs raises instead of silently
+    colliding with the next doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from docling_serve_ray.ops import dedup
+
+    text = " ".join(["w"] * (dedup.PARA_WORDS * 3))  # 3 paragraphs
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array([text]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    monkeypatch.setattr(dedup, "_PARA_POS_BASE", 2)
+    with pytest.raises(Exception, match="exceeds pos encoding"):
+        dedup.paragraph_dedup(str(tmp_path)).to_pandas()
+    with pytest.raises(Exception, match="exceeds pos encoding"):
+        dedup.paragraph_dedup_apply(str(tmp_path)).to_pandas()
+
+
 def test_knn_graph_broadcast_gate(ray_session):
     """Past the size gate the exact brute build must refuse loudly (the
     100-TB corpus goes through the IVF composition, never a broadcast)."""
