@@ -38,6 +38,14 @@ FONT_KIND = {
 
 
 def parse_payload(payload: bytes) -> dict:
+    """Payload → page-model dict. Synthetic corpora ship the model as
+    JSON; REAL PDF bytes (%PDF- magic) route through the pypdfium2 seam
+    (kernels/pdfreal.py — import-guarded; absent lib → ImportError →
+    failure row), after which every downstream kernel runs unchanged."""
+    from .pdfreal import PDF_MAGIC, parse_pdf_bytes
+
+    if payload[: len(PDF_MAGIC)] == PDF_MAGIC:
+        return parse_pdf_bytes(payload)
     return json.loads(payload.decode("utf-8"))
 
 
