@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue": analytics.discount_revenue,
         "brand_qty_revenue": analytics.brand_qty_revenue,
         "segment_repeat_customers": analytics.segment_repeat_customers,
+        "global_sales_opportunity": analytics.global_sales_opportunity,
+        "sole_return_supplier": analytics.sole_return_supplier,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -394,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         DISCOUNT_REVENUE_SQL,
         BRAND_QTY_REVENUE_SQL,
         SEGMENT_REPEAT_CUSTOMERS_SQL,
+        GLOBAL_SALES_OPPORTUNITY_SQL,
+        SOLE_RETURN_SUPPLIER_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -577,6 +581,8 @@ def oracle_sql() -> dict[str, str]:
         "discount_revenue": DISCOUNT_REVENUE_SQL,
         "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
         "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
+        "global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
+        "sole_return_supplier": SOLE_RETURN_SUPPLIER_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

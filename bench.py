@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "discount_revenue",
     "brand_qty_revenue",
     "segment_repeat_customers",
+    "global_sales_opportunity",
+    "sole_return_supplier",
 ]
 
 

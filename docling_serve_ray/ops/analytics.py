@@ -1097,3 +1097,227 @@ def segment_repeat_customers(sf_dir: str) -> ray.data.Dataset:
                          "n_orders": "int64"})
 
     return per_bucket.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- Q22 shape: scalar subquery + anti-join ---------------------------------------
+
+GLOBAL_SALES_OPPORTUNITY_SQL = """
+WITH s AS (
+  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0
+),
+q AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer c, s
+  WHERE c.c_acctbal > 0
+    AND CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * s.cnt > s.total
+    AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(SUM(q.cents) AS BIGINT) AS acctbal_c
+FROM q JOIN nation n ON q.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def global_sales_opportunity(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 shape: positive-balance customers whose balance exceeds
+    the GLOBAL positive-balance average and who have NO event activity
+    (the events stream is the sparse side in this star schema — every
+    customer has orders, so the classic orders correlation is degenerate
+    here), rolled up per nation — the scalar-subquery + anti-join
+    composite.
+
+    Decorrelation, Ray-Data-first: (1) the scalar subquery is a one-pass
+    per-batch partial sum/count over a pruned+filtered read — the driver
+    holds TWO integers, never rows; the above-average predicate is applied
+    in exact integer math (cents * cnt > total — no float division, so the
+    DuckDB twin is bit-identical). (2) NOT EXISTS is the tag-union
+    anti-join (the inactive_customers/priority_with_returns core): both
+    sides hash into byte-scaled buckets on custkey, the per-bucket reduce
+    keeps customer rows whose group saw no order tag. (3) the nation
+    rollup happens inside the reduce, so the merge is one task over a
+    25-row domain. No driver materialization anywhere; one fact shuffle."""
+    import pyarrow.compute as pc
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    ev_path = f"{sf_dir}/events.parquet"
+
+    # scalar subquery: SUM(cents), COUNT over positive balances
+    def sc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(b["c_acctbal"])
+        return pd.DataFrame({"s": [int(c.sum())], "n": [len(c)]})
+
+    sc = ray.data.read_parquet(
+        cust_path, columns=["c_acctbal"], filter=pc.field("c_acctbal") > 0.0
+    ).map_batches(sc_partial, batch_format="pandas").to_pandas()
+    total, cnt = int(sc["s"].sum()), int(sc["n"].sum())
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["c_acctbal"])
+        keep = (cents > 0) & (cents * np.int64(cnt) > np.int64(total))
+        return pd.DataFrame(
+            {
+                "key": b["c_custkey"].to_numpy()[keep].astype("int64"),
+                "nat": b["c_nationkey"].to_numpy()[keep].astype("int64"),
+                "cents": cents[keep],
+                "_t": np.int64(0),
+            }
+        )
+
+    def activity_tags(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["user_id"].drop_duplicates().astype("int64")
+        return pd.DataFrame(
+            {"key": ks, "nat": np.int64(-1), "cents": np.int64(0),
+             "_t": np.int64(1)}
+        )
+
+    cust = ray.data.read_parquet(
+        cust_path, columns=["c_custkey", "c_acctbal", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pandas")
+    acts = ray.data.read_parquet(
+        ev_path, columns=["user_id"]
+    ).map_batches(activity_tags, batch_format="pandas")
+
+    nb = scaled_num_buckets(input_bytes_estimate(cust_path, ev_path))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        has_act = g.groupby("key")["_t"].transform("max") == 1
+        kept = g.loc[(g["_t"] == 0) & ~has_act]
+        if kept.empty:
+            return pd.DataFrame(
+                {"nat": pd.Series([], dtype="int64"),
+                 "n_custs": pd.Series([], dtype="int64"),
+                 "acctbal_c": pd.Series([], dtype="int64")}
+            )
+        out = kept.groupby("nat", as_index=False).agg(
+            n_custs=("cents", "size"), acctbal_c=("cents", "sum")
+        )
+        return out.astype(
+            {"nat": "int64", "n_custs": "int64", "acctbal_c": "int64"}
+        )
+
+    partials = bucketed_group_agg(
+        cust.union(acts), ["key"], per_bucket, num_buckets=nb
+    )
+
+    name_ref = _broadcast_dim(f"{sf_dir}/nation.parquet", "n_nationkey", "n_name")
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("nat", as_index=False).agg(
+            n_custs=("n_custs", "sum"), acctbal_c=("acctbal_c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "n_name": _lookup(name_ref, s["nat"].to_numpy()),
+                "n_custs": s["n_custs"].astype("int64"),
+                "acctbal_c": s["acctbal_c"].astype("int64"),
+            }
+        )
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- Q21 shape: dual correlated existence on the fact table -----------------------
+
+SOLE_RETURN_SUPPLIER_SQL = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+q AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(SUM(has_r) AS BIGINT) AS n_r,
+         MAX(CASE WHEN has_r = 1 THEN l_suppkey END) AS r_supp
+  FROM ls GROUP BY l_orderkey
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders
+FROM q
+JOIN supplier s ON q.r_supp = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE q.n_supp >= 2 AND q.n_r = 1
+GROUP BY n.n_name
+"""
+
+
+def sole_return_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape: per multi-supplier order, the supplier who was the
+    ONLY one with a returned line — two correlated existence predicates
+    (EXISTS another supplier in the order; NOT EXISTS another supplier
+    with a return) — counted per the blamed supplier's nation.
+
+    Both existence tests correlate on the SAME key (orderkey), so they
+    decorrelate into ONE bucketed pass: per-batch partials collapse lines
+    to distinct (order, supplier, saw-R) triples (bounding the shuffle by
+    distinct pairs, not lines), the per-bucket reduce resolves each
+    complete order vectorized (pair-merge → per-order supplier/return
+    counts → the sole-R filter), and the supplier→nation hop is a gated
+    broadcast applied inside the reduce. The merge is one task over the
+    25-nation domain. Order-key bucketing is skew-free (line counts per
+    order are bounded)."""
+    li_path = f"{sf_dir}/lineitem.parquet"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "l_suppkey": b["l_suppkey"].astype("int64"),
+                "has_r": (b["l_returnflag"] == "R").astype("int8"),
+            }
+        )
+        return d.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            has_r=("has_r", "max")
+        )
+
+    sup_ref = _broadcast_dim(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            has_r=("has_r", "max")
+        )
+        o = p.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_r=("has_r", "sum")
+        )
+        q = o[(o["n_supp"] >= 2) & (o["n_r"] == 1)]
+        if q.empty:
+            return pd.DataFrame(
+                {"nat": pd.Series([], dtype="int64"),
+                 "n_orders": pd.Series([], dtype="int64")}
+            )
+        rs = p.loc[p["has_r"] == 1].set_index("l_orderkey")["l_suppkey"]
+        sole = rs.loc[q.index]  # exactly one R-supplier per qualifying order
+        nat = _lookup(sup_ref, sole.to_numpy()).to_numpy(
+            dtype="int64", na_value=-1
+        )
+        out = pd.DataFrame({"nat": nat}).groupby("nat", as_index=False).size()
+        return out.rename(columns={"size": "n_orders"}).astype(
+            {"nat": "int64", "n_orders": "int64"}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(li_path))
+    li = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+    partials = bucketed_group_agg(
+        li, ["l_orderkey"], per_bucket, partial_fn=partial, num_buckets=nb
+    )
+
+    name_ref = _broadcast_dim(f"{sf_dir}/nation.parquet", "n_nationkey", "n_name")
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("nat", as_index=False).agg(n_orders=("n_orders", "sum"))
+        return pd.DataFrame(
+            {
+                "n_name": _lookup(name_ref, s["nat"].to_numpy()),
+                "n_orders": s["n_orders"].astype("int64"),
+            }
+        )
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

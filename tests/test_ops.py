@@ -88,6 +88,8 @@ SUBSET = [
     "discount_revenue",
     "brand_qty_revenue",
     "segment_repeat_customers",
+    "global_sales_opportunity",
+    "sole_return_supplier",
 ]
 
 
@@ -187,6 +189,8 @@ def test_broadcast_dim_gate_refuses_loudly(ray_session, monkeypatch):
         analytics.market_share,
         analytics.revenue_rollup,
         analytics.segment_repeat_customers,
+        analytics.global_sales_opportunity,
+        analytics.sole_return_supplier,
     ):
         with pytest.raises(ValueError, match="broadcast gate"):
             fn(SF)
@@ -1469,3 +1473,71 @@ def test_tokenize_ids_consistent_with_vocab(ray_session):
     counts = toks["token_id"].value_counts()
     for vid in ids:
         assert counts.get(vid, 0) >= VOCAB_MIN_COUNT
+
+
+def test_sole_return_supplier_existence_semantics(ray_session, tmp_path):
+    """Q21-shape edge matrix: an order counts ONLY when it has >= 2
+    distinct suppliers AND exactly one of them shipped a returned line —
+    multi-R orders, single-supplier orders, and no-R orders are all
+    excluded, and per-(order,supplier) line multiplicity must not
+    double-count."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import (
+        SOLE_RETURN_SUPPLIER_SQL,
+        sole_return_supplier,
+    )
+
+    # orders: 1 = 2 supps, one R (counted, blame supp 11)
+    #         2 = 2 supps, both R (excluded: n_r = 2)
+    #         3 = 1 supp with R (excluded: n_supp = 1)
+    #         4 = 2 supps, no R (excluded: n_r = 0)
+    #         5 = supp 11 twice w/ R + supp 12 (counted ONCE, blame 11)
+    rows = [
+        (1, 11, "R"), (1, 12, "N"),
+        (2, 11, "R"), (2, 12, "R"),
+        (3, 11, "R"),
+        (4, 11, "N"), (4, 12, "N"),
+        (5, 11, "R"), (5, 11, "R"), (5, 12, "N"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_returnflag": pa.array([r[2] for r in rows]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([11, 12], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+
+    got = _canon(sole_return_supplier(str(tmp_path)).to_pandas())
+    assert got.to_dict("records") == [{"n_name": "ALPHA", "n_orders": 2}]
+
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = _canon(con.sql(SOLE_RETURN_SUPPLIER_SQL).df())
+    assert _hash(got) == _hash(want)
