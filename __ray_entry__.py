@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": relational.json_props_stats,
         "value_outliers": relational.value_outliers,
         "weekly_active_users": relational.weekly_active_users,
+        "sliding_window_counts": relational.sliding_window_counts,
+        "bloom_semi_join": relational.bloom_semi_join,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -430,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         JSON_PROPS_STATS_SQL,
         VALUE_OUTLIERS_SQL,
         WEEKLY_ACTIVE_USERS_SQL,
+        SLIDING_WINDOW_COUNTS_SQL,
+        BLOOM_SEMI_JOIN_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -568,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": JSON_PROPS_STATS_SQL,
         "value_outliers": VALUE_OUTLIERS_SQL,
         "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
+        "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
+        "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "segment_repeat_customers",
     "global_sales_opportunity",
     "sole_return_supplier",
+    "sliding_window_counts",
+    "bloom_semi_join",
 ]
 
 

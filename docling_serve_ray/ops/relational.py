@@ -2369,3 +2369,243 @@ def weekly_active_users(sf_dir: str) -> ray.data.Dataset:
         )
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- sliding (hopping) window aggregate -------------------------------------------
+
+SLIDING_WINDOW_HOURS = 6  # window width; hop = 1 hour
+
+SLIDING_WINDOW_COUNTS_SQL = f"""
+SELECT e.event_type,
+       strftime(date_trunc('hour', e.ts) - h.r * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM events e
+CROSS JOIN (SELECT unnest(generate_series(0, {SLIDING_WINDOW_HOURS - 1})) AS r) h
+GROUP BY 1, 2
+"""
+
+
+def sliding_window_counts(sf_dir: str) -> ray.data.Dataset:
+    """Hopping-window aggregate: a 6-hour window sliding by 1 hour, per
+    event_type — every event contributes to SIX overlapping windows (the
+    streaming-window shape events_window's tumbling variant can't express;
+    neither Ray Data nor the reference has event-time windows).
+
+    Ray-Data-first decomposition: the window replication is a per-batch
+    vectorized tile (numpy repeat of the hop offsets — no per-row Python,
+    no join against a generate_series table), after which it is exactly
+    events_window's partial → byte-scaled bucketed reduce, with the
+    shuffle carrying per-(type, window) partial rows — the ×6 replication
+    collapses inside the batch before anything moves. Boundary windows
+    (the width-1 partial windows before the first full hour) are kept,
+    matching the CROSS JOIN oracle exactly."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    K = SLIDING_WINDOW_HOURS
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        w0 = batch["ts"].dt.floor("h").to_numpy()
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype("int64")
+        hops = np.repeat(np.arange(K, dtype="int64"), n)
+        ws = np.tile(w0, K) - hops * np.timedelta64(1, "h")
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": np.tile(batch["event_type"].to_numpy(), K),
+                    "window_start": pd.Series(ws).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                    "value_c": np.tile(cents, K),
+                }
+            )
+            .groupby(["event_type", "window_start"], as_index=False)
+            .agg(p_cnt=("value_c", "size"), p_sum=("value_c", "sum"))
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("p_cnt", "sum"), sum_value_c=("p_sum", "sum")
+        )
+        return out.astype({"n_events": "int64", "sum_value_c": "int64"})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/events.parquet") * K
+    )
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "window_start"], final, num_buckets=nb,
+    )
+
+
+# --- Bloom-pushdown semi-join ------------------------------------------------------
+
+BLOOM_JOIN_BITS = 1 << 23  # 1 MiB packed — sized for ~10^6 build keys at k=4
+BLOOM_JOIN_K = 4
+# ray.put cost of the dense bitset; past this the build side is too big for
+# a driver-resident bloom — raise loudly (the knn_graph contract) and point
+# at the pure tag-union join which needs no broadcast at all.
+BLOOM_JOIN_MAX_BITS = 1 << 33  # 1 GiB packed
+
+BLOOM_SEMI_JOIN_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag
+"""
+
+_BLOOM_JOIN_SEEDS = np.uint64(
+    [0x243F6A8885A308D3, 0x13198A2E03707344, 0xA4093822299F31D0,
+     0x082EFA98EC4E6C89]
+)
+
+
+def bloom_semi_join(
+    sf_dir: str, *, bloom_bits: int = BLOOM_JOIN_BITS, bloom_k: int = BLOOM_JOIN_K
+) -> ray.data.Dataset:
+    """Semi-join with a Bloom-filter pushdown: revenue of lineitems whose
+    order is URGENT, where the fact scan is pre-filtered by a compact
+    Bloom bitset of the qualifying orderkeys BEFORE anything shuffles —
+    the classic distributed runtime-filter join (Spark/Impala/Presto all
+    ship it; Ray Data has no runtime filters).
+
+    Three stages, all bounded:
+      1. build — qualifying orderkeys (predicate pushed into the read)
+         hash into sparse (word, bits) rows per batch; a bucketed OR-
+         reduce merges them. The driver then densifies AT MOST
+         bloom_bits/64 words (bounded by the FILTER size, never by build
+         cardinality) and ships ONE ray.put bitset. A build side that
+         needs more than BLOOM_JOIN_MAX_BITS raises loudly.
+      2. probe — each fact batch tests membership with k vectorized
+         splitmix64 probes and drops non-members immediately: the ×(1/σ)
+         bulk of the fact table never leaves the scan stage (no false
+         negatives, so nothing true is lost).
+      3. verify — Bloom false positives are removed EXACTLY by the
+         tag-union semi-join (priority_with_returns' core) over the
+         surviving thin rows only; per-returnflag partials ride the same
+         bucketed reduce. Output is therefore bit-exact vs the oracle at
+         ANY bloom_bits (tested down to 64 bits where almost everything
+         is a false positive).
+    """
+    from .dedup import _splitmix64
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    import pyarrow.compute as pc
+
+    if bloom_bits > BLOOM_JOIN_MAX_BITS:
+        raise ValueError(
+            f"bloom_bits={bloom_bits} exceeds BLOOM_JOIN_MAX_BITS "
+            f"({BLOOM_JOIN_MAX_BITS}): a driver-resident runtime filter "
+            "must stay object-store-small — use the pure tag-union join "
+            "(relational.priority_with_returns shape) instead"
+        )
+    m = np.uint64(bloom_bits)
+    seeds = _BLOOM_JOIN_SEEDS[:bloom_k]
+    ord_path = f"{sf_dir}/orders.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+
+    def build_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["o_orderkey"].drop_duplicates().to_numpy(dtype="uint64")
+        p = _splitmix64(ks[None, :] ^ seeds[:, None]).ravel() % m
+        part = pd.DataFrame(
+            {
+                "word": (p >> np.uint64(6)).astype("int64"),
+                "bits": np.uint64(1) << (p & np.uint64(63)),
+            }
+        )
+        return part.groupby("word", as_index=False)["bits"].agg(
+            np.bitwise_or.reduce
+        )
+
+    build = ray.data.read_parquet(
+        ord_path,
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(build_partial, batch_format="pandas")
+
+    def or_words(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", as_index=False)["bits"].agg(np.bitwise_or.reduce)
+        return out.astype({"word": "int64"})
+
+    sparse = bucketed_group_agg(build, ["word"], or_words, num_buckets=64).to_pandas()
+    dense = np.zeros(bloom_bits >> 6, dtype="uint64")
+    dense[sparse["word"].to_numpy()] = sparse["bits"].to_numpy(dtype="uint64")
+    bloom_ref = ray.put(dense)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(bloom_ref)
+        ks = b["l_orderkey"].to_numpy(dtype="uint64")
+        hit = np.ones(len(ks), dtype=bool)
+        for s in seeds:
+            p = _splitmix64(ks ^ s) % m
+            hit &= (bits[(p >> np.uint64(6)).astype("int64")]
+                    >> (p & np.uint64(63))) & np.uint64(1) == 1
+        kept = b.loc[hit]
+        cents = np.floor(
+            kept["l_extendedprice"].to_numpy()
+            * (1 - kept["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "key": kept["l_orderkey"].to_numpy().astype("int64"),
+                "flag": kept["l_returnflag"].to_numpy(),
+                "cents": cents,
+                "_t": np.int64(1),
+            }
+        )
+
+    survivors = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_returnflag"]
+    ).map_batches(probe, batch_format="pandas")
+
+    def order_tags(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["o_orderkey"].drop_duplicates().astype("int64")
+        return pd.DataFrame(
+            {"key": ks, "flag": "", "cents": np.int64(0), "_t": np.int64(0)}
+        )
+
+    tags = ray.data.read_parquet(
+        ord_path,
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(order_tags, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        is_true = g.groupby("key")["_t"].transform("min") == 0
+        kept = g.loc[(g["_t"] == 1) & is_true]
+        if kept.empty:
+            return pd.DataFrame(
+                {"l_returnflag": pd.Series([], dtype=object),
+                 "revenue_c": pd.Series([], dtype="int64"),
+                 "n_lines": pd.Series([], dtype="int64")}
+            )
+        out = kept.groupby("flag", as_index=False).agg(
+            revenue_c=("cents", "sum"), n_lines=("cents", "size")
+        )
+        return out.rename(columns={"flag": "l_returnflag"}).astype(
+            {"revenue_c": "int64", "n_lines": "int64"}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(li_path))
+    partials = bucketed_group_agg(
+        survivors.union(tags), ["key"], verify, num_buckets=nb
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("l_returnflag", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"), n_lines=("n_lines", "sum")
+        )
+        return out.astype({"revenue_c": "int64", "n_lines": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

@@ -90,6 +90,8 @@ SUBSET = [
     "segment_repeat_customers",
     "global_sales_opportunity",
     "sole_return_supplier",
+    "sliding_window_counts",
+    "bloom_semi_join",
 ]
 
 
@@ -1541,3 +1543,30 @@ def test_sole_return_supplier_existence_semantics(ray_session, tmp_path):
         )
     want = _canon(con.sql(SOLE_RETURN_SUPPLIER_SQL).df())
     assert _hash(got) == _hash(want)
+
+
+def test_bloom_semi_join_fp_storm_still_exact(ray_session, duck):
+    """The Bloom prefilter is a pure optimization: at bloom_bits=64 nearly
+    every probe is a false positive, yet the exact verify stage must make
+    the output bit-identical to the oracle (no-false-negative + exact-fp-
+    removal contract at ANY filter size)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.relational import bloom_semi_join
+
+    got = _canon(bloom_semi_join(SF, bloom_bits=64).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["bloom_semi_join"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_bloom_semi_join_bitset_gate_refuses_loudly(ray_session):
+    """A runtime filter past BLOOM_JOIN_MAX_BITS must refuse with the
+    tag-union pointer, never ray.put a multi-GB bitset."""
+    import pytest
+
+    from docling_serve_ray.ops.relational import (
+        BLOOM_JOIN_MAX_BITS,
+        bloom_semi_join,
+    )
+
+    with pytest.raises(ValueError, match="BLOOM_JOIN_MAX_BITS"):
+        bloom_semi_join(SF, bloom_bits=BLOOM_JOIN_MAX_BITS * 2)
