@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_repeat_customers": analytics.segment_repeat_customers,
         "global_sales_opportunity": analytics.global_sales_opportunity,
         "sole_return_supplier": analytics.sole_return_supplier,
+        "brand_supplier_counts": analytics.brand_supplier_counts,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         SEGMENT_REPEAT_CUSTOMERS_SQL,
         GLOBAL_SALES_OPPORTUNITY_SQL,
         SOLE_RETURN_SUPPLIER_SQL,
+        BRAND_SUPPLIER_COUNTS_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -589,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
         "global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
         "sole_return_supplier": SOLE_RETURN_SUPPLIER_SQL,
+        "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "sole_return_supplier",
     "sliding_window_counts",
     "bloom_semi_join",
+    "brand_supplier_counts",
 ]
 
 

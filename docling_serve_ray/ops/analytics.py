@@ -1321,3 +1321,67 @@ def sole_return_supplier(sf_dir: str) -> ray.data.Dataset:
         )
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- Q16 shape: exact fact-scale grouped COUNT DISTINCT ---------------------------
+
+BRAND_SUPPLIER_COUNTS_SQL = """
+SELECT p.p_brand,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def brand_supplier_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 shape: exact COUNT(DISTINCT supplier) per brand measured
+    on the FACT table after a dimension hop — the distinct-aggregate the
+    suite so far carried only at dimension scale (distinct_brand_types)
+    or as sketches (hll_by_source). Sketches estimate; dedup pipelines
+    need the exact number.
+
+    Exactness at fact scale without a giant reduce: the shuffle is keyed
+    on the (brand, supplier) PAIR, so each bucket holds complete pair
+    groups and a local pandas dedup IS the exact global distinct (the
+    weekly_active_users lesson); per-batch partials collapse lines to
+    per-pair counts first, bounding the shuffle by distinct pairs — never
+    lines. The per-bucket reduce emits per-brand partials (pair count +
+    line sum), and the merge is one task over the small brand domain.
+    The part→brand hop is the size-gated broadcast (loud raise past
+    BROADCAST_MAX_BYTES with the hash-join pointer)."""
+    li_path = f"{sf_dir}/lineitem.parquet"
+    brand_ref = _broadcast_dim(f"{sf_dir}/part.parquet", "p_partkey", "p_brand")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        brand = _lookup(brand_ref, b["l_partkey"].to_numpy())
+        d = pd.DataFrame(
+            {"p_brand": brand, "l_suppkey": b["l_suppkey"].astype("int64")}
+        )
+        return d.groupby(["p_brand", "l_suppkey"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby(["p_brand", "l_suppkey"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        out = pairs.groupby("p_brand", as_index=False).agg(
+            n_suppliers=("l_suppkey", "size"), n_lines=("n", "sum")
+        )
+        return out.astype({"n_suppliers": "int64", "n_lines": "int64"})
+
+    nb = scaled_num_buckets(input_bytes_estimate(li_path))
+    ds = ray.data.read_parquet(li_path, columns=["l_partkey", "l_suppkey"])
+    partials = bucketed_group_agg(
+        ds, ["p_brand", "l_suppkey"], per_bucket, partial_fn=partial,
+        num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("p_brand", as_index=False).agg(
+            n_suppliers=("n_suppliers", "sum"), n_lines=("n_lines", "sum")
+        )
+        return out.astype({"n_suppliers": "int64", "n_lines": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

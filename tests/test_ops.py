@@ -92,6 +92,7 @@ SUBSET = [
     "sole_return_supplier",
     "sliding_window_counts",
     "bloom_semi_join",
+    "brand_supplier_counts",
 ]
 
 
@@ -193,6 +194,7 @@ def test_broadcast_dim_gate_refuses_loudly(ray_session, monkeypatch):
         analytics.segment_repeat_customers,
         analytics.global_sales_opportunity,
         analytics.sole_return_supplier,
+        analytics.brand_supplier_counts,
     ):
         with pytest.raises(ValueError, match="broadcast gate"):
             fn(SF)
