@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
         "dup_cluster_sizes": cluster.dup_cluster_sizes,
+        "pagerank": cluster.pagerank,
         "dedup_apply": curation.dedup_apply,
         "curation_report": curation.curation_report,
         # --- corpus curation ---
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         DUP_CLUSTER_SIZES_SQL,
         EMBEDDING_CLUSTERS_SQL,
         NEARDUP_CLUSTERS_SQL,
+        PAGERANK_SQL,
     )
     from docling_serve_ray.ops.curation import (
         CORPUS_STATS_SQL,
@@ -533,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
         "dup_cluster_sizes": DUP_CLUSTER_SIZES_SQL,
+        "pagerank": PAGERANK_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "curation_report": CURATION_REPORT_SQL,
         "quality_filter": QUALITY_FILTER_SQL,

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "sliding_window_counts",
     "bloom_semi_join",
     "brand_supplier_counts",
+    "pagerank",
 ]
 
 

@@ -93,6 +93,7 @@ SUBSET = [
     "sliding_window_counts",
     "bloom_semi_join",
     "brand_supplier_counts",
+    "pagerank",
 ]
 
 
@@ -1572,3 +1573,25 @@ def test_bloom_semi_join_bitset_gate_refuses_loudly(ray_session):
 
     with pytest.raises(ValueError, match="BLOOM_JOIN_MAX_BITS"):
         bloom_semi_join(SF, bloom_bits=BLOOM_JOIN_MAX_BITS * 2)
+
+
+def test_pagerank_conservation_and_sink_floor(ray_session):
+    """Fixed-point PageRank invariants on the real graph: every node gets
+    at least the teleport BASE; suppliers (pure sinks, no out-edges) hold
+    strictly more than BASE iff they have in-edges; total mass stays below
+    SCALE (floor division only ever loses mass, never creates it)."""
+    from docling_serve_ray.ops.cluster import (
+        PAGERANK_SCALE,
+        PAGERANK_SUPP_OFFSET,
+        pagerank,
+    )
+
+    df = pagerank(SF).to_pandas()
+    n = len(df)
+    base = (PAGERANK_SCALE * 15) // (100 * n)
+    assert (df["rank_fp"] >= base).all()
+    supp = df[df["node"] >= PAGERANK_SUPP_OFFSET]
+    cust = df[df["node"] < PAGERANK_SUPP_OFFSET]
+    assert (supp["rank_fp"] > base).all()  # every supplier has in-edges
+    assert (cust["rank_fp"] == base).all()  # customers are pure sources
+    assert df["rank_fp"].sum() <= PAGERANK_SCALE
