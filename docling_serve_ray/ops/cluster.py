@@ -207,13 +207,28 @@ def connected_components(
     edges = _edge_rows(pairs, a_col, b_col).materialize()
     labels = _initial_labels(edges, num_buckets).materialize()
 
+    # Conditional block-count pin: Ray's sort-shuffle map_groups emits one
+    # block per INPUT block and each round unions the edge blocks back in,
+    # so block count grows ~2·num_buckets per round and driver scheduling
+    # overhead (per block) compounds across rounds (the pagerank lesson —
+    # 6.7 → 49.9 s/iter there). Near-dup graphs converge in 1-2 rounds
+    # where an unconditional repartition per round costs MORE than it saves
+    # (measured: neardup_clusters 7.3 → 15.3 s at sf0.1), so the pin fires
+    # only once the materialized table actually exceeds 4× the bucket
+    # count — long-chain graphs stay bounded, short ones pay nothing.
+    def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+        m = ds.materialize()
+        if m.num_blocks() > 4 * num_buckets:
+            m = m.repartition(num_buckets).materialize()
+        return m
+
     for _ in range(max_rounds):
-        stepped = _propagate_round(labels, edges, num_buckets).materialize()
+        stepped = _pin(_propagate_round(labels, edges, num_buckets))
         changed = stepped.sum("changed")
         labels = stepped.drop_columns(["changed"])
         if not changed:
             break
-        labels = _pointer_double(labels, num_buckets).materialize()
+        labels = _pin(_pointer_double(labels, num_buckets))
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
