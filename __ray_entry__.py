@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "ngram_containment": dedup.ngram_containment,
+        "fuzzy_prefix_pairs": dedup.fuzzy_prefix_pairs,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
         NGRAM_CONTAINMENT_SQL,
+        FUZZY_PREFIX_PAIRS_SQL,
         PARAGRAPH_DEDUP_SQL,
         PARAGRAPH_DEDUP_APPLY_SQL,
         PREFIX_DUP_SQL,
@@ -531,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         "ngram_containment": NGRAM_CONTAINMENT_SQL,
+        "fuzzy_prefix_pairs": FUZZY_PREFIX_PAIRS_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "brand_supplier_counts",
     "pagerank",
+    "fuzzy_prefix_pairs",
 ]
 
 

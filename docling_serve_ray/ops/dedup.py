@@ -984,3 +984,129 @@ def paragraph_dedup_apply(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"doc_id": "int64", "n_kept": "int64"})
 
     return bucketed_group_agg(surv, ["doc_id"], rebuild, num_buckets=nb)
+
+
+# --- fuzzy prefix pairs (character-level near-match blocking) ----------------------
+#
+# Entity-resolution-style fuzzy string join: document pairs whose padded
+# 18-char text prefixes are within Hamming distance 2 — the character-level
+# near-match primitive (the other dedup ops work at token/shingle/vector
+# granularity). Blocking is pigeonhole-COMPLETE, not probabilistic: the
+# prefix splits into 3 disjoint aligned 6-char segments, and ≤2
+# substitutions leave ≥1 segment untouched, so every qualifying pair shares
+# at least one (idx, segment) band key — unlike simhash's radius-bounded
+# recall there is NO recall loss at the configured distance. The engine and
+# the DuckDB twin implement the identical rule (rpad + fixed segment join +
+# hamming), so the oracle is exact.
+
+FUZZY_PREFIX_LEN = 18
+FUZZY_SEG_LEN = 6
+FUZZY_MAX_HAMMING = 2
+
+FUZZY_PREFIX_PAIRS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, rpad(substring(text, 1, {FUZZY_PREFIX_LEN}), {FUZZY_PREFIX_LEN}, '#') AS pref
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, pref, 1 AS idx, substring(pref, 1, {FUZZY_SEG_LEN}) AS seg FROM p
+  UNION ALL SELECT doc_id, pref, 2, substring(pref, {FUZZY_SEG_LEN + 1}, {FUZZY_SEG_LEN}) FROM p
+  UNION ALL SELECT doc_id, pref, 3, substring(pref, {2 * FUZZY_SEG_LEN + 1}, {FUZZY_SEG_LEN}) FROM p
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pref AS pa, b.pref AS pb
+  FROM segs a JOIN segs b ON a.idx = b.idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming(pa, pb) AS BIGINT) AS dist
+FROM cand WHERE hamming(pa, pb) <= {FUZZY_MAX_HAMMING}
+"""
+
+
+def fuzzy_prefix_pairs(
+    sf_dir: str, *, max_band_df: int | None = None
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, dist) pairs with prefix Hamming distance ≤ 2 (see
+    module comment: pigeonhole-complete 3-segment blocking).
+
+    Scale shape: segment rows ride the shared LSH machinery
+    (shuffle.band_pair_candidates — complete band groups per bucket,
+    vectorized self-merge, pre-verification pair dedupe), the prefix
+    payload moves ONLY for candidate pairs (join_pair_payloads' sentinel-
+    seeded two-sided hash join), and verification is one vectorized
+    (n, 18) char-matrix compare per batch. ``max_band_df`` caps a
+    segment's posting list for boilerplate-heavy corpora (default None =
+    exact, matching the oracle; capping trades recall for the quadratic
+    bound exactly like minhash's knob)."""
+    from .shuffle import (
+        band_pair_candidates,
+        input_bytes_estimate,
+        join_pair_payloads,
+        scaled_num_buckets,
+    )
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    docs_bytes = input_bytes_estimate(doc_path)
+    nb = scaled_num_buckets(docs_bytes)
+
+    def prefix(series: pd.Series) -> pd.Series:
+        return (
+            series.str.slice(0, FUZZY_PREFIX_LEN)
+            .str.pad(FUZZY_PREFIX_LEN, side="right", fillchar="#")
+        )
+
+    def seg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        pref = prefix(b["text"])
+        frames = [
+            pd.DataFrame(
+                {
+                    "idx": np.int64(i + 1),
+                    "seg": pref.str.slice(i * FUZZY_SEG_LEN, (i + 1) * FUZZY_SEG_LEN),
+                    "doc_id": b["doc_id"].astype("int64"),
+                }
+            )
+            for i in range(3)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    rows = _docs(sf_dir).map_batches(seg_rows, batch_format="pandas")
+    cand = band_pair_candidates(
+        rows, ["idx", "seg"], "doc_id", num_buckets=nb, max_band_df=max_band_df
+    )
+
+    def payload_rows(b: pd.DataFrame) -> pa.Table:
+        # Arrow-backed blocks: join_pair_payloads reads the schema to seed
+        # its typed sentinel row (pandas blocks carry numpy dtypes there)
+        return pa.table(
+            {
+                "id": pa.array(b["doc_id"].astype("int64"), pa.int64()),
+                "pref": pa.array(prefix(b["text"]), pa.string()),
+            }
+        )
+
+    payload = _docs(sf_dir).map_batches(payload_rows, batch_format="pandas")
+    joined = join_pair_payloads(
+        cand, payload, a_col="id_a", b_col="id_b", id_col="id",
+        size_bytes=docs_bytes,
+    )
+
+    def verify(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "dist": pd.Series([], dtype="int64")}
+            )
+        a = np.array([list(s) for s in df["pref"]])
+        b = np.array([list(s) for s in df["pref_b"]])
+        dist = (a != b).sum(axis=1).astype("int64")
+        keep = dist <= FUZZY_MAX_HAMMING
+        return pd.DataFrame(
+            {
+                "doc_a": df["id_a"].to_numpy()[keep].astype("int64"),
+                "doc_b": df["id_b"].to_numpy()[keep].astype("int64"),
+                "dist": dist[keep],
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -94,6 +94,7 @@ SUBSET = [
     "bloom_semi_join",
     "brand_supplier_counts",
     "pagerank",
+    "fuzzy_prefix_pairs",
 ]
 
 
@@ -1595,3 +1596,47 @@ def test_pagerank_conservation_and_sink_floor(ray_session):
     assert (supp["rank_fp"] > base).all()  # every supplier has in-edges
     assert (cust["rank_fp"] == base).all()  # customers are pure sources
     assert df["rank_fp"].sum() <= PAGERANK_SCALE
+
+
+def test_fuzzy_prefix_pairs_pigeonhole_completeness(ray_session, tmp_path):
+    """The 3-segment blocking must be COMPLETE at Hamming <= 2: construct
+    pairs differing in exactly 2 chars placed to straddle two different
+    segments (the adversarial case for 2-segment blocking), one at
+    distance 3 (must be excluded), and one identical pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import fuzzy_prefix_pairs
+
+    base = "abcdefghijklmnopqr"  # 18 chars
+    def mutate(s, *pos):
+        l = list(s)
+        for p in pos:
+            l[p] = "Z"
+        return "".join(l)
+
+    texts = [
+        base,                       # 0
+        mutate(base, 0, 7),         # 1: hits seg1+seg2 -> seg3 equal, d=2
+        mutate(base, 8, 13),        # 2: hits seg2+seg3 -> seg1 equal, d=2
+        mutate(base, 0, 7, 13),     # 3: d=3 from base -> excluded
+        base,                       # 4: exact dup of 0, d=0
+        "completely different x",   # 5: no pair
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = fuzzy_prefix_pairs(str(tmp_path)).to_pandas()
+    pairs = {(a, b): d for a, b, d in
+             zip(got["doc_a"], got["doc_b"], got["dist"])}
+    assert pairs[(0, 1)] == 2 and pairs[(0, 2)] == 2  # straddling pairs kept
+    assert pairs[(0, 4)] == 0 and pairs[(1, 4)] == 2 and pairs[(2, 4)] == 2
+    assert (0, 3) not in pairs and (4, 3) not in pairs  # d=3 excluded
+    assert (1, 2) not in pairs  # d=4 (disjoint mutations) stays out
+    assert (5, 0) not in pairs
