@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sales_opportunity": analytics.global_sales_opportunity,
         "sole_return_supplier": analytics.sole_return_supplier,
         "brand_supplier_counts": analytics.brand_supplier_counts,
+        "volume_shipping": analytics.volume_shipping,
+        "linestatus_priority": analytics.linestatus_priority,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -406,6 +408,8 @@ def oracle_sql() -> dict[str, str]:
         GLOBAL_SALES_OPPORTUNITY_SQL,
         SOLE_RETURN_SUPPLIER_SQL,
         BRAND_SUPPLIER_COUNTS_SQL,
+        VOLUME_SHIPPING_SQL,
+        LINESTATUS_PRIORITY_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -598,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
         "global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
         "sole_return_supplier": SOLE_RETURN_SUPPLIER_SQL,
         "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
+        "volume_shipping": VOLUME_SHIPPING_SQL,
+        "linestatus_priority": LINESTATUS_PRIORITY_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

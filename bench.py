@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "brand_supplier_counts",
     "pagerank",
     "fuzzy_prefix_pairs",
+    "volume_shipping",
+    "linestatus_priority",
 ]
 
 

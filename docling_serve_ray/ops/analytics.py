@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 from ray.data.aggregate import Sum
@@ -1385,3 +1386,245 @@ def brand_supplier_counts(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"n_suppliers": "int64", "n_lines": "int64"})
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- Q7 shape: volume shipping between a nation pair -----------------------------
+
+VOLUME_SHIPPING_SQL = """
+WITH pair AS (
+  SELECT n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+  ORDER BY count(*) DESC, n.n_name
+  LIMIT 2
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN (SELECT n_name FROM pair)
+  AND n2.n_name IN (SELECT n_name FROM pair)
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate >= DATE '1995-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+def volume_shipping(
+    sf_dir: str,
+    nation_a: str | None = None,
+    nation_b: str | None = None,
+) -> ray.data.Dataset:
+    """TPC-H Q7 shape: cross-border trade volume between one nation pair,
+    per ship-year and direction. The two dimension chains
+    (supplier→nation, customer→nation) compose to size-gated broadcast
+    lookups; the supplier-nation filter runs INSIDE the lineitem partial,
+    so only lines sold by the two nations of interest (2/|nations| of the
+    fact table) ever reach the lineitem ⋈ orders hash join — the same
+    selectivity push-down Q7 plans rely on. Post-join, the customer-nation
+    lookup keeps only the opposite nation, and the final groupby is
+    |pair directions| × |years| rows. The pair defaults to the two nations
+    with the most suppliers (name-tiebroken) so the report is non-empty at
+    every corpus scale; the rule is computed on the same supplier dim the
+    broadcast already reads (a |nations|-row driver reduce)."""
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    if nation_a is None or nation_b is None:
+        partials = ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]
+        ).map_batches(
+            lambda b: b.groupby("s_nationkey", as_index=False).size()
+            .rename(columns={"size": "n_supp"}),
+            batch_format="pandas",
+        ).to_pandas()  # ≤ |blocks| × |nations| rows reach the driver
+        counts = partials.groupby("s_nationkey", as_index=False).agg(
+            n_supp=("n_supp", "sum")
+        )
+        counts["n_name"] = counts["s_nationkey"].map(nation_names)
+        counts = counts.sort_values(["n_supp", "n_name"],
+                                    ascending=[False, True])
+        nation_a, nation_b = counts["n_name"].head(2).tolist()
+    pair = {nation_a, nation_b}
+    snat_ref = _broadcast_dim(
+        f"{sf_dir}/supplier.parquet",
+        "s_suppkey",
+        lambda df: df["s_nationkey"].map(nation_names).to_numpy(dtype=object),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    cnat_ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet",
+        "c_custkey",
+        lambda df: df["c_nationkey"].map(nation_names).to_numpy(dtype=object),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1995-01-01")))
+            & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    )
+
+    def partial_left(b: pd.DataFrame) -> pd.DataFrame:
+        nation = _lookup(snat_ref, b["l_suppkey"].to_numpy())
+        keep = pd.Series(nation, dtype=object).isin(pair).to_numpy()
+        b = b.loc[keep]
+        cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        # explicit pandas "string" dtype: an all-filtered batch must still
+        # type as Arrow string, not null, or the hash shuffle rejects it
+        f = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy().astype("int64"),
+                "supp_nation": pd.array(nation[keep], dtype="string"),
+                "l_year": b["l_shipdate"].dt.year.to_numpy().astype("int64"),
+                "rev": cents.astype("int64"),
+            }
+        )
+        g = f.groupby(["l_orderkey", "supp_nation", "l_year"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return g
+
+    left = li.map_batches(partial_left, batch_format="pandas")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = left.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    def partial_pair(b: pd.DataFrame) -> pd.DataFrame:
+        cust_nation = _lookup(cnat_ref, b["o_custkey"].to_numpy())
+        # keep only cross-border lines: the two nations must differ and
+        # both belong to the pair (supp side already filtered)
+        keep = (
+            pd.Series(cust_nation, dtype=object).isin(pair).to_numpy()
+            & (cust_nation != b["supp_nation"].to_numpy(dtype=object))
+        )
+        f = pd.DataFrame(
+            {
+                "supp_nation": pd.array(
+                    b["supp_nation"].to_numpy(dtype=object)[keep], dtype="string"
+                ),
+                "cust_nation": pd.array(cust_nation[keep], dtype="string"),
+                "l_year": b["l_year"].to_numpy()[keep].astype("int64"),
+                "rev": b["rev"].to_numpy()[keep].astype("int64"),
+                "n": b["n"].to_numpy()[keep].astype("int64"),
+            }
+        )
+        return f.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False).agg(rev=("rev", "sum"), n=("n", "sum"))
+
+    agg = (
+        j.map_batches(partial_pair, batch_format="pandas")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue_c"),
+                   Sum("n", alias_name="n_lines"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "supp_nation": b["supp_nation"],
+                "cust_nation": b["cust_nation"],
+                "l_year": b["l_year"].astype("int64"),
+                "revenue_c": b["revenue_c"].astype("int64"),
+                "n_lines": b["n_lines"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- Q12 shape: line-status service levels vs order priority ---------------------
+
+LINESTATUS_PRIORITY_SQL = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+def linestatus_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12 shape (the corpus carries no l_shipmode, so l_linestatus
+    is the service-level grouping): per line status, how many shipped
+    lines belonged to high- vs low-priority orders in one ship-year. The
+    lineitem side pre-reduces to (orderkey, linestatus, count) inside
+    map_batches — the hash join then carries one row per (order, status)
+    instead of one per line — and the priority flag collapses to a
+    boolean BEFORE the final 2-key groupby, so the last shuffle is
+    |statuses| × 2 rows of partial sums."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    )
+
+    def partial_left(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["l_orderkey", "l_linestatus"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    left = li.map_batches(partial_left, batch_format="pandas")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = left.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        high = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        n = b["n"].to_numpy()
+        f = pd.DataFrame(
+            {
+                "l_linestatus": b["l_linestatus"],
+                "p_high": np.where(high, n, 0).astype("int64"),
+                "p_low": np.where(high, 0, n).astype("int64"),
+            }
+        )
+        return f.groupby("l_linestatus", as_index=False).agg(
+            p_high=("p_high", "sum"), p_low=("p_low", "sum")
+        )
+
+    agg = (
+        j.map_batches(partial_counts, batch_format="pandas")
+        .groupby("l_linestatus")
+        .aggregate(Sum("p_high", alias_name="high_line_count"),
+                   Sum("p_low", alias_name="low_line_count"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_linestatus": b["l_linestatus"],
+                "high_line_count": b["high_line_count"].astype("int64"),
+                "low_line_count": b["low_line_count"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -95,6 +95,8 @@ SUBSET = [
     "brand_supplier_counts",
     "pagerank",
     "fuzzy_prefix_pairs",
+    "volume_shipping",
+    "linestatus_priority",
 ]
 
 
@@ -197,6 +199,7 @@ def test_broadcast_dim_gate_refuses_loudly(ray_session, monkeypatch):
         analytics.global_sales_opportunity,
         analytics.sole_return_supplier,
         analytics.brand_supplier_counts,
+        analytics.volume_shipping,
     ):
         with pytest.raises(ValueError, match="broadcast gate"):
             fn(SF)
