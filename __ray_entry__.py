@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": relational.weekly_active_users,
         "sliding_window_counts": relational.sliding_window_counts,
         "bloom_semi_join": relational.bloom_semi_join,
+        "first_touch_attribution": relational.first_touch_attribution,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         WEEKLY_ACTIVE_USERS_SQL,
         SLIDING_WINDOW_COUNTS_SQL,
         BLOOM_SEMI_JOIN_SQL,
+        FIRST_TOUCH_ATTRIBUTION_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -586,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
         "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
+        "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,

@@ -2609,3 +2609,76 @@ def bloom_semi_join(
         return out.astype({"revenue_c": "int64", "n_lines": "int64"})
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- first-touch attribution -----------------------------------------------------
+
+FIRST_TOUCH_ATTRIBUTION_SQL = """
+WITH conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+firsts AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT f.event_type AS first_touch, CAST(count(*) AS BIGINT) AS n_users
+FROM firsts f JOIN conv c ON f.user_id = c.user_id
+WHERE f.rn = 1
+GROUP BY f.event_type
+"""
+
+
+def first_touch_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Marketing first-touch attribution: for every CONVERTING user (one
+    with ≥1 'purchase' event), which event type opened their history —
+    the per-entity argmin + converter semi-join shape. The per-batch
+    combiner collapses each user to ONE candidate row (batch-local first
+    event by (ts, event_id) plus a batch-local converted flag), so the
+    user-bucketed shuffle carries ≤ one row per (user, batch), never raw
+    events; each bucket then resolves the global first + converted flag
+    per user with two vectorized groupbys and emits per-type partial
+    counts — the final groupby is |event types| rows."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(
+        ev_path, columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        firsts = b.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
+            "user_id"
+        )[["user_id", "ts", "event_id", "event_type"]]
+        conv = (
+            b.assign(conv=(b["event_type"] == "purchase").astype("int8"))
+            .groupby("user_id", as_index=False)["conv"].max()
+        )
+        return firsts.merge(conv, on="user_id")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        firsts = g.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
+            "user_id"
+        )
+        conv = g.groupby("user_id", as_index=False)["conv"].max()
+        f = firsts.drop(columns=["conv"]).merge(conv, on="user_id")
+        f = f.loc[f["conv"] == 1]
+        out = (
+            f.groupby("event_type", as_index=False).size()
+            .rename(columns={"event_type": "first_touch", "size": "p_users"})
+        )
+        out["p_users"] = out["p_users"].astype("int64")
+        return out
+
+    nb = scaled_num_buckets(input_bytes_estimate(ev_path))
+    partials = bucketed_group_agg(
+        ds, ["user_id"], per_bucket, partial_fn=partial, num_buckets=nb
+    )
+    agg = partials.groupby("first_touch").aggregate(
+        Sum("p_users", alias_name="n_users")
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {"first_touch": b["first_touch"],
+             "n_users": b["n_users"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

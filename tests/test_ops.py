@@ -97,6 +97,7 @@ SUBSET = [
     "fuzzy_prefix_pairs",
     "volume_shipping",
     "linestatus_priority",
+    "first_touch_attribution",
 ]
 
 
