@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": relational.sliding_window_counts,
         "bloom_semi_join": relational.bloom_semi_join,
         "first_touch_attribution": relational.first_touch_attribution,
+        "event_transitions": relational.event_transitions,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": analytics.brand_supplier_counts,
         "volume_shipping": analytics.volume_shipping,
         "linestatus_priority": analytics.linestatus_priority,
+        "disjunctive_revenue": analytics.disjunctive_revenue,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         BRAND_SUPPLIER_COUNTS_SQL,
         VOLUME_SHIPPING_SQL,
         LINESTATUS_PRIORITY_SQL,
+        DISJUNCTIVE_REVENUE_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -446,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         SLIDING_WINDOW_COUNTS_SQL,
         BLOOM_SEMI_JOIN_SQL,
         FIRST_TOUCH_ATTRIBUTION_SQL,
+        EVENT_TRANSITIONS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -589,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
+        "event_transitions": EVENT_TRANSITIONS_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -607,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
         "volume_shipping": VOLUME_SHIPPING_SQL,
         "linestatus_priority": LINESTATUS_PRIORITY_SQL,
+        "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -1628,3 +1628,76 @@ def linestatus_priority(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- Q19 shape: disjunctive multi-predicate join revenue -------------------------
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 shape: OR-of-conjunctions over joined fact+dimension
+    predicates (the disjunctive-pushdown pattern — no single branch can be
+    pushed into the scan, but the DIMENSION side collapses to one encoded
+    int per part). The part lookup ships (brand_num * 100 + p_size) —
+    brand and size decoded per batch with integer div/mod — so the fact
+    table streams through one vectorized OR-mask map_batches with a
+    scalar partial sum; nothing shuffles. Broadcast is size-gated via
+    _broadcast_dim (VERDICT r4 #3); past the gate, restructure onto the
+    hash-partitioned join fallback (relational.join_revenue pattern)."""
+
+    def encode(df: pd.DataFrame) -> np.ndarray:
+        brand_num = df["p_brand"].str.removeprefix("Brand#").astype("int64")
+        return (brand_num.to_numpy() * 100 + df["p_size"].to_numpy()).astype("int64")
+
+    ref = _broadcast_dim(
+        f"{sf_dir}/part.parquet", "p_partkey", encode,
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+
+    BRANCHES = ((12, 1, 5, 1, 11), (23, 1, 10, 10, 20), (21, 1, 15, 20, 30))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        enc = _lookup(ref, b["l_partkey"].to_numpy()).to_numpy(
+            dtype="float64", na_value=np.nan
+        )
+        brand = np.floor_divide(enc, 100)
+        size = np.mod(enc, 100)
+        qty = b["l_quantity"].to_numpy()
+        mask = np.zeros(len(b), dtype=bool)
+        for bn, s_lo, s_hi, q_lo, q_hi in BRANCHES:
+            mask |= (
+                (brand == bn) & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        cents = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        return pd.DataFrame(
+            {"p_rev": [int(cents[mask].sum())], "p_n": [int(mask.sum())]}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_c": [int(b["p_rev"].sum())],
+                "n_lines": [int(b["p_n"].sum())],
+            }
+        ).astype({"revenue_c": "int64", "n_lines": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

@@ -2682,3 +2682,142 @@ def first_touch_attribution(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- event-type transition counts (Markov behavior model) ------------------------
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n_pairs
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+def event_transitions(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
+    """First-order Markov transition counts over per-user event streams:
+    for every consecutive (by ts, event_id) pair of events of one user,
+    count (from_type → to_type) — the behavior-model / session-language
+    statistic (and the LAG window shape reduced to a bounded output:
+    |event types|² rows, so the final aggregate is tiny no matter the
+    corpus). Default path: one bucketed shuffle on user_id, per-bucket
+    vectorized sort + shift; single-key guard raises past
+    ``max_group_rows`` pointing at ``slice_width``.
+
+    slice_width (or "auto"): the skew-proof path. Transitions inside a
+    (user, time-slice) group are local; the ONLY cross-slice pair is
+    (last event of a user's slice → first event of the user's next
+    non-empty slice). Each user-slice contributes exactly two boundary
+    rows (its min and max event), so the stitching reduce is bounded by
+    the calendar — slices are disjoint ts ranges, hence equal-ts ties
+    never straddle an edge and the (ts, event_id) order stays exact."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
+
+    def pair_counts(g: pd.DataFrame, group_cols: list) -> pd.DataFrame:
+        """Vectorized consecutive-pair counts within each group of the
+        (already sorted) frame."""
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"from_type": pd.Series(dtype="object"),
+                 "to_type": pd.Series(dtype="object"),
+                 "pn": pd.Series(dtype="int64")}
+            )
+        same = np.ones(len(g) - 1, dtype=bool)
+        for c in group_cols:
+            v = g[c].to_numpy()
+            same &= v[1:] == v[:-1]
+        et = g["event_type"].to_numpy()
+        f = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        out = f.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+    if slice_width is None:
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id"], max_group_rows, "event_transitions")
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            return pair_counts(g, ["user_id"])
+
+        partials = bucketed_group_agg(ds, ["user_id"], per_bucket, num_buckets=nb)
+    else:
+        width = pd.Timedelta(slice_width)
+
+        def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(_slice=b["ts"].dt.floor(width))
+
+        sliced = ds.map_batches(add_slice, batch_format="pandas")
+
+        def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(
+                g, ["user_id", "_slice"], max_group_rows, "event_transitions"
+            )
+            g = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+            return pair_counts(g, ["user_id", "_slice"])
+
+        local = bucketed_group_agg(
+            sliced, ["user_id", "_slice"], local_pairs, num_buckets=nb
+        )
+
+        def boundary_partial(b: pd.DataFrame) -> pd.DataFrame:
+            # per (user, slice): the batch-local min and max event rows
+            s = b.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+            first = s.drop_duplicates(["user_id", "_slice"], keep="first")
+            last = s.drop_duplicates(["user_id", "_slice"], keep="last")
+            return pd.concat([first, last], ignore_index=True)[
+                ["user_id", "_slice", "ts", "event_id", "event_type"]
+            ]
+
+        def edge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            # g holds ≤ 2 boundary rows per (user, slice, input batch);
+            # re-reduce to the true per-slice first/last, then pair each
+            # slice's LAST with the next slice's FIRST per user
+            s = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+            first = s.drop_duplicates(["user_id", "_slice"], keep="first")
+            last = s.drop_duplicates(["user_id", "_slice"], keep="last")
+            uid = last["user_id"].to_numpy()
+            same_user = uid[:-1] == uid[1:]
+            f = pd.DataFrame(
+                {
+                    "from_type": last["event_type"].to_numpy()[:-1][same_user],
+                    "to_type": first["event_type"].to_numpy()[1:][same_user],
+                }
+            )
+            out = f.groupby(["from_type", "to_type"], as_index=False).size()
+            return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+        edges = bucketed_group_agg(
+            sliced,
+            ["user_id"],
+            edge_pairs,
+            partial_fn=boundary_partial,
+            num_buckets=min(nb, 64),
+        )
+        partials = local.union(edges)
+
+    agg = partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("pn", alias_name="n_pairs")
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "from_type": b["from_type"],
+                "to_type": b["to_type"],
+                "n_pairs": b["n_pairs"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

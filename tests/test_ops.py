@@ -98,6 +98,8 @@ SUBSET = [
     "volume_shipping",
     "linestatus_priority",
     "first_touch_attribution",
+    "disjunctive_revenue",
+    "event_transitions",
 ]
 
 
@@ -722,10 +724,12 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         ASOF_JOIN_SQL,
         EVENT_DELTAS_SQL,
         RANGE_JOIN_SQL,
+        EVENT_TRANSITIONS_SQL,
         RUNNING_TOTALS_SQL,
         SESSIONIZE_SQL,
         asof_join,
         event_deltas,
+        event_transitions,
         range_join,
         running_totals,
         sessionize,
@@ -735,7 +739,8 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
     sf = str(tmp_path)
     limit = 400  # < the hot user's 1500 rows; > any (user, slice) group
 
-    for op in (sessionize, range_join, asof_join, running_totals, event_deltas):
+    for op in (sessionize, range_join, asof_join, running_totals, event_deltas,
+               event_transitions):
         with pytest.raises(ValueError, match="max_group_rows"):
             op(sf, max_group_rows=limit).to_pandas()
 
@@ -745,6 +750,7 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         (asof_join, ASOF_JOIN_SQL),
         (running_totals, RUNNING_TOTALS_SQL),
         (event_deltas, EVENT_DELTAS_SQL),
+        (event_transitions, EVENT_TRANSITIONS_SQL),
     ):
         got = _canon(
             op(sf, slice_width="6h", max_group_rows=limit).to_pandas()
