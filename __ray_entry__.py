@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": text.pii_scrub,
         "repetition_score": text.repetition_score,
         "lexical_stats": text.lexical_stats,
+        "unigram_prob_score": text.unigram_prob_score,
         "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
@@ -93,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": cluster.pagerank,
         "dedup_apply": curation.dedup_apply,
         "curation_report": curation.curation_report,
+        "cross_source_dups": curation.cross_source_dups,
+        "source_vocab_overlap": curation.source_vocab_overlap,
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
         "weighted_mix": curation.weighted_mix,
@@ -382,6 +385,8 @@ def oracle_sql() -> dict[str, str]:
         CORPUS_STATS_SQL,
         DEDUP_APPLY_SQL,
         CURATION_REPORT_SQL,
+        CROSS_SOURCE_DUPS_SQL,
+        SOURCE_VOCAB_OVERLAP_SQL,
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
@@ -482,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         TOP_TOKENS_SQL,
         TOP_TOKENS_PER_LANG_SQL,
         LEXICAL_STATS_SQL,
+        UNIGRAM_PROB_SCORE_SQL,
     )
 
     return {
@@ -535,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": PII_SCRUB_SQL,
         "repetition_score": REPETITION_SCORE_SQL,
         "lexical_stats": LEXICAL_STATS_SQL,
+        "unigram_prob_score": UNIGRAM_PROB_SCORE_SQL,
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
@@ -551,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": PAGERANK_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "curation_report": CURATION_REPORT_SQL,
+        "cross_source_dups": CROSS_SOURCE_DUPS_SQL,
+        "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,

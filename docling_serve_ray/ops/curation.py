@@ -1311,3 +1311,219 @@ def curation_report(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination: exact duplicates shared between sources
+# ---------------------------------------------------------------------------
+
+CROSS_SOURCE_DUPS_SQL = """
+WITH aug AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0
+),
+f AS (SELECT DISTINCT source, md5(text) AS fp FROM aug)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+def cross_source_dups(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source contamination report: for every (source_a < source_b)
+    pair, how many distinct document contents appear in BOTH — the audit
+    a training-data pipeline runs before mixing corpora (benchmark/eval
+    leakage across crawls shows up exactly here). The synthetic corpus has
+    no natural cross-source dupes, so (exact_dedup's trick) every 7th doc
+    is deterministically mirrored under a 'mirror' source ON BOTH ENGINES,
+    making the oracle non-trivial.
+
+    Scale shape: per-batch distinct (source, fp) combiners → ONE bucketed
+    shuffle on the content hash (carries 2 thin columns, never text); a
+    bucket sees every source of each fp it owns, so pair expansion is
+    bucket-local (C(k,2) rows only for the rare fp shared by k ≥ 2
+    sources); the final aggregate is |source|²-bounded."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "source", "text"])
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        fp = b["text"].map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        f = pd.DataFrame({"source": b["source"], "fp": fp})
+        m = (b["doc_id"] % 7 == 0).to_numpy()
+        if m.any():
+            f = pd.concat(
+                [f, pd.DataFrame({"source": "mirror", "fp": fp.to_numpy()[m]})],
+                ignore_index=True,
+            )
+        return f.drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["fp", "source"]).sort_values(
+            ["fp", "source"], kind="stable"
+        )
+        sizes = g.groupby("fp", sort=False)["source"].agg(list)
+        multi = sizes[sizes.str.len() >= 2]
+        rows = [
+            (a, b)
+            for srcs in multi
+            for i, a in enumerate(srcs)
+            for b in srcs[i + 1 :]
+        ]
+        if not rows:
+            return pd.DataFrame(
+                {"source_a": pd.Series(dtype="object"),
+                 "source_b": pd.Series(dtype="object"),
+                 "pn": pd.Series(dtype="int64")}
+            )
+        f = pd.DataFrame(rows, columns=["source_a", "source_b"])
+        out = f.groupby(["source_a", "source_b"], as_index=False).size()
+        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+    partials = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["fp"], per_bucket,
+        num_buckets=nb,
+    )
+    agg = partials.groupby(["source_a", "source_b"]).aggregate(
+        Sum("pn", alias_name="n_shared")
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "n_shared": b["n_shared"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap (pairwise Jaccard via bitmask fold)
+# ---------------------------------------------------------------------------
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents)
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM sz a JOIN sz b ON a.source < b.source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) * 1000000
+            // (za.n + zb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm
+FROM pair p
+JOIN sz za ON za.source = p.source_a
+JOIN sz zb ON zb.source = p.source_b
+LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+"""
+
+VOCAB_OVERLAP_MAX_SOURCES = 63  # bitmask fold fits one int64
+
+
+def source_vocab_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Pairwise vocabulary Jaccard between sources (×10^6, integer): the
+    corpus-mixing diagnostic — which crawls/domains share a lexicon and
+    which are disjoint. The naive shape is a token self-join (|vocab|²
+    worst case); here each token folds into ONE int64 bitmask of the
+    sources containing it, so the whole statistic reduces to a (mask →
+    token-count) histogram of at most 2^|sources| rows, and every pair's
+    intersection/union is a popcount-filtered sum over that histogram —
+    no self-join, no pair explosion through the shuffle.
+
+    Source taxonomy is a bounded dimension (≤ 63 here — one int64 mask);
+    a wider taxonomy must RAISE and restructure (e.g. pairwise count
+    path), never silently truncate. Shuffles: one bucketed token reduce
+    (carries int64 masks), one tiny mask-histogram merge; the pair table
+    is computed vectorized over ≤ 2^k histogram rows in the final task."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    srcs = (
+        ray.data.read_parquet(path, columns=["source"])
+        .map_batches(
+            lambda b: pd.DataFrame({"source": b["source"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["source"]
+        .unique()
+    )
+    sources = sorted(srcs)
+    if len(sources) > VOCAB_OVERLAP_MAX_SOURCES:
+        raise ValueError(
+            f"source_vocab_overlap: {len(sources)} sources exceed the "
+            f"{VOCAB_OVERLAP_MAX_SOURCES}-bit mask fold — restructure onto a "
+            "pairwise (source_a, source_b, token)-bucketed count path"
+        )
+    bit_of = {s: np.int64(1) << i for i, s in enumerate(sources)}
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split(" ").explode()
+        f = pd.DataFrame(
+            {"source": b["source"].loc[ex.index].to_numpy(), "t": ex.to_numpy()}
+        ).drop_duplicates()
+        f["m"] = f["source"].map(bit_of).astype("int64")
+        # distinct (source, token) ⇒ distinct bits ⇒ sum == bitwise OR
+        return f.groupby("t", as_index=False)["m"].sum()
+
+    def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
+        mask = g.groupby("t")["m"].agg(lambda v: np.bitwise_or.reduce(v.to_numpy()))
+        vc = mask.value_counts()
+        return pd.DataFrame(
+            {"mask": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+        )
+
+    hist = bucketed_group_agg(
+        ray.data.read_parquet(path, columns=["source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["t"], mask_hist, num_buckets=nb,
+    )
+
+    def hist_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("mask", as_index=False)["n"].sum()
+        return out.astype({"mask": "int64", "n": "int64"})
+
+    hist = bucketed_group_agg(hist, ["mask"], hist_merge, num_buckets=64)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        masks = b["mask"].to_numpy().astype("int64")
+        n = b["n"].to_numpy().astype("int64")
+        size = {
+            s: int(n[(masks >> i) & 1 == 1].sum()) for i, s in enumerate(sources)
+        }
+        rows = []
+        for i, sa in enumerate(sources):
+            for j in range(i + 1, len(sources)):
+                sb = sources[j]
+                both = ((masks >> i) & 1 == 1) & ((masks >> j) & 1 == 1)
+                inter = int(n[both].sum())
+                union = size[sa] + size[sb] - inter
+                rows.append(
+                    (sa, sb, inter, union, inter * 1_000_000 // union)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["source_a", "source_b", "n_inter", "n_union", "jaccard_ppm"],
+        ).astype({"n_inter": "int64", "n_union": "int64", "jaccard_ppm": "int64"})
+
+    return hist.repartition(1).map_batches(
+        pairs, batch_format="pandas", batch_size=None
+    )

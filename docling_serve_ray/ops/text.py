@@ -1533,3 +1533,152 @@ def hll_by_source(sf_dir: str) -> ray.data.Dataset:
         partial, batch_format="pandas"
     )
     return bucketed_group_agg(ds, ["source", "register"], merge, num_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM document scoring (CCNet/Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_PROB_SCORE_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+g AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(g.c) * 1000000000
+            // (CAST(count(*) AS HUGEINT) * (SELECT n_total FROM n))
+         AS BIGINT) AS mean_prob_ppb
+FROM w JOIN g ON w.token = g.token
+GROUP BY w.doc_id
+"""
+
+
+def unigram_prob_score(
+    sf_dir: str, *, broadcast_max_vocab: int = 2_000_000
+) -> ray.data.Dataset:
+    """Per-document unigram language-model score: the mean corpus
+    probability of the document's tokens, in exact integer ppb — the
+    CCNet / Gopher-family LM-based quality filter re-expressed so the
+    oracle hashes bit-exact (a float mean-log-prob is the trivial
+    variant; the integer mean-probability ranks documents by the same
+    common-vs-rare-token signal without cross-engine float drift).
+
+    Two passes, both thin:
+      1. global unigram counts — per-batch value_counts combiners into a
+         bucketed token reduce (exactly top_tokens' shuffle); N is the
+         one scalar driver value.
+      2. score attach — a document is ONE input row, so its token
+         multiset never splits across batches: with the vocabulary under
+         ``broadcast_max_vocab`` the counts broadcast once (ray.put) and
+         scoring is a single stateless map_batches with NO shuffle. Past
+         the gate (Heaps-law vocab beyond a worker), the tag-union
+         fallback runs: (doc_id, token, tf) rows bucket-join the count
+         rows on token, then one bucketed doc_id reduce re-assembles the
+         per-doc sums — two thin int64 shuffles (pmi_bigrams' pattern).
+
+    Overflow: per-doc sum(tf·c) ≤ n_doc_tokens·N — int64-safe through
+    N ≈ 9·10^15 tokens at 1k-token docs; the ×10^9 ppb scaling is done in
+    Python-int arithmetic per doc (mirrors the oracle's HUGEINT)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    docs = _docs(sf_dir)
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"t": vc.index, "pc": vc.to_numpy().astype("int64")})
+
+    def uni_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("t", as_index=False)["pc"].sum()
+        return out.rename(columns={"pc": "c"}).astype({"c": "int64"})
+
+    uni = bucketed_group_agg(
+        docs.map_batches(uni_partial, batch_format="pandas"),
+        ["t"], uni_reduce, num_buckets=nb,
+    ).materialize()
+    n_total = int(uni.sum("c"))
+
+    def finish(doc_ids, sums, ntoks) -> pd.DataFrame:
+        ppb = [
+            int(s) * 1_000_000_000 // (int(nt) * n_total)
+            for s, nt in zip(sums, ntoks)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype="int64"),
+                "n_tokens": np.asarray(ntoks, dtype="int64"),
+                "mean_prob_ppb": pd.array(ppb, dtype="int64"),
+            }
+        )
+
+    n_vocab = uni.count()
+    if n_vocab <= broadcast_max_vocab:
+        vocab = uni.to_pandas()
+        ref = ray.put(pd.Series(vocab["c"].astype("int64").to_numpy(),
+                                index=vocab["t"]))
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            cnt = ray.get(ref)
+            ex = b.set_index("doc_id")["text"].str.split(" ").explode()
+            cc = ex.map(cnt).astype("int64")
+            sums = cc.groupby(level=0).sum()
+            ntoks = ex.groupby(level=0).size()
+            return finish(sums.index, sums.to_numpy(), ntoks.to_numpy())
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    # tag-union fallback: token rows join counts in the token buckets,
+    # then per-doc sums re-assemble in doc_id buckets
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split(" ").explode()
+        f = pd.DataFrame(
+            {"doc_id": b["doc_id"].loc[ex.index].to_numpy(), "t": ex.to_numpy()}
+        )
+        g = f.groupby(["doc_id", "t"], as_index=False).size()
+        return g.rename(columns={"size": "tf"}).assign(_c=np.int64(-1)).astype(
+            {"doc_id": "int64", "tf": "int64"}
+        )
+
+    def tag_counts(u: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.int64(-1),
+                "t": u["t"],
+                "tf": np.int64(-1),
+                "_c": u["c"].astype("int64"),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.loc[g["_c"] >= 0].set_index("t")["_c"]
+        rows = g.loc[g["_c"] < 0]
+        return pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"].astype("int64"),
+                "tf": rows["tf"].astype("int64"),
+                "c": rows["t"].map(cnt).astype("int64"),
+            }
+        )
+
+    attached = bucketed_group_agg(
+        docs.map_batches(tf_rows, batch_format="pandas").union(
+            uni.map_batches(tag_counts, batch_format="pandas")
+        ),
+        ["t"], attach, num_buckets=nb,
+    )
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(s=b["tf"] * b["c"])
+        return b.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), nt=("tf", "sum")
+        )
+
+    def doc_final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("doc_id", as_index=False).agg(s=("s", "sum"), nt=("nt", "sum"))
+        return finish(a["doc_id"].to_numpy(), a["s"].to_numpy(), a["nt"].to_numpy())
+
+    return bucketed_group_agg(
+        attached, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
+    )

@@ -100,6 +100,9 @@ SUBSET = [
     "first_touch_attribution",
     "disjunctive_revenue",
     "event_transitions",
+    "unigram_prob_score",
+    "cross_source_dups",
+    "source_vocab_overlap",
 ]
 
 
@@ -112,6 +115,18 @@ def test_pmi_bigrams_shuffle_path_matches(ray_session, duck):
 
     got = _canon(pmi_bigrams(SF, broadcast_max_vocab=0).to_pandas())
     want = _canon(duck.sql(entrymod.oracle_sql()["pmi_bigrams"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_unigram_prob_score_shuffle_path_matches(ray_session, duck):
+    """Forcing the vocab past the broadcast gate routes the count attach
+    through the tag-union fallback (token buckets, then doc_id buckets) —
+    output must be identical to the oracle (and the broadcast path)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.text import unigram_prob_score
+
+    got = _canon(unigram_prob_score(SF, broadcast_max_vocab=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["unigram_prob_score"]).df())
     assert _hash(got) == _hash(want) and len(got) == len(want)
 
 
