@@ -77,9 +77,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": text.repetition_score,
         "lexical_stats": text.lexical_stats,
         "unigram_prob_score": text.unigram_prob_score,
+        "source_token_divergence": text.source_token_divergence,
         "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
+        "boilerplate_paragraphs": dedup.boilerplate_paragraphs,
         "paragraph_dedup": dedup.paragraph_dedup,
         "paragraph_dedup_apply": dedup.paragraph_dedup_apply,
         "prefix_dup": dedup.prefix_dup,
@@ -366,6 +368,7 @@ FROM w JOIN paras p USING (doc_id)
 def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.dedup import (
         EXACT_DEDUP_SQL,
+        BOILERPLATE_PARAGRAPHS_SQL,
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
         NGRAM_CONTAINMENT_SQL,
@@ -488,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         TOP_TOKENS_PER_LANG_SQL,
         LEXICAL_STATS_SQL,
         UNIGRAM_PROB_SCORE_SQL,
+        SOURCE_TOKEN_DIVERGENCE_SQL,
     )
 
     return {
@@ -542,8 +546,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": REPETITION_SCORE_SQL,
         "lexical_stats": LEXICAL_STATS_SQL,
         "unigram_prob_score": UNIGRAM_PROB_SCORE_SQL,
+        "source_token_divergence": SOURCE_TOKEN_DIVERGENCE_SQL,
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
+        "boilerplate_paragraphs": BOILERPLATE_PARAGRAPHS_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "paragraph_dedup_apply": PARAGRAPH_DEDUP_APPLY_SQL,
         "prefix_dup": PREFIX_DUP_SQL,

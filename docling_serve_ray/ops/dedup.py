@@ -1110,3 +1110,93 @@ def fuzzy_prefix_pairs(
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate report: the most-duplicated paragraphs across the corpus
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_TOP_K = 20
+
+BOILERPLATE_PARAGRAPHS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+p AS (
+  SELECT array_to_string(words[i*20+1 : (i+1)*20], ' ') AS para
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+),
+c AS (
+  SELECT md5(para) AS fp, MIN(para) AS para, CAST(count(*) AS BIGINT) AS n_copies
+  FROM p GROUP BY md5(para)
+)
+SELECT fp, para, n_copies,
+       CAST(row_number() OVER (ORDER BY n_copies DESC, fp) AS BIGINT) AS rank
+FROM c WHERE n_copies >= 2
+QUALIFY row_number() OVER (ORDER BY n_copies DESC, fp) <= 20
+"""
+
+
+def boilerplate_paragraphs(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 most-duplicated paragraphs — the boilerplate detector
+    (navigation chrome, license blurbs, cookie banners surface exactly
+    here; CCNet strips them by this signal). Same 20-word paragraph units
+    and md5 fingerprints as paragraph_dedup; the shuffle carries
+    (fp, para, partial count) where para is ≤ 20 words — a bounded
+    payload, and fp→para is 1:1 so MIN(para) is deterministic on both
+    engines. Per-bucket top-k candidates (n_copies ≥ 2) feed one tiny
+    final merge of buckets×k rows."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        fps: list = []
+        paras: list = []
+        for text in batch["text"]:
+            words = text.split(" ")
+            n_paras = (len(words) - 1) // PARA_WORDS + 1
+            for i in range(n_paras):
+                seg = " ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS])
+                fps.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                paras.append(seg)
+        f = pd.DataFrame({"fp": fps, "para": paras})
+        return f.groupby("fp", as_index=False).agg(
+            para=("para", "min"), pn=("para", "size")
+        ).astype({"pn": "int64"})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fp", as_index=False).agg(
+            para=("para", "min"), n_copies=("pn", "sum")
+        )
+        out = out.loc[out["n_copies"] >= 2].astype({"n_copies": "int64"})
+        return out.sort_values(
+            ["n_copies", "fp"], ascending=[False, True]
+        ).head(BOILERPLATE_TOP_K)
+
+    cands = bucketed_group_agg(
+        ray.data.read_parquet(path, columns=["text"]).map_batches(
+            explode, batch_format="pandas"
+        ),
+        ["fp"], per_bucket, num_buckets=nb,
+    )
+
+    def final_top(b: pd.DataFrame) -> pd.DataFrame:
+        top = b.sort_values(["n_copies", "fp"], ascending=[False, True]).head(
+            BOILERPLATE_TOP_K
+        )
+        return pd.DataFrame(
+            {
+                "fp": top["fp"].to_numpy(),
+                "para": top["para"].to_numpy(),
+                "n_copies": top["n_copies"].astype("int64").to_numpy(),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            }
+        )
+
+    return cands.repartition(1).map_batches(
+        final_top, batch_format="pandas", batch_size=None
+    )

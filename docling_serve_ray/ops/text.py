@@ -1682,3 +1682,117 @@ def unigram_prob_score(
     return bucketed_group_agg(
         attached, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution divergence (total variation, integer-exact)
+# ---------------------------------------------------------------------------
+
+SOURCE_TOKEN_DIVERGENCE_SQL = """
+WITH w AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+cs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY source, token),
+ct AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY token),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY source),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+dev AS (
+  SELECT cs.source,
+         SUM(abs(CAST(cs.c AS HUGEINT) * (SELECT n FROM nn)
+                 - CAST(ct.c AS HUGEINT) * ns.n)) AS dev_in,
+         SUM(CAST(ct.c AS HUGEINT)) AS cov
+  FROM cs JOIN ct ON cs.token = ct.token JOIN ns ON ns.source = cs.source
+  GROUP BY cs.source
+)
+SELECT d.source,
+       ns.n AS n_tokens,
+       CAST((d.dev_in + ((SELECT n FROM nn) - d.cov) * CAST(ns.n AS HUGEINT))
+            * 1000000 // (2 * CAST(ns.n AS HUGEINT) * (SELECT n FROM nn))
+         AS BIGINT) AS tv_ppm
+FROM dev d JOIN ns ON ns.source = d.source
+"""
+
+
+def source_token_divergence(sf_dir: str) -> ray.data.Dataset:
+    """Per-source total-variation distance between the source's token
+    distribution and the whole-corpus distribution, in exact integer ppm —
+    the domain-shift diagnostic for corpus mixing (a source with high TV
+    is lexically unlike the blend; KL/χ² rank the same way but need
+    floats). TV = ½ Σ_t |p_s(t) − p(t)|; tokens ABSENT from a source
+    contribute Σ_{t∉s} p(t) = (N − Σ_{t∈s} c_t)/N, so the whole statistic
+    needs only the (source, token) rows that EXIST — never a source ×
+    vocab cross product.
+
+    Scale shape: one tiny pre-pass reduces per-source token totals
+    (|sources| rows, broadcast as scalars); the main pass buckets
+    (source, token, partial-count) rows BY TOKEN, so each bucket holds
+    every source's count AND the implied global count for its tokens —
+    cs and ct co-locate for free and no second join runs. Per-(bucket,
+    source) partial deviations are exact Python ints (products reach
+    N² ≈ 10^26 at corpus scale — past int64, mirroring the oracle's
+    HUGEINT) carried as decimal strings through the final |sources|-row
+    merge."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["source", "text"])
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def st_counts(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split(" ").explode()
+        f = pd.DataFrame(
+            {"source": b["source"].loc[ex.index].to_numpy(), "t": ex.to_numpy()}
+        )
+        out = f.groupby(["source", "t"], as_index=False).size()
+        return out.rename(columns={"size": "pc"}).astype({"pc": "int64"})
+
+    counted = docs.map_batches(st_counts, batch_format="pandas")
+
+    # pre-pass: per-source token totals (a |sources|-row dimension)
+    totals = (
+        counted.map_batches(
+            lambda b: b.groupby("source", as_index=False)["pc"].sum(),
+            batch_format="pandas",
+        )
+        .groupby("source")
+        .aggregate(Sum("pc", alias_name="n"))
+        .to_pandas()
+    )
+    n_s = dict(zip(totals["source"], totals["n"].astype("int64")))
+    n_total = int(totals["n"].sum())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cs = g.groupby(["source", "t"], as_index=False)["pc"].sum()
+        ct = cs.groupby("t")["pc"].sum()  # bucket owns its tokens fully
+        c_st = cs["pc"].to_numpy()
+        c_t = ct.loc[cs["t"]].to_numpy()
+        rows = []
+        for src, grp in cs.assign(_ct=c_t, _cst=c_st).groupby("source"):
+            ns = int(n_s[src])
+            dev = sum(
+                abs(int(a) * n_total - int(b) * ns)
+                for a, b in zip(grp["_cst"], grp["_ct"])
+            )
+            cov = int(grp["_ct"].sum())
+            rows.append((src, str(dev), str(cov)))
+        return pd.DataFrame(rows, columns=["source", "dev_in", "cov"])
+
+    partials = bucketed_group_agg(counted, ["t"], per_bucket, num_buckets=nb)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, grp in b.groupby("source"):
+            ns = int(n_s[src])
+            dev_in = sum(int(x) for x in grp["dev_in"])
+            cov = sum(int(x) for x in grp["cov"])
+            tv = (dev_in + (n_total - cov) * ns) * 1_000_000 // (2 * ns * n_total)
+            rows.append((src, ns, tv))
+        return pd.DataFrame(rows, columns=["source", "n_tokens", "tv_ppm"]).astype(
+            {"n_tokens": "int64", "tv_ppm": "int64"}
+        )
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

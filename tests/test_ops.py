@@ -103,6 +103,8 @@ SUBSET = [
     "unigram_prob_score",
     "cross_source_dups",
     "source_vocab_overlap",
+    "boilerplate_paragraphs",
+    "source_token_divergence",
 ]
 
 
