@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_report": curation.curation_report,
         "cross_source_dups": curation.cross_source_dups,
         "source_vocab_overlap": curation.source_vocab_overlap,
+        "doc_keywords": curation.doc_keywords,
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
         "weighted_mix": curation.weighted_mix,
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": analytics.volume_shipping,
         "linestatus_priority": analytics.linestatus_priority,
         "disjunctive_revenue": analytics.disjunctive_revenue,
+        "copurchase_pairs": analytics.copurchase_pairs,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -390,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         CURATION_REPORT_SQL,
         CROSS_SOURCE_DUPS_SQL,
         SOURCE_VOCAB_OVERLAP_SQL,
+        DOC_KEYWORDS_SQL,
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
@@ -422,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         VOLUME_SHIPPING_SQL,
         LINESTATUS_PRIORITY_SQL,
         DISJUNCTIVE_REVENUE_SQL,
+        COPURCHASE_PAIRS_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -566,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_report": CURATION_REPORT_SQL,
         "cross_source_dups": CROSS_SOURCE_DUPS_SQL,
         "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
+        "doc_keywords": DOC_KEYWORDS_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,
@@ -628,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "volume_shipping": VOLUME_SHIPPING_SQL,
         "linestatus_priority": LINESTATUS_PRIORITY_SQL,
         "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
+        "copurchase_pairs": COPURCHASE_PAIRS_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

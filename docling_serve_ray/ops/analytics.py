@@ -1701,3 +1701,83 @@ def disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
         ).astype({"revenue_c": "int64", "n_lines": "int64"})
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- market-basket: co-purchased part-type pairs ----------------------------------
+
+COPURCHASE_PAIRS_SQL = """
+WITH lt AS (
+  SELECT DISTINCT l.l_orderkey, p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_type AS type_a, b.p_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM lt a JOIN lt b ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+GROUP BY a.p_type, b.p_type
+"""
+
+
+def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket co-occurrence: for every (type_a < type_b) pair of
+    part types, how many orders contain BOTH — the frequent-itemset /
+    association-mining primitive (2-itemset support counts). The part
+    dimension collapses to one broadcast (partkey → type, size-gated);
+    per-batch combiners emit distinct (orderkey, type) rows, ONE bucketed
+    shuffle on orderkey co-locates each basket, and pair expansion is
+    basket-local — C(k,2) with k ≤ |types| (a bounded taxonomy), so the
+    final aggregate is |types|²-bounded regardless of corpus size."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ref = _broadcast_dim(f"{sf_dir}/part.parquet", "p_partkey", "p_type")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = _lookup(ref, b["l_partkey"].to_numpy())
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].astype("int64"), "p_type": t}
+        ).dropna().drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "p_type"]).sort_values(
+            ["l_orderkey", "p_type"], kind="stable"
+        )
+        baskets = g.groupby("l_orderkey", sort=False)["p_type"].agg(list)
+        multi = baskets[baskets.str.len() >= 2]
+        rows = [
+            (a, b)
+            for types in multi
+            for i, a in enumerate(types)
+            for b in types[i + 1 :]
+        ]
+        if not rows:
+            return pd.DataFrame(
+                {"type_a": pd.Series(dtype="object"),
+                 "type_b": pd.Series(dtype="object"),
+                 "pn": pd.Series(dtype="int64")}
+            )
+        f = pd.DataFrame(rows, columns=["type_a", "type_b"])
+        out = f.groupby(["type_a", "type_b"], as_index=False).size()
+        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/lineitem.parquet"))
+    partials = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["l_orderkey"], per_bucket,
+        num_buckets=nb,
+    )
+    agg = partials.groupby(["type_a", "type_b"]).aggregate(
+        _Sum("pn", alias_name="n_orders")
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "type_a": b["type_a"],
+                "type_b": b["type_b"],
+                "n_orders": b["n_orders"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -1527,3 +1527,96 @@ def source_vocab_overlap(sf_dir: str) -> ray.data.Dataset:
     return hist.repartition(1).map_batches(
         pairs, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction (tf-idf, integer idf surrogate)
+# ---------------------------------------------------------------------------
+
+DOC_KEYWORDS_K = 3
+
+DOC_KEYWORDS_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (SELECT n FROM n) // df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (SELECT n FROM n) // df.df DESC, tf.term
+         ) AS rk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
+       CAST(rk AS BIGINT) AS rank
+FROM s WHERE rk <= 3
+"""
+
+
+def doc_keywords(sf_dir: str) -> ray.data.Dataset:
+    """Per-document keyword extraction: the top-3 terms by tf·idf, with
+    idf as the exact integer surrogate ``N_docs // df`` folded into
+    ``tf * N // df`` (same ranking signal as tf·log(N/df) for fixed tf;
+    integers hash identically across engines, float logs do not). This is
+    tfidf_top_terms' corpus statistic turned per-document — the tagging /
+    routing signal a curation pipeline attaches before mixing.
+
+    Scale shape: tf rows are batch-local (a document is one input row);
+    ONE bucketed shuffle on the term computes df AND attaches it in place
+    (the bucket owns each term fully — no separate join); per-batch
+    partial top-3-per-doc combiners shrink the doc-bucketed final reduce
+    (top-k of partial top-ks is exact). All shuffles carry thin
+    (id, term, int64) rows."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split(" ").explode()
+        f = pd.DataFrame(
+            {"doc_id": b["doc_id"].loc[ex.index].to_numpy(), "term": ex.to_numpy()}
+        )
+        out = f.groupby(["doc_id", "term"], as_index=False).size()
+        return out.rename(columns={"size": "tf"}).astype(
+            {"doc_id": "int64", "tf": "int64"}
+        )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("term")["doc_id"].size()  # bucket owns its terms fully
+        return g.assign(df=g["term"].map(df).astype("int64"))
+
+    scored = bucketed_group_agg(
+        docs.map_batches(tf_rows, batch_format="pandas"), ["term"], attach_df,
+        num_buckets=nb,
+    )
+
+    def topk(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.assign(score=(f["tf"] * n_docs) // f["df"])
+        f = f.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="stable")
+        return f.groupby("doc_id", sort=False).head(DOC_KEYWORDS_K)
+
+    def per_doc_final(g: pd.DataFrame) -> pd.DataFrame:
+        t = topk(g)
+        t = t.assign(rank=t.groupby("doc_id", sort=False).cumcount() + 1)
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].astype("int64").to_numpy(),
+                "term": t["term"].to_numpy(),
+                "tf": t["tf"].astype("int64").to_numpy(),
+                "df": t["df"].astype("int64").to_numpy(),
+                "score": t["score"].astype("int64").to_numpy(),
+                "rank": t["rank"].astype("int64").to_numpy(),
+            }
+        )
+
+    return bucketed_group_agg(
+        scored, ["doc_id"], per_doc_final, partial_fn=topk, num_buckets=nb
+    )

@@ -105,6 +105,8 @@ SUBSET = [
     "source_vocab_overlap",
     "boilerplate_paragraphs",
     "source_token_divergence",
+    "copurchase_pairs",
+    "doc_keywords",
 ]
 
 
