@@ -52,7 +52,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
-CORPUS_DIR = f"/tmp/graft_bench_corpus_{N_DOCS}"
+# _v2: corpus generator gained yaml/toml formats (round 5) — the cache key
+# must change with generate_doc, or a stale cached corpus would carry
+# expected spans from the previous generator version
+CORPUS_DIR = f"/tmp/graft_bench_corpus_{N_DOCS}_v2"
 
 BENCH_QUERIES = [
     "convert_spans",
@@ -149,6 +152,17 @@ BENCH_QUERIES = [
     "fuzzy_prefix_pairs",
     "volume_shipping",
     "linestatus_priority",
+    # round-5 additions
+    "first_touch_attribution",
+    "disjunctive_revenue",
+    "event_transitions",
+    "unigram_prob_score",
+    "cross_source_dups",
+    "source_vocab_overlap",
+    "boilerplate_paragraphs",
+    "source_token_divergence",
+    "copurchase_pairs",
+    "doc_keywords",
 ]
 
 

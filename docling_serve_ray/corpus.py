@@ -346,9 +346,9 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
             # 500× the synthetic-format kernels — so its corpus share is
             # kept small enough not to dominate the flagship wall time
             # while still exercising the foreign backend end to end
-            ("html", 0.28), ("pdf", 0.28), ("docx", 0.12), ("md", 0.05),
+            ("html", 0.27), ("pdf", 0.27), ("docx", 0.12), ("md", 0.05),
             ("pptx", 0.09), ("xlsx", 0.06), ("asciidoc", 0.05), ("image", 0.05),
-            ("rst", 0.01), ("csv", 0.01),
+            ("rst", 0.01), ("csv", 0.01), ("yaml", 0.01), ("toml", 0.01),
         ],
     )
     lang = _pick(rng, [("en", 0.6), ("ar", 0.25), ("el", 0.15)])
@@ -439,6 +439,44 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
         content = [{"kind": "table", "text": grid, "media_ref": f"media-{doc_id}-0"}]
         raw = content
         payload = render_csv(content)
+        expected = content
+    elif fmt in ("yaml", "toml"):
+        # config documents: root pairs then [section] tables, 2-level,
+        # unique keys per mapping; values are int literals or word phrases
+        from .kernels.configfmt import render_toml, render_yaml
+
+        pool = WORD_POOLS[lang]
+        kseq = 0
+
+        def _key() -> str:
+            nonlocal kseq
+            kseq += 1
+            return f"{rng.choice(pool)}_{kseq}"
+
+        def _val() -> str:
+            if rng.random() < 0.5:
+                return str(rng.randint(0, 99999))
+            return " ".join(rng.choice(pool) for _ in range(rng.randint(2, 4)))
+
+        content = []
+        budget = max(2, min(n_spans, 60))
+        for _ in range(rng.randint(0, 3)):  # root pairs come FIRST (TOML rule)
+            content.append(
+                {"kind": "list_item", "text": f"{_key()} = {_val()}", "media_ref": ""}
+            )
+        while len(content) < budget:
+            content.append(
+                {"kind": "section_header", "text": _key(), "media_ref": ""}
+            )
+            for _ in range(rng.randint(1, 8)):
+                content.append(
+                    {"kind": "list_item", "text": f"{_key()} = {_val()}", "media_ref": ""}
+                )
+        content = content[:budget]
+        if content[-1]["kind"] == "section_header" and len(content) > 1:
+            content.pop()  # a trailing empty section cannot round-trip
+        raw = content
+        payload = render_yaml(content) if fmt == "yaml" else render_toml(content)
         expected = content
     else:
         from .kernels.office import render_markdown_doc

@@ -150,6 +150,16 @@ def convert_document(
             from .rst import parse_rst
 
             spans = parse_rst(payload, doc_id)
+        elif fmt == "yaml":
+            # REAL foreign backend (PyYAML CSafeLoader) — see kernels/configfmt.py
+            from .configfmt import parse_yaml
+
+            spans = parse_yaml(payload, doc_id)
+        elif fmt == "toml":
+            # REAL foreign backend (stdlib tomllib) — see kernels/configfmt.py
+            from .configfmt import parse_toml
+
+            spans = parse_toml(payload, doc_id)
         elif fmt == "md":
             spans = parse_markdown_doc(payload, doc_id)
         else:

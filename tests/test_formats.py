@@ -11,7 +11,7 @@ from docling_serve_ray.options import DEFAULT_OPTIONS, JobOptions
 
 REV = build_reverse_codebook()
 
-ALL_FORMATS = ("html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst", "csv")
+ALL_FORMATS = ("html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst", "csv", "yaml", "toml")
 
 
 def _docs_of_format(fmt, n=8, limit=3000):
@@ -272,3 +272,69 @@ class TestCsvRobustness:
         )
         assert row["status"] == "success"
         assert row["spans"][0]["kind"] == "table"
+
+
+class TestConfigFormats:
+    """yaml/toml: the 5th/6th real foreign-backend seams (PyYAML,
+    stdlib tomllib)."""
+
+    def _convert(self, fmt, payload):
+        from docling_serve_ray.kernels.document import convert_document
+
+        return convert_document(
+            "dcfg", fmt, payload, "en", DEFAULT_OPTIONS, REV
+        )
+
+    def test_yaml_roundtrip_with_unicode_keys(self):
+        from docling_serve_ray.kernels.configfmt import render_yaml
+
+        spans = [
+            {"kind": "list_item", "text": "root_k = 42"},
+            {"kind": "section_header", "text": "τμήμα"},
+            {"kind": "list_item", "text": "λέξη = some phrase"},
+            {"kind": "list_item", "text": "n = -7"},
+        ]
+        row = self._convert("yaml", render_yaml(spans))
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    def test_toml_roundtrip_with_quoted_keys(self):
+        from docling_serve_ray.kernels.configfmt import render_toml
+
+        spans = [
+            {"kind": "list_item", "text": "قيمة = 13"},
+            {"kind": "section_header", "text": "section-a"},
+            {"kind": "list_item", "text": "word = δύο λέξεις"},
+        ]
+        row = self._convert("toml", render_toml(spans))
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    def test_malformed_payloads_are_failure_rows(self):
+        for fmt, payload, err in (
+            ("yaml", b"a: [unclosed", "Error"),
+            ("yaml", b"- 1\n- 2\n", "mapping"),  # root is a list, not a mapping
+            ("toml", b"key without equals\n", "Error"),
+            ("toml", b"\xff\xfe\x00bad", "UnicodeDecodeError"),
+        ):
+            row = self._convert(fmt, payload)
+            assert row["status"] == "failure", (fmt, payload)
+            assert err in str(row["errors"]), (fmt, row["errors"])
+
+    def test_foreign_nesting_flattens_deterministically(self):
+        """Depth-3 mappings and lists (never generator-emitted) still
+        produce a stable span sequence: dotted paths and [i] indices."""
+        row = self._convert(
+            "yaml", b"top:\n  inner:\n    a: 1\n  arr:\n    - x\n    - y\n"
+        )
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            ("section_header", "top"),
+            ("list_item", "inner.a = 1"),
+            ("list_item", "arr[0] = x"),
+            ("list_item", "arr[1] = y"),
+        ]
