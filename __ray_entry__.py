@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "first_touch_attribution": relational.first_touch_attribution,
         "event_transitions": relational.event_transitions,
+        "orphan_audit": relational.orphan_audit,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linestatus_priority": analytics.linestatus_priority,
         "disjunctive_revenue": analytics.disjunctive_revenue,
         "copurchase_pairs": analytics.copurchase_pairs,
+        "region_share": analytics.region_share,
+        "yoy_growth": analytics.yoy_growth,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -426,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
         LINESTATUS_PRIORITY_SQL,
         DISJUNCTIVE_REVENUE_SQL,
         COPURCHASE_PAIRS_SQL,
+        REGION_SHARE_SQL,
+        YOY_GROWTH_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -462,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         BLOOM_SEMI_JOIN_SQL,
         FIRST_TOUCH_ATTRIBUTION_SQL,
         EVENT_TRANSITIONS_SQL,
+        ORPHAN_AUDIT_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -614,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
         "event_transitions": EVENT_TRANSITIONS_SQL,
+        "orphan_audit": ORPHAN_AUDIT_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -634,6 +641,8 @@ def oracle_sql() -> dict[str, str]:
         "linestatus_priority": LINESTATUS_PRIORITY_SQL,
         "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
         "copurchase_pairs": COPURCHASE_PAIRS_SQL,
+        "region_share": REGION_SHARE_SQL,
+        "yoy_growth": YOY_GROWTH_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

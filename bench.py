@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "source_token_divergence",
     "copurchase_pairs",
     "doc_keywords",
+    "orphan_audit",
+    "region_share",
+    "yoy_growth",
 ]
 
 

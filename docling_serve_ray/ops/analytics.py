@@ -1781,3 +1781,153 @@ def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- window share-of-total: nation revenue share within region --------------------
+
+REGION_SHARE_SQL = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, CAST(revenue_c AS BIGINT) AS revenue_c,
+       CAST(revenue_c * 1000000 // SUM(revenue_c) OVER (PARTITION BY r_name)
+         AS BIGINT) AS share_ppm
+FROM rev
+"""
+
+
+def region_share(sf_dir: str) -> ray.data.Dataset:
+    """Share-of-total window: each nation's revenue as ppm of its REGION's
+    revenue — SUM() OVER (PARTITION BY) re-expressed Ray-Data-first. The
+    three dimension hops compose into ONE broadcast (custkey → (region,
+    nation) names, built driver-side from the three small dims — customer
+    is size-gated by _broadcast_dim's contract); the fact table streams
+    through per-batch partials keyed by the 25-row (region, nation)
+    domain, and the window itself runs on that calendar-bounded aggregate
+    in one final task — a share-of-total never needs a second fact pass."""
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    pair_of = {
+        int(k): (r, n)
+        for k, r, n in zip(nat["n_nationkey"], nat["r_name"], nat["n_name"])
+    }
+    ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet",
+        "c_custkey",
+        # "|" separator, NOT "\x00": Ray 2.49's sort-based aggregate
+        # mis-partitions NUL-bearing string keys across multi-block
+        # shuffles (observed: 25 keys -> 23 rows with scrambled sums);
+        # dimension names here never contain "|"
+        lambda df: df["c_nationkey"].map(
+            {k: f"{r}|{n}" for k, (r, n) in pair_of.items()}
+        ).to_numpy(dtype=object),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pair = _lookup(ref, b["o_custkey"].to_numpy())
+        cents = _cents(b["o_totalprice"])
+        g = (
+            pd.DataFrame({"pair": pair, "p_rev": cents})
+            .groupby("pair", as_index=False)["p_rev"].sum()
+        )
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("p_rev", alias_name="revenue_c"))
+    )
+
+    def window(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["pair"].str.split("|", n=1, expand=True)
+        f = pd.DataFrame(
+            {
+                "r_name": parts[0],
+                "n_name": parts[1],
+                "revenue_c": b["revenue_c"].astype("int64"),
+            }
+        )
+        tot = f.groupby("r_name")["revenue_c"].transform("sum")
+        f["share_ppm"] = (f["revenue_c"] * 1_000_000 // tot).astype("int64")
+        return f
+
+    return agg.repartition(1).map_batches(
+        window, batch_format="pandas", batch_size=None
+    )
+
+
+# --- year-over-year growth --------------------------------------------------------
+
+YOY_GROWTH_SQL = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_c
+  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT a.mkey, CAST(a.revenue_c AS BIGINT) AS revenue_c,
+       CAST(b.revenue_c AS BIGINT) AS prev_year_c,
+       CAST((a.revenue_c - b.revenue_c) * 1000000 // b.revenue_c AS BIGINT)
+         AS growth_ppm
+FROM m a JOIN m b ON b.mkey = a.mkey - 12
+"""
+
+
+def yoy_growth(sf_dir: str) -> ray.data.Dataset:
+    """Year-over-year monthly revenue growth (ppm, exact integer): the
+    LAG(12) window expressed as a self-join on a shifted calendar key —
+    robust to gap months, and the join runs on the CALENDAR-BOUNDED
+    monthly aggregate (≤ 12 rows per year of data) in one final task.
+    The fact pass is per-batch month partials; nothing else shuffles."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mkey = (
+            b["o_orderdate"].dt.year * 12 + b["o_orderdate"].dt.month
+        ).astype("int64")
+        cents = _cents(b["o_totalprice"])
+        return (
+            pd.DataFrame({"mkey": mkey, "p_rev": cents})
+            .groupby("mkey", as_index=False)["p_rev"].sum()
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("mkey")
+        .aggregate(Sum("p_rev", alias_name="revenue_c"))
+    )
+
+    def join_prev(b: pd.DataFrame) -> pd.DataFrame:
+        cur = b.assign(revenue_c=b["revenue_c"].astype("int64"))
+        prev = cur.rename(columns={"revenue_c": "prev_year_c"}).assign(
+            mkey=cur["mkey"] + 12
+        )
+        f = cur.merge(prev, on="mkey")
+        # DuckDB's integer "//" TRUNCATES toward zero (-7//2 = -3);
+        # Python/numpy floor-divide would floor (-4) — match by trunc
+        num = (f["revenue_c"] - f["prev_year_c"]) * 1_000_000
+        den = f["prev_year_c"]
+        f["growth_ppm"] = (np.sign(num) * (np.abs(num) // den)).astype("int64")
+        return f[["mkey", "revenue_c", "prev_year_c", "growth_ppm"]].astype(
+            {"mkey": "int64", "prev_year_c": "int64"}
+        )
+
+    return agg.repartition(1).map_batches(
+        join_prev, batch_format="pandas", batch_size=None
+    )

@@ -2821,3 +2821,81 @@ def event_transitions(
         ),
         batch_format="pandas",
     )
+
+
+# --- referential-integrity audit (full outer join shape) -------------------------
+
+ORPHAN_AUDIT_SQL = """
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+)
+SELECT
+  CAST(count(*) FILTER (c.c_custkey IS NOT NULL AND oc.o_custkey IS NOT NULL)
+    AS BIGINT) AS n_matched_customers,
+  CAST(count(*) FILTER (oc.o_custkey IS NULL) AS BIGINT) AS n_customers_no_orders,
+  CAST(COALESCE(SUM(oc.n) FILTER (c.c_custkey IS NULL), 0) AS BIGINT)
+    AS n_orphan_orders
+FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+"""
+
+
+def orphan_audit(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit — the FULL OUTER JOIN shape: customers
+    matched by ≥1 order, customers with no orders, and order rows whose
+    custkey has no customer (asserting the last is ZERO is the audit's
+    point). Both sides collapse to per-key partials before the shuffle
+    (customer → presence row, orders → per-batch counts), ride ONE
+    bucketed tag-union on custkey — the same sentinel-tag machinery as
+    anti_join — and each bucket emits three partial counters; the final
+    reduce is a 3-int sum."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet")
+    )
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": b["c_custkey"].astype("int64"), "n": np.int64(-1)}
+        )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {"k": g["o_custkey"].astype("int64"), "n": g["size"].astype("int64")}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized two-sided membership — never a per-key Python agg
+        cust_keys = pd.Index(g.loc[g["n"] < 0, "k"].unique())
+        ord_side = g.loc[g["n"] >= 0]
+        ord_counts = ord_side.groupby("k")["n"].sum()
+        in_cust = ord_counts.index.isin(cust_keys)
+        matched = int(in_cust.sum())
+        no_orders = int(len(cust_keys)) - int(cust_keys.isin(ord_counts.index).sum())
+        orphans = int(ord_counts[~in_cust].sum())
+        return pd.DataFrame(
+            {"p_m": [matched], "p_no": [no_orders], "p_or": [orphans]}
+        ).astype("int64")
+
+    partials = bucketed_group_agg(
+        cust.map_batches(tag_cust, batch_format="pandas").union(
+            orders.map_batches(tag_orders, batch_format="pandas")
+        ),
+        ["k"], per_bucket, num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_matched_customers": [int(b["p_m"].sum())],
+                "n_customers_no_orders": [int(b["p_no"].sum())],
+                "n_orphan_orders": [int(b["p_or"].sum())],
+            }
+        ).astype("int64")
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

@@ -107,6 +107,9 @@ SUBSET = [
     "source_token_divergence",
     "copurchase_pairs",
     "doc_keywords",
+    "orphan_audit",
+    "region_share",
+    "yoy_growth",
 ]
 
 
