@@ -1672,3 +1672,25 @@ def test_fuzzy_prefix_pairs_pigeonhole_completeness(ray_session, tmp_path):
     assert (0, 3) not in pairs and (4, 3) not in pairs  # d=3 excluded
     assert (1, 2) not in pairs  # d=4 (disjoint mutations) stays out
     assert (5, 0) not in pairs
+
+
+def test_source_vocab_overlap_mask_gate_raises(ray_session, tmp_path):
+    """>63 sources exceed the int64 bitmask fold — the op must refuse
+    loudly (scale contract), never silently truncate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import source_vocab_overlap
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(70), pa.int64()),
+                "source": pa.array([f"s{i}" for i in range(70)]),
+                "text": pa.array(["alpha beta"] * 70),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with pytest.raises(ValueError, match="mask fold"):
+        source_vocab_overlap(str(tmp_path))
