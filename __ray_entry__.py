@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": curation.cross_source_dups,
         "source_vocab_overlap": curation.source_vocab_overlap,
         "doc_keywords": curation.doc_keywords,
+        "normalized_dedup": curation.normalized_dedup,
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
         "weighted_mix": curation.weighted_mix,
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         CROSS_SOURCE_DUPS_SQL,
         SOURCE_VOCAB_OVERLAP_SQL,
         DOC_KEYWORDS_SQL,
+        NORMALIZED_DEDUP_SQL,
         DUP_NGRAM_COVERAGE_SQL,
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
@@ -577,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": CROSS_SOURCE_DUPS_SQL,
         "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
         "doc_keywords": DOC_KEYWORDS_SQL,
+        "normalized_dedup": NORMALIZED_DEDUP_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "orphan_audit",
     "region_share",
     "yoy_growth",
+    "normalized_dedup",
 ]
 
 

@@ -1620,3 +1620,78 @@ def doc_keywords(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         scored, ["doc_id"], per_doc_final, partial_fn=topk, num_buckets=nb
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup (NFC + whitespace collapse before hashing)
+# ---------------------------------------------------------------------------
+
+NORMALIZED_DEDUP_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, replace(text, ' ', '  ') FROM documents
+  WHERE doc_id % 5 = 0
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS norm
+  FROM aug
+)
+SELECT md5(norm) AS fp, MIN(doc_id) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM n GROUP BY md5(norm)
+"""
+
+
+def normalized_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup AFTER canonical text normalization (Unicode NFC +
+    whitespace-run collapse + strip — normalize_text's exact rule): the
+    curation pass that catches re-serialized copies raw byte-hash dedup
+    misses (same content, different whitespace). The corpus has no natural
+    such pairs, so every 5th doc is mirrored with doubled spaces ON BOTH
+    ENGINES (exact_dedup's augment trick) — the mirror lands in its
+    original's group here, which raw exact_dedup provably does not do.
+    Same scale shape as exact_dedup: per-batch (fp, min-keeper, count)
+    combiners → one bucketed (fp) reduce; text never crosses the wire.
+    Case folding is deliberately NOT applied: Python str casing uses full
+    Unicode mappings (ß→SS, final sigma) where DuckDB's utf8proc uses
+    simple ones — a silent cross-engine divergence this suite's
+    integer/bit-exact contract forbids."""
+    import unicodedata
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    ws = _WS_RE
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].tolist()
+        texts = b["text"].tolist()
+        m = [(d, t) for d, t in zip(ids, texts) if d % 5 == 0]
+        ids += [d + 2_000_000 for d, _ in m]
+        texts += [t.replace(" ", "  ") for _, t in m]
+        fps = [
+            hashlib.md5(
+                ws.sub(" ", unicodedata.normalize("NFC", t)).strip(" ").encode("utf-8")
+            ).hexdigest()
+            for t in texts
+        ]
+        f = pd.DataFrame({"fp": fps, "doc_id": pd.Series(ids, dtype="int64")})
+        return f.groupby("fp", as_index=False).agg(
+            keeper=("doc_id", "min"), pn=("doc_id", "size")
+        ).astype({"keeper": "int64", "pn": "int64"})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fp", as_index=False).agg(
+            keeper=("keeper", "min"), n_copies=("pn", "sum")
+        )
+        return out.astype({"keeper": "int64", "n_copies": "int64"})
+
+    return bucketed_group_agg(
+        ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["fp"], per_bucket, num_buckets=nb,
+    )

@@ -110,6 +110,7 @@ SUBSET = [
     "orphan_audit",
     "region_share",
     "yoy_growth",
+    "normalized_dedup",
 ]
 
 
