@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": analytics.copurchase_pairs,
         "region_share": analytics.region_share,
         "yoy_growth": analytics.yoy_growth,
+        "segment_value_quintiles": analytics.segment_value_quintiles,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         COPURCHASE_PAIRS_SQL,
         REGION_SHARE_SQL,
         YOY_GROWTH_SQL,
+        SEGMENT_VALUE_QUINTILES_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -646,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pairs": COPURCHASE_PAIRS_SQL,
         "region_share": REGION_SHARE_SQL,
         "yoy_growth": YOY_GROWTH_SQL,
+        "segment_value_quintiles": SEGMENT_VALUE_QUINTILES_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

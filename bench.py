@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "region_share",
     "yoy_growth",
     "normalized_dedup",
+    "segment_value_quintiles",
 ]
 
 

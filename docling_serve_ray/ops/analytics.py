@@ -1931,3 +1931,181 @@ def yoy_growth(sf_dir: str) -> ray.data.Dataset:
     return agg.repartition(1).map_batches(
         join_prev, batch_format="pandas", batch_size=None
     )
+
+
+# --- partitioned exact ntile: lifetime-value quintiles WITHIN each segment -------
+
+SEGMENT_VALUE_QUINTILES_SQL = """
+WITH mon AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_mktsegment, m.o_custkey, m.monetary_c
+  FROM mon m JOIN customer c ON c.c_custkey = m.o_custkey
+),
+r AS (
+  SELECT c_mktsegment, monetary_c,
+         row_number() OVER (
+           PARTITION BY c_mktsegment ORDER BY monetary_c, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment, CAST((rn - 1) * 5 // n AS BIGINT) AS quintile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(monetary_c) AS BIGINT) AS min_monetary_c,
+       CAST(max(monetary_c) AS BIGINT) AS max_monetary_c,
+       CAST(sum(monetary_c) AS BIGINT) AS sum_monetary_c
+FROM r GROUP BY c_mktsegment, (rn - 1) * 5 // n
+"""
+
+_SEG_RB_BASE = 1_000_000  # composite (segment_idx, range_id) int key
+
+
+def segment_value_quintiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact lifetime-value quintiles WITHIN each market segment — the
+    PARTITIONED ntile window (row_number + count OVER PARTITION BY),
+    proving customer_value_deciles' range-partitioned rank machinery
+    generalizes to grouped ranking without any per-partition global sort:
+    boundaries, counts and prefix-sum offsets are simply computed PER
+    SEGMENT (a bounded taxonomy), the composite (segment, value-range)
+    key keeps every reduce frame ≈ customers/(segments × ranges), and
+    rank-within-segment = segment-range offset + local position. Driver
+    state stays O(segments × ranges); the customer→segment attach is a
+    size-gated broadcast (_broadcast_dim contract)."""
+    from .shuffle import (
+        bucketed_group_agg,
+        histogram_merge,
+        input_bytes_estimate,
+        scaled_num_buckets,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    seg_ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_mktsegment"
+    )
+
+    def mon_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["o_totalprice"])
+        return (
+            pd.DataFrame({"o_custkey": b["o_custkey"], "m": cents})
+            .groupby("o_custkey", as_index=False).agg(m=("m", "sum"))
+        )
+
+    def mon_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(monetary_c=("m", "sum"))
+        s = s.astype({"o_custkey": "int64", "monetary_c": "int64"})
+        return s.assign(seg=_lookup(seg_ref, s["o_custkey"].to_numpy()))
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/orders.parquet"))
+    mon = bucketed_group_agg(
+        ds, ["o_custkey"], mon_final, partial_fn=mon_partial, num_buckets=nb
+    ).materialize()
+
+    segs = sorted(
+        mon.map_batches(
+            lambda b: pd.DataFrame({"seg": b["seg"].unique()}),
+            batch_format="pandas",
+        ).to_pandas()["seg"].unique()
+    )
+    seg_idx = {s: i for i, s in enumerate(segs)}
+    n_rb = max(8, scaled_num_buckets(mon.size_bytes(), lo=64) // max(1, len(segs)))
+
+    def block_quantiles(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, grp in b.groupby("seg"):
+            v = np.sort(grp["monetary_c"].to_numpy())
+            pick = v[np.linspace(0, len(v) - 1, num=min(len(v), 32)).astype(int)]
+            outs.append(pd.DataFrame({"seg": s, "q": pick.astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"seg": pd.Series(dtype="object"),
+                                 "q": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = mon.map_batches(block_quantiles, batch_format="pandas").to_pandas()
+    bounds_of = {}
+    for s in segs:
+        v = cand.loc[cand["seg"] == s, "q"].to_numpy()
+        cuts = np.quantile(v, np.linspace(0, 1, n_rb + 1)[1:-1]) if len(v) else []
+        bounds_of[s] = np.unique(np.asarray(cuts, dtype="int64"))
+    bounds_ref = ray.put(bounds_of)
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bounds_ref)
+        rb = np.empty(len(b), dtype="int64")
+        seg_arr = b["seg"].to_numpy()
+        mc = b["monetary_c"].to_numpy()
+        for s in pd.unique(seg_arr):
+            m = seg_arr == s
+            rb[m] = np.searchsorted(bd[s], mc[m], side="right")
+        key = np.array([seg_idx[s] for s in seg_arr], dtype="int64")
+        return b.assign(key=key * _SEG_RB_BASE + rb)
+
+    def key_counts(b: pd.DataFrame) -> pd.DataFrame:
+        s = add_key(b)["key"].value_counts()
+        return pd.DataFrame({"key": s.index.astype("int64"),
+                             "c": s.to_numpy().astype("int64")})
+
+    merged = histogram_merge(
+        mon.map_batches(key_counts, batch_format="pandas"), "key", "c"
+    ).to_pandas()
+    offsets: dict[int, np.ndarray] = {}
+    n_of_seg: dict[int, int] = {}
+    for s in segs:
+        i = seg_idx[s]
+        full = np.zeros(len(bounds_of[s]) + 1, dtype="int64")
+        rows = merged.loc[merged["key"] // _SEG_RB_BASE == i]
+        full[(rows["key"] % _SEG_RB_BASE).to_numpy()] = rows["c"].to_numpy()
+        n_of_seg[i] = int(full.sum())
+        offsets[i] = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put((n_of_seg, offsets))
+    segment_value_quintiles.last_driver_state = {
+        "n_offsets": int(sum(len(v) for v in offsets.values())),
+        "n_candidates": int(len(cand)),
+    }
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        n_of, offs = ray.get(off_ref)
+        g = g.sort_values(["key", "monetary_c", "o_custkey"])
+        local = g.groupby("key", sort=False).cumcount().to_numpy() + 1
+        ki = g["key"].to_numpy()
+        # offset and segment size are CONSTANT per key — one assignment
+        # per distinct key in the frame, never a per-row Python loop
+        base = np.empty(len(g), dtype="int64")
+        n_seg = np.empty(len(g), dtype="int64")
+        for k in np.unique(ki):
+            m = ki == k
+            base[m] = offs[int(k // _SEG_RB_BASE)][int(k % _SEG_RB_BASE)]
+            n_seg[m] = n_of[int(k // _SEG_RB_BASE)]
+        rn = base + local
+        quintile = ((rn - 1) * 5 // n_seg).astype("int64")
+        out = pd.DataFrame(
+            {"seg": g["seg"].to_numpy(), "quintile": quintile,
+             "m": g["monetary_c"].to_numpy()}
+        )
+        return out.groupby(["seg", "quintile"], as_index=False).agg(
+            n_customers=("m", "size"), min_monetary_c=("m", "min"),
+            max_monetary_c=("m", "max"), sum_monetary_c=("m", "sum"),
+        )
+
+    per_bucket = bucketed_group_agg(
+        mon.map_batches(add_key, batch_format="pandas"), ["key"], assign,
+        num_buckets=min(n_rb * max(1, len(segs)), 512),
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(["seg", "quintile"], as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            min_monetary_c=("min_monetary_c", "min"),
+            max_monetary_c=("max_monetary_c", "max"),
+            sum_monetary_c=("sum_monetary_c", "sum"),
+        )
+        return s.rename(columns={"seg": "c_mktsegment"}).astype(
+            {"quintile": "int64", "n_customers": "int64", "min_monetary_c": "int64",
+             "max_monetary_c": "int64", "sum_monetary_c": "int64"}
+        )
+
+    return per_bucket.repartition(1).map_batches(final, batch_format="pandas")

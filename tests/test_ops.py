@@ -111,6 +111,7 @@ SUBSET = [
     "region_share",
     "yoy_growth",
     "normalized_dedup",
+    "segment_value_quintiles",
 ]
 
 
@@ -254,6 +255,19 @@ def test_value_deciles_driver_state_is_bucket_bounded(ray_session, duck):
     assert state["n_boundaries"] < state["n_offsets"]
     # the point of the fix: far below the distinct-value domain
     assert state["n_offsets"] < n_distinct, (state, n_distinct)
+
+
+def test_segment_quintiles_driver_state_is_bounded(ray_session, duck):
+    """The partitioned-ntile variant keeps the deciles contract: driver
+    state is O(segments × range buckets), never O(distinct values)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.analytics import segment_value_quintiles
+
+    got = _canon(segment_value_quintiles(SF).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["segment_value_quintiles"]).df())
+    assert _hash(got) == _hash(want)
+    state = segment_value_quintiles.last_driver_state
+    assert state["n_offsets"] <= 5 * 512
 
 
 def test_paragraph_pos_code_overflow_raises_everywhere(ray_session, tmp_path, monkeypatch):
