@@ -31,6 +31,16 @@ Env knobs:
   GRAFT_BENCH_PARTIAL path for the incremental JSONL (default under /tmp)
   GRAFT_BENCH_KILL_AT  (tests) SIGKILL the chunk worker when it reaches
                        this query — proves the kill-resilience contract
+  GRAFT_SCALE_DOCS   (--scaling) corpus size for the scaling legs
+                       (default 400000 = 4x the headline bench corpus:
+                       at 100k the ~5 s fixed actor-pool/ramp floor is
+                       ~30% of the 16-CPU wall and the ratio measures
+                       that Amdahl floor, not the pipeline — at 400k the
+                       floor amortizes and the measured efficiency
+                       reflects the data-parallel structure, the regime
+                       a 100-TB corpus actually runs in; measured
+                       0.695-0.846 at 100k vs 0.997 at 400k on the same
+                       quiet box)
   GRAFT_SCALE_QUERY  (--scaling) scale a named queries() entry (e.g.
                        minhash_dedup) at the two CPU levels instead of the
                        flagship; best-of-GRAFT_BENCH_REPEAT (default 2)
@@ -447,6 +457,9 @@ def run_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
+            # 4x corpus for the scaling legs: amortizes the fixed
+            # actor-pool startup/ramp floor (see GRAFT_SCALE_DOCS above)
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_SCALE_DOCS", "400000"),
         )
         if scale_query:
             # ops-query scaling mode: scale a named queries() entry (e.g.
