@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_attribution": relational.first_touch_attribution,
         "event_transitions": relational.event_transitions,
         "orphan_audit": relational.orphan_audit,
+        "time_to_purchase": relational.time_to_purchase,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -174,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_share": analytics.region_share,
         "yoy_growth": analytics.yoy_growth,
         "segment_value_quintiles": analytics.segment_value_quintiles,
+        "value_migration": analytics.value_migration,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -435,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         REGION_SHARE_SQL,
         YOY_GROWTH_SQL,
         SEGMENT_VALUE_QUINTILES_SQL,
+        VALUE_MIGRATION_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -472,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         FIRST_TOUCH_ATTRIBUTION_SQL,
         EVENT_TRANSITIONS_SQL,
         ORPHAN_AUDIT_SQL,
+        TIME_TO_PURCHASE_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -626,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "orphan_audit": ORPHAN_AUDIT_SQL,
+        "time_to_purchase": TIME_TO_PURCHASE_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -649,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "region_share": REGION_SHARE_SQL,
         "yoy_growth": YOY_GROWTH_SQL,
         "segment_value_quintiles": SEGMENT_VALUE_QUINTILES_SQL,
+        "value_migration": VALUE_MIGRATION_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

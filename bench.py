@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "yoy_growth",
     "normalized_dedup",
     "segment_value_quintiles",
+    "time_to_purchase",
+    "value_migration",
 ]
 
 

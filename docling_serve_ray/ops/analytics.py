@@ -2109,3 +2109,175 @@ def segment_value_quintiles(sf_dir: str) -> ray.data.Dataset:
         )
 
     return per_bucket.repartition(1).map_batches(final, batch_format="pandas")
+
+
+# --- rank-transition matrix: value quintile migration between two years ----------
+
+VALUE_MIGRATION_SQL = """
+WITH y AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY o_custkey, year(o_orderdate)
+),
+b AS (
+  SELECT a.o_custkey, a.rev AS rev_a, c.rev AS rev_b
+  FROM y a JOIN y c ON a.o_custkey = c.o_custkey AND a.yr = 1995 AND c.yr = 1996
+),
+r AS (
+  SELECT CAST((row_number() OVER (ORDER BY rev_a, o_custkey) - 1) * 5
+              // count(*) OVER () AS BIGINT) AS q_from,
+         CAST((row_number() OVER (ORDER BY rev_b, o_custkey) - 1) * 5
+              // count(*) OVER () AS BIGINT) AS q_to
+  FROM b
+)
+SELECT q_from, q_to, CAST(count(*) AS BIGINT) AS n_customers
+FROM r GROUP BY q_from, q_to
+"""
+
+
+def value_migration(
+    sf_dir: str, *, year_a: int = 1995, year_b: int = 1996
+) -> ray.data.Dataset:
+    """Customer-value quintile MIGRATION between two years — the
+    rank-transition matrix (who moved up/down the revenue distribution):
+    two independent exact rankings of the same population, joined per
+    entity, reduced to a 5×5 cell count. No global sort anywhere — the
+    deciles' range-partitioned offset machinery runs once per metric
+    (boundaries from per-block quantiles, exact per-range counts, O(ranges)
+    driver offsets), each metric's rank resolves inside complete
+    value-range buckets, and the two quintile labels rejoin on a bucketed
+    custkey reduce into the bounded matrix."""
+    from .shuffle import (
+        bucketed_group_agg,
+        histogram_merge,
+        input_bytes_estimate,
+        scaled_num_buckets,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/orders.parquet"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        yr = b["o_orderdate"].dt.year
+        m = yr.isin([year_a, year_b])
+        if not m.any():
+            return pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                                 "ra": pd.Series(dtype="int64"),
+                                 "rb": pd.Series(dtype="int64")})
+        cents = _cents(b.loc[m, "o_totalprice"])
+        is_a = (yr[m] == year_a).to_numpy()
+        f = pd.DataFrame(
+            {"o_custkey": b.loc[m, "o_custkey"].to_numpy(),
+             "ra": np.where(is_a, cents, 0),
+             "rb": np.where(is_a, 0, cents)}
+        )
+        return f.groupby("o_custkey", as_index=False).agg(
+            ra=("ra", "sum"), rb=("rb", "sum")
+        )
+
+    def pop_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(
+            ra=("ra", "sum"), rb=("rb", "sum")
+        )
+        s = s.loc[(s["ra"] > 0) & (s["rb"] > 0)]  # active in BOTH years
+        return s.astype({"o_custkey": "int64", "ra": "int64", "rb": "int64"})
+
+    pop = bucketed_group_agg(ds, ["o_custkey"], pop_final, partial_fn=partial,
+                             num_buckets=nb).materialize()
+
+    def rank_labels(col: str) -> ray.data.Dataset:
+        """Exact quintile of ``col`` over pop via range-partitioned
+        offsets (customer_value_deciles' machinery, one metric)."""
+        n_rb = scaled_num_buckets(pop.size_bytes(), lo=64)
+
+        def block_q(b: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(b[col].to_numpy())
+            if len(v) == 0:
+                return pd.DataFrame({"q": pd.Series(dtype="int64")})
+            pick = v[np.linspace(0, len(v) - 1, num=min(len(v), 32)).astype(int)]
+            return pd.DataFrame({"q": pick.astype("int64")})
+
+        cand = pop.map_batches(block_q, batch_format="pandas").to_pandas()["q"]
+        cuts = (np.quantile(cand.to_numpy(), np.linspace(0, 1, n_rb + 1)[1:-1])
+                if len(cand) else [])
+        bounds = np.unique(np.asarray(cuts, dtype="int64"))
+        bref = ray.put(bounds)
+
+        def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+            rbv = np.searchsorted(ray.get(bref), b[col].to_numpy(), side="right")
+            return b[["o_custkey", col]].assign(rrb=rbv.astype("int64"))
+
+        def rb_counts(b: pd.DataFrame) -> pd.DataFrame:
+            s = add_rb(b)["rrb"].value_counts()
+            return pd.DataFrame({"rrb": s.index.astype("int64"),
+                                 "c": s.to_numpy().astype("int64")})
+
+        merged = histogram_merge(
+            pop.map_batches(rb_counts, batch_format="pandas"), "rrb", "c"
+        ).to_pandas()
+        full = np.zeros(len(bounds) + 1, dtype="int64")
+        full[merged["rrb"].to_numpy()] = merged["c"].to_numpy()
+        n_total = int(full.sum())
+        offs = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+        oref = ray.put(offs)
+
+        def assign(g: pd.DataFrame) -> pd.DataFrame:
+            o = ray.get(oref)
+            g = g.sort_values(["rrb", col, "o_custkey"])
+            local = g.groupby("rrb", sort=False).cumcount().to_numpy() + 1
+            rn = o[g["rrb"].to_numpy()] + local
+            return pd.DataFrame(
+                {"o_custkey": g["o_custkey"].astype("int64").to_numpy(),
+                 "q": ((rn - 1) * 5 // n_total).astype("int64")}
+            )
+
+        return bucketed_group_agg(
+            pop.map_batches(add_rb, batch_format="pandas"), ["rrb"], assign,
+            num_buckets=min(n_rb, 512),
+        )
+
+    qa = rank_labels("ra").map_batches(
+        lambda b: b.rename(columns={"q": "q_from"}), batch_format="pandas"
+    )
+    qb = rank_labels("rb").map_batches(
+        lambda b: b.rename(columns={"q": "q_to"}), batch_format="pandas"
+    )
+
+    # rejoin the two labels per customer: tag-union bucketed on custkey
+    def tag(which: int, cname: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"o_custkey": b["o_custkey"].astype("int64"),
+                 "w": np.int64(which), "q": b[cname].astype("int64")}
+            )
+        return f
+
+    def matrix(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index="o_custkey", columns="w", values="q",
+                          aggfunc="first")
+        p = p.dropna()
+        out = pd.DataFrame(
+            {"q_from": p[0].astype("int64").to_numpy(),
+             "q_to": p[1].astype("int64").to_numpy()}
+        ).groupby(["q_from", "q_to"], as_index=False).size()
+        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+    cells = bucketed_group_agg(
+        qa.map_batches(tag(0, "q_from"), batch_format="pandas").union(
+            qb.map_batches(tag(1, "q_to"), batch_format="pandas")
+        ),
+        ["o_custkey"], matrix, num_buckets=min(nb, 64),
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(["q_from", "q_to"], as_index=False)["pn"].sum()
+        return s.rename(columns={"pn": "n_customers"}).astype(
+            {"q_from": "int64", "q_to": "int64", "n_customers": "int64"}
+        )
+
+    return cells.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)

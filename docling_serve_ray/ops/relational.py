@@ -2899,3 +2899,73 @@ def orphan_audit(sf_dir: str) -> ray.data.Dataset:
     return partials.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+# --- time-to-conversion distribution ----------------------------------------------
+
+TIME_TO_PURCHASE_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(date_diff('day', first_ts, first_purchase) AS BIGINT) AS days_to_purchase,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f WHERE first_purchase IS NOT NULL
+GROUP BY date_diff('day', first_ts, first_purchase)
+"""
+
+
+def time_to_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Time-to-conversion distribution: for every converting user, whole
+    days between their FIRST event and FIRST purchase, histogrammed — the
+    activation-latency funnel metric. Dual per-entity argmin: per-batch
+    combiners emit one (user, min_ts, min_purchase_ts) row each, the
+    user-bucketed reduce resolves the global pair, and the output domain
+    is calendar-bounded days — a tiny histogram_merge finish, never a
+    high-cardinality groupby."""
+    from .shuffle import (
+        bucketed_group_agg,
+        histogram_merge,
+        input_bytes_estimate,
+        scaled_num_buckets,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    _SENTINEL = pd.Timestamp("2262-01-01")  # > any event ts, < pandas max
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p_ts = b["ts"].where(b["event_type"] == "purchase", _SENTINEL)
+        f = pd.DataFrame({"user_id": b["user_id"], "t": b["ts"], "p": p_ts})
+        return f.groupby("user_id", as_index=False).agg(
+            t=("t", "min"), p=("p", "min")
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("user_id", as_index=False).agg(t=("t", "min"), p=("p", "min"))
+        a = a.loc[a["p"] < _SENTINEL]
+        # DuckDB date_diff('day') counts CALENDAR-day boundaries crossed,
+        # not 24 h periods — normalize both stamps to dates first
+        days = (
+            a["p"].dt.normalize() - a["t"].dt.normalize()
+        ).dt.days.astype("int64")
+        s = days.value_counts()
+        return pd.DataFrame(
+            {"days_to_purchase": s.index.astype("int64"),
+             "c": s.to_numpy().astype("int64")}
+        )
+
+    partials = bucketed_group_agg(ds, ["user_id"], per_bucket, partial_fn=partial,
+                                  num_buckets=nb)
+    out = histogram_merge(partials, "days_to_purchase", "c")
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {"days_to_purchase": b["days_to_purchase"].astype("int64"),
+             "n_users": b["c"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

@@ -112,6 +112,8 @@ SUBSET = [
     "yoy_growth",
     "normalized_dedup",
     "segment_value_quintiles",
+    "time_to_purchase",
+    "value_migration",
 ]
 
 
