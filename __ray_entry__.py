@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,
         "orphan_audit": relational.orphan_audit,
         "time_to_purchase": relational.time_to_purchase,
+        "user_event_pivot": relational.user_event_pivot,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yoy_growth": analytics.yoy_growth,
         "segment_value_quintiles": analytics.segment_value_quintiles,
         "value_migration": analytics.value_migration,
+        "whales_vs_frequents": analytics.whales_vs_frequents,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -438,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         YOY_GROWTH_SQL,
         SEGMENT_VALUE_QUINTILES_SQL,
         VALUE_MIGRATION_SQL,
+        WHALES_VS_FREQUENTS_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -476,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         EVENT_TRANSITIONS_SQL,
         ORPHAN_AUDIT_SQL,
         TIME_TO_PURCHASE_SQL,
+        USER_EVENT_PIVOT_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -631,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "orphan_audit": ORPHAN_AUDIT_SQL,
         "time_to_purchase": TIME_TO_PURCHASE_SQL,
+        "user_event_pivot": USER_EVENT_PIVOT_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -655,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "yoy_growth": YOY_GROWTH_SQL,
         "segment_value_quintiles": SEGMENT_VALUE_QUINTILES_SQL,
         "value_migration": VALUE_MIGRATION_SQL,
+        "whales_vs_frequents": WHALES_VS_FREQUENTS_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

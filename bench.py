@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "segment_value_quintiles",
     "time_to_purchase",
     "value_migration",
+    "user_event_pivot",
+    "whales_vs_frequents",
 ]
 
 

@@ -2281,3 +2281,74 @@ def value_migration(
 
     return cells.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+# --- set difference of two rank-derived cohorts (EXCEPT shape) --------------------
+
+WHALES_TOP_N = 100
+
+WHALES_VS_FREQUENTS_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mon,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+topm AS (SELECT o_custkey FROM m ORDER BY mon DESC, o_custkey LIMIT 100),
+topf AS (SELECT o_custkey FROM m ORDER BY cnt DESC, o_custkey LIMIT 100)
+SELECT o_custkey FROM topm EXCEPT SELECT o_custkey FROM topf
+"""
+
+
+def whales_vs_frequents(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT of two rank-derived cohorts: the top-100 customers by
+    lifetime revenue who are NOT in the top-100 by order count — the
+    big-basket / low-frequency segment a retention campaign targets.
+    One per-customer rollup (bucketed, per-batch combined); each bucket
+    emits its local top-k candidates for BOTH metrics (top-k of local
+    top-ks is exact); the global top lists and their set difference
+    resolve in one buckets×k-row final task — no global sort, no second
+    fact pass."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/orders.parquet"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(b["o_totalprice"])
+        f = pd.DataFrame({"o_custkey": b["o_custkey"], "m": cents})
+        return f.groupby("o_custkey", as_index=False).agg(
+            m=("m", "sum"), c=("m", "size")
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(
+            mon=("m", "sum"), cnt=("c", "sum")
+        ).astype({"o_custkey": "int64", "mon": "int64", "cnt": "int64"})
+        top_m = s.sort_values(["mon", "o_custkey"], ascending=[False, True]).head(
+            WHALES_TOP_N
+        )
+        top_f = s.sort_values(["cnt", "o_custkey"], ascending=[False, True]).head(
+            WHALES_TOP_N
+        )
+        return pd.concat([top_m, top_f], ignore_index=True).drop_duplicates(
+            "o_custkey"
+        )
+
+    cands = bucketed_group_agg(ds, ["o_custkey"], per_bucket, partial_fn=partial,
+                               num_buckets=nb)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        top_m = b.sort_values(["mon", "o_custkey"], ascending=[False, True]).head(
+            WHALES_TOP_N
+        )["o_custkey"]
+        top_f = b.sort_values(["cnt", "o_custkey"], ascending=[False, True]).head(
+            WHALES_TOP_N
+        )["o_custkey"]
+        out = sorted(set(top_m) - set(top_f))
+        return pd.DataFrame({"o_custkey": pd.Series(out, dtype="int64")})
+
+    return cands.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)

@@ -2969,3 +2969,49 @@ def time_to_purchase(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- PIVOT: per-user event-type count matrix --------------------------------------
+
+USER_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT: the per-user event-type count matrix (long → wide), the
+    feature-vector layout a model-training join consumes. The pivoted
+    column set is the bounded event-type taxonomy — fixed at plan time,
+    never data-dependent (a data-dependent pivot must enumerate its
+    columns in a tiny pre-pass first). Per-batch combiners emit already-
+    wide partial rows, so the single user-bucketed shuffle carries one
+    int64 row per (user, batch) and the reduce is a vectorized sum."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        f = pd.DataFrame({"user_id": b["user_id"].astype("int64")})
+        for t, c in zip(_PIVOT_TYPES, cols):
+            f[c] = (et == t).astype("int64")
+        return f.groupby("user_id", as_index=False)[cols].sum()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[cols].sum()
+        return out.astype({c: "int64" for c in ["user_id", *cols]})
+
+    return bucketed_group_agg(ds, ["user_id"], per_bucket, partial_fn=partial,
+                              num_buckets=nb)

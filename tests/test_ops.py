@@ -114,6 +114,8 @@ SUBSET = [
     "segment_value_quintiles",
     "time_to_purchase",
     "value_migration",
+    "user_event_pivot",
+    "whales_vs_frequents",
 ]
 
 
