@@ -411,3 +411,62 @@ class TestPairwiseDropMask:
         full = np.triu(S, 1).any(axis=0)
         got = _pairwise_drop_mask(Xn, 0.99, block=block)
         assert np.array_equal(got, full)
+
+
+class TestConfigRoundtripProperties:
+    """render∘parse identity for the yaml/toml kernels over arbitrary
+    two-level span models within the generator's value grammar (word
+    phrases and bare-int literals; keys word-safe and unique)."""
+
+    _word = st.text(
+        alphabet=string.ascii_lowercase + "αβγδλξ" + "قلمدار",
+        min_size=1, max_size=8,
+    )
+    _val = st.one_of(
+        st.integers(-(10**12), 10**12).map(str),
+        st.lists(_word, min_size=1, max_size=4).map(" ".join),
+    )
+
+    @st.composite
+    def _spans(draw):
+        w = draw(st.lists(
+            st.text(alphabet=string.ascii_lowercase + "αβγλ", min_size=1, max_size=6),
+            min_size=1, max_size=12, unique=True,
+        ))
+        vals = draw(st.lists(
+            TestConfigRoundtripProperties._val, min_size=len(w), max_size=len(w)
+        ))
+        n_root = draw(st.integers(0, min(2, len(w))))
+        spans = [
+            {"kind": "list_item", "text": f"{k}_{i} = {v}"}
+            for i, (k, v) in enumerate(zip(w[:n_root], vals[:n_root]))
+        ]
+        rest = list(zip(w[n_root:], vals[n_root:]))
+        while rest:
+            sec, _ = rest.pop()
+            spans.append({"kind": "section_header", "text": f"{sec}_s{len(spans)}"})
+            take = draw(st.integers(1, min(3, max(1, len(rest)))))
+            for _ in range(min(take, len(rest))):
+                k, v = rest.pop()
+                spans.append({"kind": "list_item", "text": f"{k}_{len(spans)} = {v}"})
+        return spans
+
+    @given(_spans())
+    @settings(max_examples=120, deadline=None)
+    def test_yaml_identity(self, spans):
+        from docling_serve_ray.kernels.configfmt import parse_yaml, render_yaml
+
+        got = parse_yaml(render_yaml(spans), "p")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    @given(_spans())
+    @settings(max_examples=120, deadline=None)
+    def test_toml_identity(self, spans):
+        from docling_serve_ray.kernels.configfmt import parse_toml, render_toml
+
+        got = parse_toml(render_toml(spans), "p")
+        assert [(s["kind"], s["text"]) for s in got] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
