@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": curation.keyword_search,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
+        "embedding_dim_minmax": similarity.embedding_dim_minmax,
         "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "label_centroids": similarity.label_centroids,
@@ -178,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_value_quintiles": analytics.segment_value_quintiles,
         "value_migration": analytics.value_migration,
         "whales_vs_frequents": analytics.whales_vs_frequents,
+        "revenue_trend": analytics.revenue_trend,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -441,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         SEGMENT_VALUE_QUINTILES_SQL,
         VALUE_MIGRATION_SQL,
         WHALES_VS_FREQUENTS_SQL,
+        REVENUE_TREND_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -484,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
         ANN_TOPK_SQL,
+        EMBEDDING_DIM_MINMAX_SQL,
         EMBEDDING_NEARDUP_SQL,
         KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
@@ -597,6 +601,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_coverage": DUP_NGRAM_COVERAGE_SQL,
         "keyword_search": KEYWORD_SEARCH_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "embedding_dim_minmax": EMBEDDING_DIM_MINMAX_SQL,
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
@@ -661,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_value_quintiles": SEGMENT_VALUE_QUINTILES_SQL,
         "value_migration": VALUE_MIGRATION_SQL,
         "whales_vs_frequents": WHALES_VS_FREQUENTS_SQL,
+        "revenue_trend": REVENUE_TREND_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "value_migration",
     "user_event_pivot",
     "whales_vs_frequents",
+    "embedding_dim_minmax",
+    "revenue_trend",
 ]
 
 

@@ -2352,3 +2352,87 @@ def whales_vs_frequents(sf_dir: str) -> ray.data.Dataset:
 
     return cands.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+# --- exact least-squares revenue trend per nation ---------------------------------
+
+REVENUE_TREND_SQL = """
+WITH m AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS mkey,
+         SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate) * 12 + month(o.o_orderdate)
+),
+x AS (SELECT MIN(mkey) AS x0 FROM m),
+s AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_months,
+         SUM(mkey - (SELECT x0 FROM x)) AS sx,
+         SUM(rev) AS sy,
+         SUM((mkey - (SELECT x0 FROM x)) * rev) AS sxy,
+         SUM((mkey - (SELECT x0 FROM x)) * (mkey - (SELECT x0 FROM x))) AS sxx
+  FROM m GROUP BY n_name
+)
+SELECT n_name, n_months,
+       CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s
+"""
+
+
+def revenue_trend(sf_dir: str) -> ray.data.Dataset:
+    """Exact least-squares revenue trend per nation: the OLS slope of
+    monthly revenue vs month index, carried as the INTEGER numerator /
+    denominator pair (slope = num/den; the division is the consumer's —
+    a float slope would not hash across engines). Regression-shaped
+    analytics with the standard sufficient-statistics decomposition
+    (n, Σx, Σy, Σxy, Σx²) — all plain SUMs, so the whole statistic rides
+    per-batch partials keyed on the CALENDAR×|nations|-bounded
+    (nation, month) domain and finishes in one small task; x is offset
+    from the global min month to keep products int64-safe."""
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet",
+        "c_custkey",
+        lambda df: df["c_nationkey"].map(name_of).to_numpy(dtype=object),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        name = _lookup(ref, b["o_custkey"].to_numpy())
+        mkey = (
+            b["o_orderdate"].dt.year * 12 + b["o_orderdate"].dt.month
+        ).astype("int64")
+        cents = _cents(b["o_totalprice"])
+        f = pd.DataFrame({"n_name": name, "mkey": mkey, "rev": cents})
+        return f.groupby(["n_name", "mkey"], as_index=False)["rev"].sum()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.groupby(["n_name", "mkey"], as_index=False)["rev"].sum()
+        x0 = int(m["mkey"].min())
+        m["x"] = m["mkey"] - x0
+        rows = []
+        for name, g in m.groupby("n_name"):
+            n = len(g)
+            sx = int(g["x"].sum()); sy = int(g["rev"].sum())
+            sxy = int((g["x"] * g["rev"]).sum()); sxx = int((g["x"] ** 2).sum())
+            rows.append((name, n, n * sxy - sx * sy, n * sxx - sx * sx))
+        return pd.DataFrame(
+            rows, columns=["n_name", "n_months", "slope_num", "slope_den"]
+        ).astype({"n_months": "int64", "slope_num": "int64", "slope_den": "int64"})
+
+    return partials.repartition(1).map_batches(finish, batch_format="pandas",
+                                               batch_size=None)

@@ -1168,3 +1168,54 @@ def knn_graph(
     return _emb(sf_dir).map_batches(
         per_batch, batch_format="pyarrow", batch_size=min(1024, nb_cap)
     )
+
+
+# ---------------------------------------------------------------------------
+# Array/UNNEST analytics: per-dimension range over the embedding column
+# ---------------------------------------------------------------------------
+
+EMBEDDING_DIM_MINMAX_SQL = """
+WITH u AS (
+  SELECT UNNEST(embedding) AS v,
+         UNNEST(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v
+FROM u GROUP BY dim
+"""
+
+
+def embedding_dim_minmax(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension value range over the embedding column — the
+    UNNEST-with-ordinality array-analytics shape, and the feature-range
+    audit quantization (quantize_embeddings) depends on. min/max are pure
+    SELECTIONS (no float arithmetic), so float32 values cross engines
+    bit-exactly. Per-batch vectorized column-wise min/max over the
+    zero-copy Arrow list column collapse each batch to 2×dim values; the
+    dim-bounded final merge runs in one task — UNNEST never materializes
+    row-wise."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, X = _batch_matrix(batch)
+        dim = X.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, dim + 1, dtype="int64"),
+                "mn": X.min(axis=0),
+                "mx": X.max(axis=0),
+            }
+        )
+
+    partials = _emb(sf_dir, columns=("vec_id", "embedding")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("dim", as_index=False).agg(min_v=("mn", "min"),
+                                                 max_v=("mx", "max"))
+        return s.astype({"dim": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)

@@ -116,6 +116,8 @@ SUBSET = [
     "value_migration",
     "user_event_pivot",
     "whales_vs_frequents",
+    "embedding_dim_minmax",
+    "revenue_trend",
 ]
 
 
