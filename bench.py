@@ -549,7 +549,8 @@ def run_scaling() -> None:
         **{k: v for k, v in best.items() if k != "eff"},
         "rounds": rounds,
         "num_cpus": [lo_cpus, hi_cpus],
-        "bench_docs": 0 if scale_query else N_DOCS,
+        "bench_docs": 0 if scale_query
+        else int(os.environ.get("GRAFT_SCALE_DOCS", "400000")),
     }
     print(json.dumps(result))
 

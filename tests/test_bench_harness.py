@@ -65,3 +65,32 @@ def test_clean_chunked_run_times_every_query():
     )
     assert set(rec["queries"]) == {"token_count", "lang_id"}
     assert "failed_queries" not in rec
+
+
+def test_scaling_mode_smoke():
+    """--scaling end to end at toy size: fresh lo/hi subprocesses, tiny
+    corpus (GRAFT_SCALE_DOCS), no equalizer burners. Proves the driver's
+    scaling-record path parses and carries both legs + the ratio."""
+    env = dict(
+        os.environ,
+        GRAFT_SCALE_DOCS="300",
+        GRAFT_SCALE_ROUNDS="1",
+        GRAFT_SCALE_EQUALIZE="0",
+        GRAFT_SCALE_LO="2",  # a 1-CPU session starves the
+        GRAFT_SCALE_HI="4",  # streaming executor (actor pool + read)
+        GRAFT_SF_DIR=SF_DIR,
+    )
+    out = subprocess.run(
+        [sys.executable, BENCH, "--scaling"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["unit"] == "ratio" and rec["num_cpus"] == [2, 4]
+    assert rec["bench_docs"] == 300
+    assert rec["sec_lo"] > 0 and rec["sec_hi"] > 0
+    assert isinstance(rec["value"], float)
+    assert rec["rounds"] and "eff" in rec["rounds"][0]
