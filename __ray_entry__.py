@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_migration": analytics.value_migration,
         "whales_vs_frequents": analytics.whales_vs_frequents,
         "revenue_trend": analytics.revenue_trend,
+        "order_type_signature": analytics.order_type_signature,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         VALUE_MIGRATION_SQL,
         WHALES_VS_FREQUENTS_SQL,
         REVENUE_TREND_SQL,
+        ORDER_TYPE_SIGNATURE_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -667,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "value_migration": VALUE_MIGRATION_SQL,
         "whales_vs_frequents": WHALES_VS_FREQUENTS_SQL,
         "revenue_trend": REVENUE_TREND_SQL,
+        "order_type_signature": ORDER_TYPE_SIGNATURE_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "whales_vs_frequents",
     "embedding_dim_minmax",
     "revenue_trend",
+    "order_type_signature",
 ]
 
 

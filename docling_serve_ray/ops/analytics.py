@@ -2436,3 +2436,66 @@ def revenue_trend(sf_dir: str) -> ray.data.Dataset:
 
     return partials.repartition(1).map_batches(finish, batch_format="pandas",
                                                batch_size=None)
+
+
+# --- LISTAGG shape: ordered type-signature per order, counted ----------------------
+
+ORDER_TYPE_SIGNATURE_SQL = """
+WITH lt AS (
+  SELECT DISTINCT l.l_orderkey, p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sig AS (
+  SELECT l_orderkey, string_agg(p_type, ',' ORDER BY p_type) AS signature
+  FROM lt GROUP BY l_orderkey
+)
+SELECT signature, CAST(count(*) AS BIGINT) AS n_orders
+FROM sig GROUP BY signature
+"""
+
+
+def order_type_signature(sf_dir: str) -> ray.data.Dataset:
+    """LISTAGG / string_agg: each order's sorted distinct part-type list
+    joined into one signature string, counted per signature — the
+    basket-composition fingerprint (itemset counting one level above
+    copurchase_pairs' 2-itemsets). Same single orderkey-bucketed shuffle
+    of distinct (order, type) pairs; the aggregation inside each bucket
+    is a vectorized sort + groupby-join; the output domain is the
+    ≤ 2^|types| observed signatures, so the final count is tiny."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ref = _broadcast_dim(f"{sf_dir}/part.parquet", "p_partkey", "p_type")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = _lookup(ref, b["l_partkey"].to_numpy())
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].astype("int64"), "p_type": t}
+        ).dropna().drop_duplicates()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "p_type"]).sort_values(
+            ["l_orderkey", "p_type"], kind="stable"
+        )
+        sig = g.groupby("l_orderkey", sort=False)["p_type"].agg(",".join)
+        s = sig.value_counts()
+        return pd.DataFrame(
+            {"signature": s.index, "pn": s.to_numpy().astype("int64")}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/lineitem.parquet"))
+    partials = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["l_orderkey"], per_bucket,
+        num_buckets=nb,
+    )
+    agg = partials.groupby("signature").aggregate(_Sum("pn", alias_name="n_orders"))
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {"signature": b["signature"], "n_orders": b["n_orders"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

@@ -118,6 +118,7 @@ SUBSET = [
     "whales_vs_frequents",
     "embedding_dim_minmax",
     "revenue_trend",
+    "order_type_signature",
 ]
 
 
