@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_audit": relational.orphan_audit,
         "time_to_purchase": relational.time_to_purchase,
         "user_event_pivot": relational.user_event_pivot,
+        "sliding_unique_users": relational.sliding_unique_users,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "whales_vs_frequents": analytics.whales_vs_frequents,
         "revenue_trend": analytics.revenue_trend,
         "order_type_signature": analytics.order_type_signature,
+        "brand_price_rank": analytics.brand_price_rank,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -446,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         WHALES_VS_FREQUENTS_SQL,
         REVENUE_TREND_SQL,
         ORDER_TYPE_SIGNATURE_SQL,
+        BRAND_PRICE_RANK_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -485,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         ORPHAN_AUDIT_SQL,
         TIME_TO_PURCHASE_SQL,
         USER_EVENT_PIVOT_SQL,
+        SLIDING_UNIQUE_USERS_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -643,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         "orphan_audit": ORPHAN_AUDIT_SQL,
         "time_to_purchase": TIME_TO_PURCHASE_SQL,
         "user_event_pivot": USER_EVENT_PIVOT_SQL,
+        "sliding_unique_users": SLIDING_UNIQUE_USERS_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -670,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "whales_vs_frequents": WHALES_VS_FREQUENTS_SQL,
         "revenue_trend": REVENUE_TREND_SQL,
         "order_type_signature": ORDER_TYPE_SIGNATURE_SQL,
+        "brand_price_rank": BRAND_PRICE_RANK_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

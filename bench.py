@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "embedding_dim_minmax",
     "revenue_trend",
     "order_type_signature",
+    "sliding_unique_users",
+    "brand_price_rank",
 ]
 
 

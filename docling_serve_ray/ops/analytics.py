@@ -2499,3 +2499,79 @@ def order_type_signature(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- RANK-with-ties: top-priced parts per brand ------------------------------------
+
+BRAND_PRICE_RANK_SQL = """
+WITH r AS (
+  SELECT p_brand, p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         rank() OVER (
+           PARTITION BY p_brand
+           ORDER BY floor(p_retailprice * 100 + 0.5) DESC) AS rk
+  FROM part
+)
+SELECT p_brand, p_partkey, price_c, CAST(rk AS BIGINT) AS price_rank
+FROM r WHERE rk <= 3
+"""
+
+
+def brand_price_rank(sf_dir: str) -> ray.data.Dataset:
+    """RANK() with ties: the top-3 retail-price RANKS per brand, ALL tied
+    parts included (row_number would arbitrarily drop tie members — the
+    semantic difference this op exists to carry). Combiner correctness
+    with ties: a batch keeps every part whose price is among its local
+    top-3 DISTINCT prices per brand — any part tied at a global top-3
+    price survives its batch cut, so the brand-bucketed reduce sees all
+    of them; it recomputes dense price ranks per brand and emits rk ≤ 3
+    with the tie fan-out intact."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def topk_ties(f: pd.DataFrame) -> pd.DataFrame:
+        # keep rows whose price is in the brand's top-3 distinct prices
+        f = f.sort_values(["p_brand", "price_c"], ascending=[True, False],
+                          kind="stable")
+        thresh = (
+            f.drop_duplicates(["p_brand", "price_c"])
+            .groupby("p_brand", sort=False)["price_c"]
+            .nth(2)  # 3rd-highest distinct price (NaN if < 3 distinct)
+        )
+        t = f["p_brand"].map(thresh)
+        return f.loc[t.isna() | (f["price_c"] >= t)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {"p_brand": b["p_brand"],
+             "p_partkey": b["p_partkey"].astype("int64"),
+             "price_c": _cents(b["p_retailprice"])}
+        )
+        return topk_ties(f)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = topk_ties(g)
+        # RANK = 1 + count of rows with strictly higher price in the brand
+        g = g.sort_values(["p_brand", "price_c"], ascending=[True, False],
+                          kind="stable")
+        pos = g.groupby("p_brand", sort=False).cumcount()
+        # rank of a row = position of the FIRST row sharing its price + 1
+        new_price = (
+            (g["p_brand"].ne(g["p_brand"].shift()))
+            | (g["price_c"].ne(g["price_c"].shift()))
+        ).to_numpy()
+        rank_seed = np.where(new_price, pos.to_numpy(), -1)
+        rank = pd.Series(rank_seed).replace(-1, np.nan).ffill().to_numpy() + 1
+        out = g.assign(price_rank=rank.astype("int64"))
+        return out.loc[out["price_rank"] <= 3,
+                       ["p_brand", "p_partkey", "price_c", "price_rank"]].astype(
+            {"p_partkey": "int64", "price_c": "int64", "price_rank": "int64"}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_retailprice"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/part.parquet"))
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["p_brand"], per_bucket,
+        num_buckets=min(nb, 64),
+    )

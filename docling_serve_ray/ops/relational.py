@@ -3015,3 +3015,64 @@ def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
 
     return bucketed_group_agg(ds, ["user_id"], per_bucket, partial_fn=partial,
                               num_buckets=nb)
+
+
+# --- windowed COUNT DISTINCT: unique users per hopping window ---------------------
+
+SLIDING_UNIQUE_USERS_SQL = f"""
+SELECT strftime(date_trunc('hour', e.ts) - h.r * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+CROSS JOIN (SELECT unnest(generate_series(0, {SLIDING_WINDOW_HOURS - 1})) AS r) h
+GROUP BY 1
+"""
+
+
+def sliding_unique_users(sf_dir: str) -> ray.data.Dataset:
+    """Windowed COUNT DISTINCT: unique users per 6-hour hopping window
+    (1-hour hop) — the concurrency/MAU-style metric sliding_window_counts'
+    additive sums cannot express (distinct is not a sum). Decomposition:
+    the per-batch tile replicates each event to its 6 windows but
+    IMMEDIATELY collapses to distinct (window, user) pairs, so the
+    bucketed shuffle (keyed on the window) carries each pair once per
+    batch at most; the per-window reduce is an exact pair dedup + count.
+    A single window's pair set is bounded by active-users-per-6h — the
+    same per-key bound daily_active_users carries; a pathological single
+    window (10^9 users in 6 h) would need a second-level (window, user)
+    bucketed pre-dedup, the weekly_active_users pattern."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["ts"].dt.floor("h")
+        n = len(b)
+        k = SLIDING_WINDOW_HOURS
+        starts = (
+            base.to_numpy().repeat(k)
+            - np.tile(np.arange(k, dtype="timedelta64[h]"), n)
+        )
+        f = pd.DataFrame(
+            {"window_start": starts,
+             "user_id": b["user_id"].to_numpy().repeat(k)}
+        )
+        return f.drop_duplicates()
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["window_start", "user_id"])
+        s = d.groupby("window_start").size()
+        return pd.DataFrame(
+            {
+                "window_start": pd.Series(s.index).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_users": s.to_numpy().astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(tile, batch_format="pandas"), ["window_start"], per_window,
+        num_buckets=nb,
+    )

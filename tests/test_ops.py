@@ -119,6 +119,8 @@ SUBSET = [
     "embedding_dim_minmax",
     "revenue_trend",
     "order_type_signature",
+    "sliding_unique_users",
+    "brand_price_rank",
 ]
 
 
@@ -1716,3 +1718,34 @@ def test_source_vocab_overlap_mask_gate_raises(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="mask fold"):
         source_vocab_overlap(str(tmp_path))
+
+
+def test_brand_price_rank_tie_fanout(ray_session, tmp_path, duck):
+    """RANK() semantics under real ties: tied parts share a rank, the
+    next rank skips, and rk<=3 includes EVERY tie member (row_number
+    would drop some) — proven on a constructed part table and against
+    the DuckDB twin on the same file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.analytics import brand_price_rank
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(1, 8), pa.int64()),
+                "p_brand": pa.array(["B#1"] * 5 + ["B#2"] * 2),
+                # B#1 prices: 9.00, 9.00, 8.00, 8.00, 7.00 → ranks 1,1,3,3,5
+                "p_retailprice": pa.array([9.0, 9.0, 8.0, 8.0, 7.0, 5.0, 5.0]),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    got = _canon(brand_price_rank(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM read_parquet('{tmp_path}/part.parquet')")
+    want = _canon(con.sql(entrymod.oracle_sql()["brand_price_rank"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    b1 = got.loc[got["p_brand"] == "B#1"]
+    assert sorted(b1["price_rank"]) == [1, 1, 3, 3]  # rank 2 skipped, no rank 5
