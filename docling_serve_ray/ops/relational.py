@@ -3032,15 +3032,15 @@ GROUP BY 1
 def sliding_unique_users(sf_dir: str) -> ray.data.Dataset:
     """Windowed COUNT DISTINCT: unique users per 6-hour hopping window
     (1-hour hop) — the concurrency/MAU-style metric sliding_window_counts'
-    additive sums cannot express (distinct is not a sum). Decomposition:
-    the per-batch tile replicates each event to its 6 windows but
-    IMMEDIATELY collapses to distinct (window, user) pairs, so the
-    bucketed shuffle (keyed on the window) carries each pair once per
-    batch at most; the per-window reduce is an exact pair dedup + count.
-    A single window's pair set is bounded by active-users-per-6h — the
-    same per-key bound daily_active_users carries; a pathological single
-    window (10^9 users in 6 h) would need a second-level (window, user)
-    bucketed pre-dedup, the weekly_active_users pattern."""
+    additive sums cannot express (distinct is not a sum). Hot-window-safe
+    decomposition (weekly_active_users' pattern applied from the start):
+    the per-batch tile replicates each event to its 6 windows and
+    IMMEDIATELY collapses to distinct (window, user) pairs; the bucketed
+    shuffle is keyed on the PAIR, so even a window holding 10^9 users
+    spreads across tasks (no reduce frame ever holds one window's whole
+    user set); each pair bucket dedups exactly and emits per-window
+    partial counts, and the calendar-bounded window domain merges in one
+    histogram task."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     ds = ray.data.read_parquet(
@@ -3062,17 +3062,29 @@ def sliding_unique_users(sf_dir: str) -> ray.data.Dataset:
         )
         return f.drop_duplicates()
 
-    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["window_start", "user_id"])
         s = d.groupby("window_start").size()
         return pd.DataFrame(
+            {"window_start": s.index, "c": s.to_numpy().astype("int64")}
+        )
+
+    partials = bucketed_group_agg(
+        ds.map_batches(tile, batch_format="pandas"),
+        ["window_start", "user_id"], pair_counts, num_buckets=nb,
+    )
+
+    # calendar-bounded window domain: one-task merge (histogram_merge's
+    # shape, inlined because its int64 key cast rejects datetimes)
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("window_start", as_index=False)["c"].sum()
+        return pd.DataFrame(
             {
-                "window_start": pd.Series(s.index).dt.strftime("%Y-%m-%d %H:%M:%S"),
-                "n_users": s.to_numpy().astype("int64"),
+                "window_start": s["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_users": s["c"].astype("int64"),
             }
         )
 
-    return bucketed_group_agg(
-        ds.map_batches(tile, batch_format="pandas"), ["window_start"], per_window,
-        num_buckets=nb,
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
     )
