@@ -1739,26 +1739,15 @@ def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
         ).dropna().drop_duplicates()
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["l_orderkey", "p_type"]).sort_values(
-            ["l_orderkey", "p_type"], kind="stable"
-        )
-        baskets = g.groupby("l_orderkey", sort=False)["p_type"].agg(list)
-        multi = baskets[baskets.str.len() >= 2]
-        rows = [
-            (a, b)
-            for types in multi
-            for i, a in enumerate(types)
-            for b in types[i + 1 :]
-        ]
-        if not rows:
-            return pd.DataFrame(
-                {"type_a": pd.Series(dtype="object"),
-                 "type_b": pd.Series(dtype="object"),
-                 "pn": pd.Series(dtype="int64")}
-            )
-        f = pd.DataFrame(rows, columns=["type_a", "type_b"])
-        out = f.groupby(["type_a", "type_b"], as_index=False).size()
-        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+        # vectorized pair expansion: hash self-merge on the basket key
+        # (≤ C(|types|,2) = 15 rows per order), never a per-order Python
+        # loop over list aggregates
+        g = g.drop_duplicates(["l_orderkey", "p_type"])
+        f = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        f = f.loc[f["p_type_a"] < f["p_type_b"]]
+        out = f.groupby(["p_type_a", "p_type_b"], as_index=False).size()
+        out.columns = ["type_a", "type_b", "pn"]
+        return out.astype({"pn": "int64"})
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]

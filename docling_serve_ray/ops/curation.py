@@ -1363,24 +1363,12 @@ def cross_source_dups(sf_dir: str) -> ray.data.Dataset:
         return f.drop_duplicates()
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["fp", "source"]).sort_values(
-            ["fp", "source"], kind="stable"
-        )
-        sizes = g.groupby("fp", sort=False)["source"].agg(list)
-        multi = sizes[sizes.str.len() >= 2]
-        rows = [
-            (a, b)
-            for srcs in multi
-            for i, a in enumerate(srcs)
-            for b in srcs[i + 1 :]
-        ]
-        if not rows:
-            return pd.DataFrame(
-                {"source_a": pd.Series(dtype="object"),
-                 "source_b": pd.Series(dtype="object"),
-                 "pn": pd.Series(dtype="int64")}
-            )
-        f = pd.DataFrame(rows, columns=["source_a", "source_b"])
+        # vectorized pair expansion: filter to multi-source fps, then a
+        # hash self-merge on fp — never a per-fp Python list loop
+        g = g.drop_duplicates(["fp", "source"])
+        multi = g.loc[g["fp"].duplicated(keep=False)]
+        f = multi.merge(multi, on="fp", suffixes=("_a", "_b"))
+        f = f.loc[f["source_a"] < f["source_b"]]
         out = f.groupby(["source_a", "source_b"], as_index=False).size()
         return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
 
@@ -1484,8 +1472,14 @@ def source_vocab_overlap(sf_dir: str) -> ray.data.Dataset:
         return f.groupby("t", as_index=False)["m"].sum()
 
     def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
-        mask = g.groupby("t")["m"].agg(lambda v: np.bitwise_or.reduce(v.to_numpy()))
-        vc = mask.value_counts()
+        # vectorized per-token OR: sort by token, bitwise_or.reduceat at
+        # group starts — no per-key Python lambda over a vocab-sized bucket
+        g = g.sort_values("t", kind="stable")
+        t = g["t"].to_numpy()
+        m = g["m"].to_numpy().astype("int64")
+        starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+        masks = np.bitwise_or.reduceat(m, starts)
+        vc = pd.Series(masks).value_counts()
         return pd.DataFrame(
             {"mask": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
         )

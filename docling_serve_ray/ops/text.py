@@ -1768,6 +1768,20 @@ def source_token_divergence(sf_dir: str) -> ray.data.Dataset:
         ct = cs.groupby("t")["pc"].sum()  # bucket owns its tokens fully
         c_st = cs["pc"].to_numpy()
         c_t = ct.loc[cs["t"]].to_numpy()
+        ns_arr = cs["source"].map(n_s).to_numpy().astype("int64")
+        # int64 fast path when every product provably fits (c ≤ N, so
+        # c·N ≤ N² < 2^62 iff N < 2^31); past that, exact Python-int
+        # (the oracle's HUGEINT) — never silent overflow
+        if n_total < 2**31:
+            dev_row = np.abs(c_st * np.int64(n_total) - c_t * ns_arr)
+            f = pd.DataFrame({"source": cs["source"], "d": dev_row, "ct": c_t})
+            a = f.groupby("source", as_index=False).agg(
+                d=("d", "sum"), ct=("ct", "sum")
+            )
+            return pd.DataFrame(
+                {"source": a["source"], "dev_in": a["d"].map(str),
+                 "cov": a["ct"].map(str)}
+            )
         rows = []
         for src, grp in cs.assign(_ct=c_t, _cst=c_st).groupby("source"):
             ns = int(n_s[src])
