@@ -62,10 +62,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
-# _v2: corpus generator gained yaml/toml formats (round 5) — the cache key
-# must change with generate_doc, or a stale cached corpus would carry
-# expected spans from the previous generator version
-CORPUS_DIR = f"/tmp/graft_bench_corpus_{N_DOCS}_v2"
+# _v3: corpus generator gained ini/ipynb formats (round 5, after yaml/toml
+# in _v2) — the cache key must change with generate_doc, or a stale cached
+# corpus would carry expected spans from the previous generator version
+CORPUS_DIR = f"/tmp/graft_bench_corpus_{N_DOCS}_v3"
 
 BENCH_QUERIES = [
     "convert_spans",

@@ -135,6 +135,7 @@ def _content_spans(rng: random.Random, doc_id: str, lang: str, fmt: str, n_spans
         "xlsx": XLSX_KINDS,
         "asciidoc": ADOC_KINDS,
         "rst": RST_KINDS,
+        "ipynb": MD_KINDS,
     }.get(fmt)
     spans = [{"kind": "title", "text": _sentence(rng, lang, 3, 7), "media_ref": ""}]
     while len(spans) < n_spans:
@@ -346,9 +347,10 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
             # 500× the synthetic-format kernels — so its corpus share is
             # kept small enough not to dominate the flagship wall time
             # while still exercising the foreign backend end to end
-            ("html", 0.27), ("pdf", 0.27), ("docx", 0.12), ("md", 0.05),
+            ("html", 0.26), ("pdf", 0.26), ("docx", 0.12), ("md", 0.05),
             ("pptx", 0.09), ("xlsx", 0.06), ("asciidoc", 0.05), ("image", 0.05),
             ("rst", 0.01), ("csv", 0.01), ("yaml", 0.01), ("toml", 0.01),
+            ("ini", 0.01), ("ipynb", 0.01),
         ],
     )
     lang = _pick(rng, [("en", 0.6), ("ar", 0.25), ("el", 0.15)])
@@ -440,10 +442,10 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
         raw = content
         payload = render_csv(content)
         expected = content
-    elif fmt in ("yaml", "toml"):
+    elif fmt in ("yaml", "toml", "ini"):
         # config documents: root pairs then [section] tables, 2-level,
         # unique keys per mapping; values are int literals or word phrases
-        from .kernels.configfmt import render_toml, render_yaml
+        from .kernels.configfmt import render_ini, render_toml, render_yaml
 
         pool = WORD_POOLS[lang]
         kseq = 0
@@ -476,7 +478,15 @@ def generate_doc(i: int, seed: int = DEFAULT_SEED) -> dict:
         if content[-1]["kind"] == "section_header" and len(content) > 1:
             content.pop()  # a trailing empty section cannot round-trip
         raw = content
-        payload = render_yaml(content) if fmt == "yaml" else render_toml(content)
+        payload = {"yaml": render_yaml, "toml": render_toml, "ini": render_ini}[
+            fmt
+        ](content)
+        expected = content
+    elif fmt == "ipynb":
+        from .kernels.ipynbfmt import render_ipynb
+
+        raw = content
+        payload = render_ipynb(content)
         expected = content
     else:
         from .kernels.office import render_markdown_doc

@@ -153,3 +153,69 @@ def parse_toml(payload: bytes, doc_id: str) -> list[dict]:
     from .office import _finalize
 
     return _finalize(_mapping_spans(data), doc_id)
+
+
+# ---------------------------------------------------------------------------
+# ini — stdlib configparser (the 8th real foreign parser seam)
+# ---------------------------------------------------------------------------
+
+def _ini_parser():
+    import configparser
+
+    p = configparser.ConfigParser(
+        interpolation=None, delimiters=("=",), comment_prefixes=("#", ";")
+    )
+    p.optionxform = str  # preserve key case (default lowercases)
+    return p
+
+
+def render_ini(spans: list[dict]) -> bytes:
+    """Span model → INI bytes. Root pairs live in ``[DEFAULT]`` (the only
+    place configparser allows section-less keys); sections follow. Keys
+    that configparser cannot write back losslessly ("=", newline, a
+    leading "[") are rejected loudly rather than silently corrupted."""
+    data = _spans_to_mapping(spans)
+    lines: list[str] = []
+
+    def _emit(k: str, v) -> None:
+        if "=" in k or "\n" in k or k.startswith("["):
+            raise ValueError(f"key not INI-representable: {k!r}")
+        lines.append(f"{k} = {_fmt_value(v)}")
+
+    roots = [(k, v) for k, v in data.items() if not isinstance(v, dict)]
+    if roots:
+        lines.append("[DEFAULT]")
+        for k, v in roots:
+            _emit(k, v)
+    for name, body in data.items():
+        if isinstance(body, dict):
+            lines.append(f"[{name}]")
+            for k, v in body.items():
+                _emit(k, v)
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def parse_ini(payload: bytes, doc_id: str) -> list[dict]:
+    """INI payload → spans via stdlib configparser (REAL backend).
+
+    ``[DEFAULT]`` keys surface once as root pairs; configparser mirrors
+    them into every section, so per-section items drop keys whose value
+    equals the default (a section override with a DIFFERENT value is
+    kept). configparser values are untyped strings — ``_retype`` on the
+    render side restores bare-int literals, matching yaml/toml."""
+    p = _ini_parser()
+    p.read_string(payload.decode("utf-8"))
+    data: dict = {}
+    defaults = dict(p.defaults())
+    for k, v in defaults.items():
+        data[k] = v
+    for name in p.sections():
+        body = {}
+        for k, v in p.items(name):
+            if k in defaults and defaults[k] == v:
+                continue  # inherited DEFAULT mirror, not a section key
+            body[k] = v
+        data[name] = body
+    from .office import _finalize
+
+    return _finalize(_mapping_spans(data), doc_id)

@@ -160,6 +160,16 @@ def convert_document(
             from .configfmt import parse_toml
 
             spans = parse_toml(payload, doc_id)
+        elif fmt == "ini":
+            # REAL foreign backend (stdlib configparser) — see kernels/configfmt.py
+            from .configfmt import parse_ini
+
+            spans = parse_ini(payload, doc_id)
+        elif fmt == "ipynb":
+            # REAL foreign backend (stdlib json) — see kernels/ipynbfmt.py
+            from .ipynbfmt import parse_ipynb
+
+            spans = parse_ipynb(payload, doc_id)
         elif fmt == "md":
             spans = parse_markdown_doc(payload, doc_id)
         else:

@@ -23,7 +23,7 @@ class JobOptions:
     # backend — kernels/rst.py) ---
     from_formats: tuple = (
         "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst",
-        "csv", "yaml", "toml",
+        "csv", "yaml", "toml", "ini", "ipynb",
     )
     # reference default is Markdown only (convert.py:127-137 "defaults to
     # Markdown"); text/doctags are opt-in export columns

@@ -11,7 +11,10 @@ from docling_serve_ray.options import DEFAULT_OPTIONS, JobOptions
 
 REV = build_reverse_codebook()
 
-ALL_FORMATS = ("html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst", "csv", "yaml", "toml")
+ALL_FORMATS = (
+    "html", "pdf", "docx", "md", "pptx", "xlsx", "asciidoc", "image", "rst",
+    "csv", "yaml", "toml", "ini", "ipynb",
+)
 
 
 def _docs_of_format(fmt, n=8, limit=3000):
@@ -338,3 +341,127 @@ class TestConfigFormats:
             ("list_item", "arr[0] = x"),
             ("list_item", "arr[1] = y"),
         ]
+
+
+class TestIniFormat:
+    """ini: the 8th real foreign-backend seam (stdlib configparser)."""
+
+    def _convert(self, payload):
+        from docling_serve_ray.kernels.document import convert_document
+
+        return convert_document("dini", "ini", payload, "en", DEFAULT_OPTIONS, REV)
+
+    def test_roundtrip_with_default_section_roots(self):
+        from docling_serve_ray.kernels.configfmt import render_ini
+
+        spans = [
+            {"kind": "list_item", "text": "root_k = 42"},
+            {"kind": "list_item", "text": "root_s = two words"},
+            {"kind": "section_header", "text": "τμήμα"},
+            {"kind": "list_item", "text": "λέξη = some phrase"},
+            {"kind": "list_item", "text": "n = -7"},
+        ]
+        row = self._convert(render_ini(spans))
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    def test_default_mirror_is_not_duplicated_per_section(self):
+        """configparser mirrors [DEFAULT] keys into every section; the
+        parser surfaces each default ONCE as a root pair and a section
+        override with a DIFFERENT value is kept."""
+        payload = b"[DEFAULT]\nshared = 1\n[a]\nx = 2\n[b]\nshared = 9\n"
+        row = self._convert(payload)
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            ("list_item", "shared = 1"),
+            ("section_header", "a"),
+            ("list_item", "x = 2"),
+            ("section_header", "b"),
+            ("list_item", "shared = 9"),
+        ]
+
+    def test_malformed_payloads_are_failure_rows(self):
+        for payload, err in (
+            (b"key before any section\n", "Error"),  # MissingSectionHeaderError
+            (b"[s]\nkey without delimiter\n", "Error"),  # ParsingError
+            (b"\xff\xfe\x00bad", "UnicodeDecodeError"),
+        ):
+            row = self._convert(payload)
+            assert row["status"] == "failure", payload
+            assert err in str(row["errors"]), row["errors"]
+
+    def test_unrepresentable_key_raises_at_render(self):
+        import pytest as _pytest
+
+        from docling_serve_ray.kernels.configfmt import render_ini
+
+        with _pytest.raises(ValueError, match="INI-representable"):
+            render_ini([{"kind": "list_item", "text": "a=b = v"}])
+
+
+class TestIpynbFormat:
+    """ipynb: the 7th real foreign-backend seam (stdlib json)."""
+
+    def _convert(self, payload):
+        from docling_serve_ray.kernels.document import convert_document
+
+        return convert_document("dnb", "ipynb", payload, "en", DEFAULT_OPTIONS, REV)
+
+    def test_roundtrip_mixed_cells(self):
+        from docling_serve_ray.kernels.ipynbfmt import render_ipynb
+
+        spans = [
+            {"kind": "title", "text": "Notebook τίτλος"},
+            {"kind": "paragraph", "text": "Intro text."},
+            {"kind": "code", "text": "def f(x):\n    return x + 1"},
+            {"kind": "section_header", "text": "Results"},
+            {"kind": "list_item", "text": "first point"},
+            {"kind": "list_item", "text": "second point"},
+            {"kind": "code", "text": "print(f(2))"},
+        ]
+        row = self._convert(render_ipynb(spans))
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            (s["kind"], s["text"]) for s in spans
+        ]
+
+    def test_foreign_notebook_list_source_raw_cells_and_cross_cell_title(self):
+        """nbformat writers emit source as a LIST of lines; raw cells map
+        to paragraphs; only the document's first '# ' heading is the
+        title even across separate markdown cells."""
+        import json as _json
+
+        nb = {
+            "cells": [
+                {"cell_type": "markdown", "metadata": {},
+                 "source": ["# First\n", "\n", "body line a\n", "body line b"]},
+                {"cell_type": "raw", "metadata": {}, "source": "raw blob"},
+                {"cell_type": "markdown", "metadata": {}, "source": "# Second"},
+                {"cell_type": "code", "execution_count": 1, "metadata": {},
+                 "outputs": [{"output_type": "stream", "text": "ignored"}],
+                 "source": ["x = 1\n", "x"]},
+            ],
+            "metadata": {}, "nbformat": 4, "nbformat_minor": 5,
+        }
+        row = self._convert(_json.dumps(nb).encode())
+        assert row["status"] == "success"
+        assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+            ("title", "First"),
+            ("paragraph", "body line a body line b"),
+            ("paragraph", "raw blob"),
+            ("section_header", "Second"),
+            ("code", "x = 1\nx"),
+        ]
+
+    def test_malformed_payloads_are_failure_rows(self):
+        for payload, err in (
+            (b"{not json", "Error"),
+            (b"[1, 2]", "cells"),  # root is a list, not a notebook mapping
+            (b'{"cells": [{"cell_type": "mystery", "source": ""}]}', "cell_type"),
+            (b"\xff\xfe\x00bad", "UnicodeDecodeError"),
+        ):
+            row = self._convert(payload)
+            assert row["status"] == "failure", payload
+            assert err in str(row["errors"]), row["errors"]
