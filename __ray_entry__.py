@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "first_touch_attribution": relational.first_touch_attribution,
         "event_transitions": relational.event_transitions,
+        "event_trigrams": relational.event_trigrams,
         "orphan_audit": relational.orphan_audit,
         "time_to_purchase": relational.time_to_purchase,
         "user_event_pivot": relational.user_event_pivot,
@@ -183,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_trend": analytics.revenue_trend,
         "order_type_signature": analytics.order_type_signature,
         "brand_price_rank": analytics.brand_price_rank,
+        "order_priority_check": analytics.order_priority_check,
+        "product_type_profit": analytics.product_type_profit,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -449,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         REVENUE_TREND_SQL,
         ORDER_TYPE_SIGNATURE_SQL,
         BRAND_PRICE_RANK_SQL,
+        ORDER_PRIORITY_CHECK_SQL,
+        PRODUCT_TYPE_PROFIT_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -485,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         BLOOM_SEMI_JOIN_SQL,
         FIRST_TOUCH_ATTRIBUTION_SQL,
         EVENT_TRANSITIONS_SQL,
+        EVENT_TRIGRAMS_SQL,
         ORPHAN_AUDIT_SQL,
         TIME_TO_PURCHASE_SQL,
         USER_EVENT_PIVOT_SQL,
@@ -644,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
         "event_transitions": EVENT_TRANSITIONS_SQL,
+        "event_trigrams": EVENT_TRIGRAMS_SQL,
         "orphan_audit": ORPHAN_AUDIT_SQL,
         "time_to_purchase": TIME_TO_PURCHASE_SQL,
         "user_event_pivot": USER_EVENT_PIVOT_SQL,
@@ -676,6 +683,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_trend": REVENUE_TREND_SQL,
         "order_type_signature": ORDER_TYPE_SIGNATURE_SQL,
         "brand_price_rank": BRAND_PRICE_RANK_SQL,
+        "order_priority_check": ORDER_PRIORITY_CHECK_SQL,
+        "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "order_type_signature",
     "sliding_unique_users",
     "brand_price_rank",
+    "order_priority_check",
+    "product_type_profit",
+    "event_trigrams",
 ]
 
 

@@ -2564,3 +2564,205 @@ def brand_price_rank(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(partial, batch_format="pandas"), ["p_brand"], per_bucket,
         num_buckets=min(nb, 64),
     )
+
+
+# --- Q4 shape: order priority checking (EXISTS decorrelated) -----------------------
+
+ORDER_PRIORITY_CHECK_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+def order_priority_check(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 shape: per order priority, how many one-year orders had at
+    least one line shipped after the order date (the reference's
+    commit/receipt lateness predicate mapped onto this corpus's columns).
+
+    The EXISTS decorrelates into a per-order MAX(l_shipdate): an order has
+    a late line iff its latest ship date exceeds its order date. The
+    lineitem side collapses to ONE row per order before the join — a
+    per-batch max combiner then a byte-scaled bucketed max reduce
+    (orderkey cardinality scales with the corpus) — so the hash join
+    carries |orders| rows, the lateness filter runs per joined batch, and
+    the final groupby is five partial-sum rows per batch. The one-year
+    window is pushed into the orders read as a row filter."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/lineitem.parquet"))
+
+    def partial_max(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_orderkey", as_index=False).agg(
+            max_ship=("l_shipdate", "max")
+        )
+
+    def final_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(
+            max_ship=("max_ship", "max")
+        )
+
+    per_order = bucketed_group_agg(
+        li.map_batches(partial_max, batch_format="pandas"),
+        ["l_orderkey"], final_max, num_buckets=nb,
+    )
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = o.join(per_order, "inner", P, on=("o_orderkey",), right_on=("l_orderkey",),
+               **jkw)
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        late = b.loc[b["max_ship"] > b["o_orderdate"], ["o_orderpriority"]]
+        out = late.groupby("o_orderpriority", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    agg = (
+        j.map_batches(partial_counts, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="order_count"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "order_count": b["order_count"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- Q9 shape: product-type profit per nation and year -----------------------------
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                            - p.p_retailprice * l.l_quantity * 0.10) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS profit_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+def product_type_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for one
+    product family (this corpus has no partsupp, so supply cost is a
+    fixed 10% of retail price × quantity — per-line floor-to-cents keeps
+    the sum integer-exact across engines).
+
+    Scale shape mirrors market_share: the part hop broadcasts ONLY the
+    name-matching parts' retail prices (misses return NaN from _lookup
+    and the line drops — filter and join in one probe); supplier→nation
+    composes to a second broadcast; lineitem pre-reduces to per
+    (orderkey, nation) profit partials BEFORE the hash join with orders;
+    the post-join partial keys on (nation, year) so the final groupby is
+    |nations| × |years| rows. Both dimension broadcasts go through the
+    size-gated _broadcast_dim (loud refusal past BROADCAST_MAX_BYTES)."""
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    snat_ref = _broadcast_dim(
+        f"{sf_dir}/supplier.parquet",
+        "s_suppkey",
+        lambda df: df["s_nationkey"].map(nation_names).to_numpy(dtype=object),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    retail_ref = _broadcast_dim(
+        f"{sf_dir}/part.parquet",
+        "p_partkey",
+        lambda df: np.where(
+            df["p_name"].str.contains("widget", regex=False),
+            df["p_retailprice"].to_numpy(),
+            np.nan,
+        ),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def partial_left(b: pd.DataFrame) -> pd.DataFrame:
+        retail = _lookup(retail_ref, b["l_partkey"].to_numpy())
+        retail = np.asarray(retail, dtype="float64")
+        keep = ~np.isnan(retail)
+        if not keep.any():
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "nation": pd.Series(dtype="object"),
+                 "profit": pd.Series(dtype="int64")}
+            )
+        b = b.loc[keep]
+        amount = (
+            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy())
+            - retail[keep] * b["l_quantity"].to_numpy() * 0.10
+        )
+        nation = _lookup(snat_ref, b["l_suppkey"].to_numpy())
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"], "nation": nation,
+                          "profit": _cents(amount)})
+            .groupby(["l_orderkey", "nation"], as_index=False)
+            .agg(profit=("profit", "sum"))
+        )
+
+    left = li.map_batches(partial_left, batch_format="pandas")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = left.join(o, "inner", P, on=("l_orderkey",), right_on=("o_orderkey",), **jkw)
+
+    def partial_year(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "nation": b["nation"],
+                    "o_year": b["o_orderdate"].dt.year.astype("int64"),
+                    "profit": b["profit"],
+                }
+            )
+            .groupby(["nation", "o_year"], as_index=False)
+            .agg(profit=("profit", "sum"))
+        )
+
+    agg = (
+        j.map_batches(partial_year, batch_format="pandas")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("profit", alias_name="profit_c"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "nation": b["nation"],
+                "o_year": b["o_year"].astype("int64"),
+                "profit_c": b["profit_c"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -3088,3 +3088,184 @@ def sliding_unique_users(sf_dir: str) -> ray.data.Dataset:
     return partials.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+# --- second-order paths: consecutive event-type trigrams per user ----------------
+
+EVENT_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+"""
+
+
+def event_trigrams(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
+    """Second-order path counts over per-user event streams: every three
+    CONSECUTIVE (by ts, event_id) events of one user contribute one
+    (e1, e2, e3) trigram — event_transitions' Markov model one order up,
+    with the same bounded output (|event types|³ rows). Default path:
+    one bucketed shuffle on user_id, per-bucket vectorized sort + double
+    shift; the single-key guard raises past ``max_group_rows``.
+
+    slice_width (or "auto"): the skew-proof path. Trigrams fully inside a
+    (user, time-slice) group are counted locally. A cross-slice trigram
+    can only use events within distance 2 of a slice edge, i.e. each
+    slice's global FIRST-2 / LAST-2 events — per-batch partials emit
+    those candidates (a batch-local top-2 always contains the global
+    top-2) plus per-slice counts, so the per-user stitch frame is ≤ 4
+    rows per non-empty slice (calendar-bounded, hot-user-safe). Within a
+    slice the kept rows are positions {0, 1, n-2, n-1}: when n ≤ 4 they
+    are ALL the slice's events (every adjacent link consecutive); when
+    n > 4 exactly the link between kept positions 1 and 2 is
+    non-consecutive. Adjacent kept rows across a slice boundary are
+    always consecutive (any event between them would be a kept row of an
+    intermediate slice). Triples over the kept sequence with both links
+    consecutive, minus the all-one-slice ones already counted locally,
+    are exactly the cross-slice trigrams."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"e1": pd.Series(dtype="object"), "e2": pd.Series(dtype="object"),
+             "e3": pd.Series(dtype="object"), "tn": pd.Series(dtype="int64")}
+        )
+
+    def triple_counts(g: pd.DataFrame, group_cols: list) -> pd.DataFrame:
+        if len(g) < 3:
+            return _empty()
+        same = np.ones(len(g) - 2, dtype=bool)
+        for c in group_cols:
+            v = g[c].to_numpy()
+            same &= (v[2:] == v[1:-1]) & (v[1:-1] == v[:-2])
+        et = g["event_type"].to_numpy()
+        f = pd.DataFrame(
+            {"e1": et[:-2][same], "e2": et[1:-1][same], "e3": et[2:][same]}
+        )
+        out = f.groupby(["e1", "e2", "e3"], as_index=False).size()
+        return out.rename(columns={"size": "tn"}).astype({"tn": "int64"})
+
+    if slice_width is None:
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id"], max_group_rows, "event_trigrams")
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            return triple_counts(g, ["user_id"])
+
+        partials = bucketed_group_agg(ds, ["user_id"], per_bucket, num_buckets=nb)
+    else:
+        width = pd.Timedelta(slice_width)
+
+        def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(_slice=b["ts"].dt.floor(width))
+
+        sliced = ds.map_batches(add_slice, batch_format="pandas")
+
+        def local_triples(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(
+                g, ["user_id", "_slice"], max_group_rows, "event_trigrams"
+            )
+            g = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+            return triple_counts(g, ["user_id", "_slice"])
+
+        local = bucketed_group_agg(
+            sliced, ["user_id", "_slice"], local_triples, num_buckets=nb
+        )
+
+        def boundary_partial(b: pd.DataFrame) -> pd.DataFrame:
+            # per (user, slice): batch-local first-2/last-2 candidate rows
+            # (cnt = 0) + one per-slice batch-count row (cnt = rows seen)
+            s = b.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+            grp = s.groupby(["user_id", "_slice"], sort=False)
+            rs = grp.cumcount().to_numpy()
+            re_ = grp.cumcount(ascending=False).to_numpy()
+            cand = s.loc[(rs < 2) | (re_ < 2)].copy()
+            cand["cnt"] = np.int64(0)
+            counts = grp.size().reset_index().rename(columns={0: "cnt"})
+            counts["ts"] = pd.Timestamp(0)
+            counts["event_id"] = np.int64(-1)
+            counts["event_type"] = ""
+            cols = ["user_id", "_slice", "ts", "event_id", "event_type", "cnt"]
+            return pd.concat([cand[cols], counts[cols]], ignore_index=True).astype(
+                {"cnt": "int64"}
+            )
+
+        def edge_triples(g: pd.DataFrame) -> pd.DataFrame:
+            # complete per-user boundary sets: rebuild each slice's true
+            # first-2/last-2 + exact slice size, then walk the kept
+            # sequence (≤ 4 rows per non-empty slice)
+            n_by_slice = (
+                g.loc[g["cnt"] > 0]
+                .groupby(["user_id", "_slice"])["cnt"].sum()
+            )
+            cand = g.loc[g["cnt"] == 0].sort_values(
+                ["user_id", "_slice", "ts", "event_id"], kind="stable"
+            )
+            grp = cand.groupby(["user_id", "_slice"], sort=False)
+            rs = grp.cumcount().to_numpy()
+            re_ = grp.cumcount(ascending=False).to_numpy()
+            kept = cand.loc[(rs < 2) | (re_ < 2)].copy()
+            if len(kept) < 3:
+                return _empty()
+            kept["r"] = kept.groupby(["user_id", "_slice"], sort=False).cumcount()
+            kept["n"] = pd.MultiIndex.from_frame(
+                kept[["user_id", "_slice"]]
+            ).map(n_by_slice)
+            u = kept["user_id"].to_numpy()
+            sl = kept["_slice"].to_numpy()
+            r = kept["r"].to_numpy()
+            n = kept["n"].to_numpy(dtype="int64")
+            et = kept["event_type"].to_numpy()
+            same_slice = (u[1:] == u[:-1]) & (sl[1:] == sl[:-1])
+            # non-consecutive link: same slice, n > 4, between kept
+            # positions 1 and 2 (the global gap) — everything else links
+            link_ok = ~same_slice | (n[:-1] <= 4) | (r[:-1] != 1)
+            tri = (
+                (u[2:] == u[:-2])
+                & link_ok[:-1]
+                & link_ok[1:]
+                & ~((sl[2:] == sl[:-2]) & (sl[1:-1] == sl[:-2]))
+            )
+            if not tri.any():
+                return _empty()
+            f = pd.DataFrame(
+                {"e1": et[:-2][tri], "e2": et[1:-1][tri], "e3": et[2:][tri]}
+            )
+            out = f.groupby(["e1", "e2", "e3"], as_index=False).size()
+            return out.rename(columns={"size": "tn"}).astype({"tn": "int64"})
+
+        edges = bucketed_group_agg(
+            sliced,
+            ["user_id"],
+            edge_triples,
+            partial_fn=boundary_partial,
+            num_buckets=min(nb, 64),
+        )
+        partials = local.union(edges)
+
+    agg = partials.groupby(["e1", "e2", "e3"]).aggregate(
+        Sum("tn", alias_name="n_paths")
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {"e1": b["e1"], "e2": b["e2"], "e3": b["e3"],
+             "n_paths": b["n_paths"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

@@ -121,6 +121,9 @@ SUBSET = [
     "order_type_signature",
     "sliding_unique_users",
     "brand_price_rank",
+    "order_priority_check",
+    "product_type_profit",
+    "event_trigrams",
 ]
 
 
@@ -771,11 +774,13 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         EVENT_DELTAS_SQL,
         RANGE_JOIN_SQL,
         EVENT_TRANSITIONS_SQL,
+        EVENT_TRIGRAMS_SQL,
         RUNNING_TOTALS_SQL,
         SESSIONIZE_SQL,
         asof_join,
         event_deltas,
         event_transitions,
+        event_trigrams,
         range_join,
         running_totals,
         sessionize,
@@ -786,7 +791,7 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
     limit = 400  # < the hot user's 1500 rows; > any (user, slice) group
 
     for op in (sessionize, range_join, asof_join, running_totals, event_deltas,
-               event_transitions):
+               event_transitions, event_trigrams):
         with pytest.raises(ValueError, match="max_group_rows"):
             op(sf, max_group_rows=limit).to_pandas()
 
@@ -797,6 +802,7 @@ def test_keyed_log_skew_guard_and_sliced_paths(ray_session, tmp_path):
         (running_totals, RUNNING_TOTALS_SQL),
         (event_deltas, EVENT_DELTAS_SQL),
         (event_transitions, EVENT_TRANSITIONS_SQL),
+        (event_trigrams, EVENT_TRIGRAMS_SQL),
     ):
         got = _canon(
             op(sf, slice_width="6h", max_group_rows=limit).to_pandas()
