@@ -1,7 +1,7 @@
 """Jupyter-notebook (.ipynb) parsing through the REAL stdlib ``json``
-backend (CPython's C-accelerated scanner) — the 7th real foreign parser
-seam alongside expat, docutils, stdlib-csv, PyYAML, tomllib and
-charset_normalizer.
+backend (CPython's C-accelerated scanner) — the 9th real foreign parser
+seam alongside expat, docutils, stdlib-csv, PyYAML, tomllib,
+configparser, charset_normalizer and Pygments.
 
 A notebook is nbformat-4 JSON: ``{"cells": [{"cell_type": ..., "source":
 ...}, ...]}``. The span model walks cells in order:
