@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_rank": analytics.brand_price_rank,
         "order_priority_check": analytics.order_priority_check,
         "product_type_profit": analytics.product_type_profit,
+        "shipping_priority": analytics.shipping_priority,
+        "local_supplier_volume": analytics.local_supplier_volume,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -454,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         BRAND_PRICE_RANK_SQL,
         ORDER_PRIORITY_CHECK_SQL,
         PRODUCT_TYPE_PROFIT_SQL,
+        SHIPPING_PRIORITY_SQL,
+        LOCAL_SUPPLIER_VOLUME_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -685,6 +689,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_price_rank": BRAND_PRICE_RANK_SQL,
         "order_priority_check": ORDER_PRIORITY_CHECK_SQL,
         "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
+        "shipping_priority": SHIPPING_PRIORITY_SQL,
+        "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "brand_price_rank",
     "order_priority_check",
     "product_type_profit",
+    "shipping_priority",
+    "local_supplier_volume",
     "event_trigrams",
 ]
 

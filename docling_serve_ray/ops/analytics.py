@@ -2766,3 +2766,246 @@ def product_type_profit(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- Q3 shape: shipping-priority top orders ---------------------------------------
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_c DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 shape: the 10 highest-revenue unshipped orders for one
+    market segment (ordered before the cutoff, still shipping after it).
+
+    Scale shape: the customer hop collapses to ONE broadcast bool
+    (custkey → in-segment, size-gated via _broadcast_dim); both date
+    predicates push into the parquet reads as row filters; lineitem
+    pre-reduces to per-order revenue with a per-batch partial sum then a
+    byte-scaled bucketed reduce BEFORE the hash join, so the join carries
+    one row per qualifying order; the global top-10 is a per-batch
+    k-selection over the joined rows followed by a sort of the tiny
+    candidate set (the top_orders pattern — ties broken by the full
+    deterministic (revenue DESC, orderdate, orderkey) key on both
+    engines)."""
+    import pyarrow.compute as pc
+
+    K = 10
+    CUTOFF = pd.Timestamp("1997-01-01")
+    seg_ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet",
+        "c_custkey",
+        lambda df: (df["c_mktsegment"].to_numpy() == "BUILDING").astype("int8"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > pa.scalar(CUTOFF),
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/lineitem.parquet"))
+
+    def partial_rev(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"l_orderkey": b["l_orderkey"],
+                 "revenue_c": _cents(b["l_extendedprice"] * (1 - b["l_discount"]))}
+            )
+            .groupby("l_orderkey", as_index=False)
+            .agg(revenue_c=("revenue_c", "sum"))
+        )
+
+    def final_rev(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(
+            revenue_c=("revenue_c", "sum")
+        )
+
+    per_order = bucketed_group_agg(
+        li.map_batches(partial_rev, batch_format="pandas"),
+        ["l_orderkey"], final_rev, num_buckets=nb,
+    )
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pa.scalar(CUTOFF),
+    )
+
+    def seg_filter(b: pd.DataFrame) -> pd.DataFrame:
+        in_seg = _lookup(seg_ref, b["o_custkey"].to_numpy())
+        in_seg = in_seg.to_numpy(dtype="float64", na_value=np.nan)
+        return b.loc[in_seg == 1, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    right = o.map_batches(seg_filter, batch_format="pandas")
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = per_order.join(right, "inner", P, on=("l_orderkey",),
+                       right_on=("o_orderkey",), **jkw)
+
+    def top_batch(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "revenue_c": b["revenue_c"].astype("int64"),
+                "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+        return out.sort_values(
+            ["revenue_c", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        ).head(K)
+
+    cands = j.map_batches(top_batch, batch_format="pandas")
+    return cands.sort(
+        ["revenue_c", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(K)
+
+
+# --- Q5 shape: local-supplier volume per nation ------------------------------------
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+"""
+
+
+def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue where the customer and the supplier share a
+    nation, per nation of one region, over a date window.
+
+    Scale shape: nation × region compose DRIVER-SIDE (O(25) rows) into the
+    region's nationkey set + name map; supplier and customer each collapse
+    to one size-gated nationkey broadcast. The lineitem side attaches the
+    supplier nation per batch, drops lines outside the region (np.isin
+    against the tiny sorted key set), and pre-reduces to per
+    (orderkey, nation) revenue partials BEFORE the hash join; the orders
+    side pushes the date window into the parquet read and carries only
+    (orderkey, customer-nation). The same-nation predicate then runs per
+    joined batch and the final groupby is |region nations| rows."""
+    import pyarrow.compute as pc
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    region_of = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    in_region = nat.loc[nat["n_regionkey"].map(region_of) == "ASIA"]
+    region_keys = np.sort(in_region["n_nationkey"].to_numpy().astype("int64"))
+    nation_names = dict(
+        zip(in_region["n_nationkey"].astype("int64"), in_region["n_name"])
+    )
+
+    snat_ref = _broadcast_dim(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey"
+    )
+    cnat_ref = _broadcast_dim(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey"
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial_left(b: pd.DataFrame) -> pd.DataFrame:
+        snat = _lookup(snat_ref, b["l_suppkey"].to_numpy())
+        snat = snat.to_numpy(dtype="float64", na_value=np.nan)
+        keep = np.isin(snat, region_keys)  # NaN is never in the key set
+        if not keep.any():
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "snat": pd.Series(dtype="int64"),
+                 "revenue_c": pd.Series(dtype="int64")}
+            )
+        b = b.loc[keep]
+        return (
+            pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].astype("int64"),
+                    "snat": snat[keep].astype("int64"),
+                    "revenue_c": _cents(
+                        b["l_extendedprice"] * (1 - b["l_discount"])
+                    ),
+                }
+            )
+            .groupby(["l_orderkey", "snat"], as_index=False)
+            .agg(revenue_c=("revenue_c", "sum"))
+        )
+
+    left = li.map_batches(partial_left, batch_format="pandas")
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(pd.Timestamp("1995-01-01")))
+            & (pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1999-01-01")))
+        ),
+    )
+
+    def attach_cnat(b: pd.DataFrame) -> pd.DataFrame:
+        cnat = _lookup(cnat_ref, b["o_custkey"].to_numpy())
+        cnat = cnat.to_numpy(dtype="float64", na_value=np.nan)
+        keep = ~np.isnan(cnat)
+        b = b.loc[keep]
+        return pd.DataFrame(
+            {"o_orderkey": b["o_orderkey"].astype("int64"),
+             "cnat": cnat[keep].astype("int64")}
+        )
+
+    right = o.map_batches(attach_cnat, batch_format="pandas")
+    P, jkw = join_partitions(
+        size_bytes=input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    j = left.join(right, "inner", P, on=("l_orderkey",),
+                  right_on=("o_orderkey",), **jkw)
+
+    def partial_nat(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["snat"].to_numpy() == b["cnat"].to_numpy()]
+        return (
+            b.groupby("snat", as_index=False)
+            .agg(revenue_c=("revenue_c", "sum"))
+        )
+
+    agg = (
+        j.map_batches(partial_nat, batch_format="pandas")
+        .groupby("snat")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "nation": b["snat"].map(nation_names),
+                "revenue_c": b["revenue_c"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -123,6 +123,8 @@ SUBSET = [
     "brand_price_rank",
     "order_priority_check",
     "product_type_profit",
+    "shipping_priority",
+    "local_supplier_volume",
     "event_trigrams",
 ]
 
