@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
+        "dup_rate_by_source": dedup.dup_rate_by_source,
         "boilerplate_paragraphs": dedup.boilerplate_paragraphs,
         "paragraph_dedup": dedup.paragraph_dedup,
         "paragraph_dedup_apply": dedup.paragraph_dedup_apply,
@@ -194,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": curation.global_rank,
         "vocab_build": curation.vocab_build,
         "tokenize_ids": curation.tokenize_ids,
+        "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
         "media_dedup": media_ops.media_dedup,
@@ -389,6 +391,7 @@ FROM w JOIN paras p USING (doc_id)
 def oracle_sql() -> dict[str, str]:
     from docling_serve_ray.ops.dedup import (
         EXACT_DEDUP_SQL,
+        DUP_RATE_BY_SOURCE_SQL,
         BOILERPLATE_PARAGRAPHS_SQL,
         JACCARD_PAIRS_SQL,
         MINHASH_PAIRS_SQL,
@@ -420,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         GLOBAL_RANK_SQL,
         VOCAB_BUILD_SQL,
         TOKENIZE_IDS_SQL,
+        INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
@@ -591,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_divergence": SOURCE_TOKEN_DIVERGENCE_SQL,
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
+        "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
         "boilerplate_paragraphs": BOILERPLATE_PARAGRAPHS_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "paragraph_dedup_apply": PARAGRAPH_DEDUP_APPLY_SQL,
@@ -697,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": GLOBAL_RANK_SQL,
         "vocab_build": VOCAB_BUILD_SQL,
         "tokenize_ids": TOKENIZE_IDS_SQL,
+        "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,
         "knn_graph": KNN_GRAPH_SQL,

@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "product_type_profit",
     "shipping_priority",
     "local_supplier_volume",
+    "inverted_index",
+    "dup_rate_by_source",
     "event_trigrams",
 ]
 

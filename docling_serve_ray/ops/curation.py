@@ -1689,3 +1689,86 @@ def normalized_dedup(sf_dir: str) -> ray.data.Dataset:
         ),
         ["fp"], per_bucket, num_buckets=nb,
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (token → posting list)
+# ---------------------------------------------------------------------------
+
+INVERTED_MIN_DF = 5  # tokens in fewer docs don't earn a posting list
+INVERTED_TOP_POSTINGS = 20  # postings kept per token (lowest doc_ids)
+
+INVERTED_INDEX_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+         list_slice(list_sort(list(doc_id)), 1, {INVERTED_TOP_POSTINGS}), ','
+       ) AS postings
+FROM w GROUP BY token HAVING count(*) >= {INVERTED_MIN_DF}
+"""
+
+
+def inverted_index(
+    sf_dir: str,
+    *,
+    min_df: int = INVERTED_MIN_DF,
+    top_postings: int = INVERTED_TOP_POSTINGS,
+) -> ray.data.Dataset:
+    """Search-index construction: for every token appearing in ≥ min_df
+    documents, the document frequency and the posting list truncated to
+    the ``top_postings`` lowest doc_ids (comma-joined — the on-disk
+    posting-head layout; full lists would make the output row size
+    unbounded for stopword-like tokens).
+
+    Scale shape: each batch emits DISTINCT (token, doc_id) pairs (one
+    hash-based drop_duplicates, C speed — a doc lives in exactly one input
+    row so cross-batch pairs are already unique and df = plain count); the
+    byte-scaled bucketed reduce sees complete token groups per bucket and
+    resolves df + the truncated posting head with one sort + groupby.head
+    — driver never holds the index; output is one bounded row per
+    surviving token."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy())
+        ids = np.repeat(b["doc_id"].to_numpy().astype("int64"), lens)
+        return pd.DataFrame({"token": flat, "doc_id": ids}).drop_duplicates()
+
+    rows = ray.data.read_parquet(
+        path, columns=["doc_id", "text"]
+    ).map_batches(pairs, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per = g.groupby("token")["doc_id"].size()
+        keep = df_per[df_per >= min_df]
+        if keep.empty:
+            return pd.DataFrame(
+                {"token": pd.Series(dtype="object"),
+                 "df": pd.Series(dtype="int64"),
+                 "postings": pd.Series(dtype="object")}
+            )
+        g = g.loc[g["token"].isin(keep.index)].sort_values(["token", "doc_id"])
+        head = g.groupby("token").head(top_postings)
+        postings = (
+            head.assign(s=head["doc_id"].astype(str))
+            .groupby("token")["s"]
+            .agg(",".join)
+        )
+        return pd.DataFrame(
+            {
+                "token": keep.index,
+                "df": keep.to_numpy().astype("int64"),
+                "postings": postings.reindex(keep.index).to_numpy(),
+            }
+        )
+
+    return bucketed_group_agg(rows, ["token"], per_bucket, num_buckets=nb)

@@ -1200,3 +1200,98 @@ def boilerplate_paragraphs(sf_dir: str) -> ray.data.Dataset:
     return cands.repartition(1).map_batches(
         final_top, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplicate-rate report
+# ---------------------------------------------------------------------------
+#
+# The curation dashboard number: for each source, how many docs it
+# contributed and how many of them are exact duplicates of earlier content
+# (keeper = corpus-wide minimum doc_id per content hash — the exact_dedup
+# rule). Uses the suite's standard deterministic mirror augment (doc_id % 7
+# copies shifted by +1,000,000, keeping their source) so the rate is
+# non-trivial on the synthetic corpus.
+
+DUP_RATE_BY_SOURCE_SQL = """
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+),
+f AS (
+  SELECT doc_id, source, md5(text) AS fp FROM aug
+),
+k AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM f GROUP BY fp
+)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups
+FROM f JOIN k ON f.fp = k.fp
+GROUP BY f.source
+"""
+
+
+def dup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_docs, n_dups): per-source exact-duplicate rate.
+
+    Scale shape: the shuffle carries (fp, doc_id, source) only; fp groups
+    are complete per bucket (the exact_dedup machinery), so the keeper and
+    each row's dup flag resolve in-bucket with one vectorized
+    transform('min'); each bucket emits per-source partial counts and the
+    final groupby is |sources| rows. The rate itself is left to the
+    consumer (two exact integer columns hash deterministically)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        out_id, out_text, out_src = list(ids), list(texts), list(srcs)
+        for i, t, s in zip(ids, texts, srcs):
+            if i % 7 == 0:
+                out_id.append(i + 1_000_000)
+                out_text.append(t)
+                out_src.append(s)
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out_text]
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "source"]
+    ).map_batches(add_fp, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("fp")["doc_id"].transform("min")
+        is_dup = (g["doc_id"] != keeper).astype("int64")
+        out = pd.DataFrame({"source": g["source"], "n": np.int64(1), "d": is_dup})
+        return out.groupby("source", as_index=False).agg(
+            n=("n", "sum"), d=("d", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = bucketed_group_agg(rows, ["fp"], per_bucket, num_buckets=nb)
+    agg = partials.groupby("source").aggregate(
+        Sum("n", alias_name="n_docs"), Sum("d", alias_name="n_dups")
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_docs": b["n_docs"].astype("int64"),
+                "n_dups": b["n_dups"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

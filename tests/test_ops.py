@@ -125,6 +125,8 @@ SUBSET = [
     "product_type_profit",
     "shipping_priority",
     "local_supplier_volume",
+    "inverted_index",
+    "dup_rate_by_source",
     "event_trigrams",
 ]
 
