@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": cluster.embedding_clusters,
         "dup_cluster_sizes": cluster.dup_cluster_sizes,
         "pagerank": cluster.pagerank,
+        "triangle_count": cluster.triangle_count,
         "dedup_apply": curation.dedup_apply,
         "curation_report": curation.curation_report,
         "cross_source_dups": curation.cross_source_dups,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         EMBEDDING_CLUSTERS_SQL,
         NEARDUP_CLUSTERS_SQL,
         PAGERANK_SQL,
+        TRIANGLE_COUNT_SQL,
     )
     from docling_serve_ray.ops.curation import (
         CORPUS_STATS_SQL,
@@ -609,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
         "dup_cluster_sizes": DUP_CLUSTER_SIZES_SQL,
         "pagerank": PAGERANK_SQL,
+        "triangle_count": TRIANGLE_COUNT_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "curation_report": CURATION_REPORT_SQL,
         "cross_source_dups": CROSS_SOURCE_DUPS_SQL,

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "inverted_index",
     "dup_rate_by_source",
+    "triangle_count",
     "event_trigrams",
 ]
 

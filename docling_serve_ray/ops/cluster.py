@@ -644,3 +644,148 @@ def pagerank(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- Triangle census over the co-purchase graph ------------------------------------
+#
+# Graph-analytics member #2 (pagerank is the iterative one; this is the
+# one-shot motif count): edges are part pairs co-purchased in ≥ 2 distinct
+# orders, and the census reports edge count, undirected wedge count
+# (Σ d(d-1)/2 — the clustering-coefficient denominator) and the exact
+# triangle count via the standard node-iterator-on-oriented-adjacency
+# scheme (each triangle a<b<c found exactly once from its lowest vertex).
+
+TRIANGLE_MIN_SUPPORT = 2
+
+TRIANGLE_COUNT_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= {TRIANGLE_MIN_SUPPORT}
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+  GROUP BY v
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles
+"""
+
+
+def triangle_count(sf_dir: str) -> "pd.DataFrame":
+    """One-row graph census (n_edges, n_wedges, n_triangles) of the
+    part-level co-purchase graph (edge = pair bought together in ≥ 2
+    orders).
+
+    Scale shape: baskets co-locate with ONE bucketed shuffle on orderkey
+    (pair expansion is basket-local, C(k,2) with k = order width); pair
+    supports reduce in a second byte-scaled bucketed agg and the support
+    filter runs inside it, so only surviving edges materialize (pinned
+    once, reused by all three census passes — the dedup_apply residency
+    rule; pass a higher min_support at 100 TB to bound them). Wedges come
+    from a per-node degree reduce (driver holds one integer); triangles
+    orient each edge low→high, expand per-source adjacency into wedge
+    rows with multiplicities (vectorized self-merge on complete
+    per-source groups), reduce multiplicities per (v, w), and close them
+    against the edge list with one hash join — the join carries
+    |distinct wedge endpoints| ≤ |node pairs| rows, never raw wedges."""
+    from .shuffle import (
+        bucketed_group_agg,
+        input_bytes_estimate,
+        join_partitions,
+        scaled_num_buckets,
+    )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+
+    ds = ray.data.read_parquet(path, columns=["l_orderkey", "l_partkey"])
+
+    def lp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    def basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        f = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        f = f.loc[f["l_partkey_a"] < f["l_partkey_b"]]
+        out = f.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        out.columns = ["pa", "pb", "n"]
+        return out.astype({"pa": "int64", "pb": "int64", "n": "int64"})
+
+    pair_partials = bucketed_group_agg(
+        ds.map_batches(lp_partial, batch_format="pandas"),
+        ["l_orderkey"], basket_pairs, num_buckets=nb,
+    )
+
+    def support_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pa", "pb"], as_index=False).agg(n=("n", "sum"))
+        return s.loc[s["n"] >= TRIANGLE_MIN_SUPPORT, ["pa", "pb"]]
+
+    edges = bucketed_group_agg(
+        pair_partials, ["pa", "pb"], support_filter, num_buckets=nb
+    ).materialize()
+
+    n_edges = int(edges.count())
+
+    # --- wedges: per-node degree, then Σ d(d-1)/2 -------------------------
+    def endpoint_rows(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([b["pa"].to_numpy(), b["pb"].to_numpy()])
+        h = pd.Series(v).value_counts()
+        return pd.DataFrame(
+            {"v": h.index.to_numpy().astype("int64"),
+             "n": h.to_numpy().astype("int64")}
+        )
+
+    def wedge_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("v")["n"].sum().to_numpy().astype("int64")
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+
+    wedge_parts = bucketed_group_agg(
+        edges.map_batches(endpoint_rows, batch_format="pandas"),
+        ["v"], wedge_partial, num_buckets=nb,
+    )
+    n_wedges = int(wedge_parts.sum("w") or 0)
+
+    # --- triangles: oriented wedges closed against the edge list ----------
+    def adj_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.merge(g, on="pa", suffixes=("_x", "_y"))
+        f = f.loc[f["pb_x"] < f["pb_y"]]
+        out = f.groupby(["pb_x", "pb_y"], as_index=False).size()
+        out.columns = ["wa", "wb", "m"]
+        return out.astype({"wa": "int64", "wb": "int64", "m": "int64"})
+
+    wedge_rows = bucketed_group_agg(
+        edges, ["pa"], adj_wedges, num_buckets=nb,
+    )
+
+    def wedge_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["wa", "wb"], as_index=False).agg(m=("m", "sum"))
+
+    wedge_counts = bucketed_group_agg(
+        wedge_rows, ["wa", "wb"], wedge_reduce, num_buckets=nb
+    )
+
+    P, jkw = join_partitions(size_bytes=input_bytes_estimate(path))
+    closed = wedge_counts.join(
+        edges, "inner", P, on=("wa", "wb"), right_on=("pa", "pb"), **jkw
+    )
+    n_triangles = int(closed.sum("m") or 0)
+
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_triangles": pd.Series([n_triangles], dtype="int64"),
+        }
+    )

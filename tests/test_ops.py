@@ -127,6 +127,7 @@ SUBSET = [
     "local_supplier_volume",
     "inverted_index",
     "dup_rate_by_source",
+    "triangle_count",
     "event_trigrams",
 ]
 
