@@ -1760,3 +1760,32 @@ def test_brand_price_rank_tie_fanout(ray_session, tmp_path, duck):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     b1 = got.loc[got["p_brand"] == "B#1"]
     assert sorted(b1["price_rank"]) == [1, 1, 3, 3]  # rank 2 skipped, no rank 5
+
+
+def test_triangle_count_k4_fixture(ray_session, tmp_path):
+    """Hand-built graph with a known census: two orders each containing
+    parts {1,2,3,4} make every pair's support 2 (a K4 — 6 edges, Σd(d-1)/2
+    = 12 wedges, 4 triangles), while part 5 co-occurs with part 1 only
+    once and must NOT produce an edge (support filter), and a duplicate
+    (orderkey, partkey) line must not double-count support."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.cluster import triangle_count
+
+    rows = []
+    for ok in (10, 11):
+        for pk in (1, 2, 3, 4):
+            rows.append((ok, pk))
+    rows.append((12, 1))
+    rows.append((12, 5))      # support-1 pair (1,5): filtered out
+    rows.append((10, 1))      # duplicate line: distinct-pairs rule
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = triangle_count(str(tmp_path))
+    assert out.iloc[0].to_dict() == {"n_edges": 6, "n_wedges": 12, "n_triangles": 4}
