@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_stats": text.lexical_stats,
         "unigram_prob_score": text.unigram_prob_score,
         "source_token_divergence": text.source_token_divergence,
+        "source_simpson_diversity": text.source_simpson_diversity,
         "decontaminate": text.decontaminate,
         # --- dedup suite ---
         "exact_dedup": dedup.exact_dedup,
@@ -157,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_purchase": relational.time_to_purchase,
         "user_event_pivot": relational.user_event_pivot,
         "sliding_unique_users": relational.sliding_unique_users,
+        "activity_streaks": relational.activity_streaks,
+        "interval_coverage": relational.interval_coverage,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -190,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_type_profit": analytics.product_type_profit,
         "shipping_priority": analytics.shipping_priority,
         "local_supplier_volume": analytics.local_supplier_volume,
+        "modal_priority": analytics.modal_priority,
+        "pareto_front": analytics.pareto_front,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -464,6 +469,8 @@ def oracle_sql() -> dict[str, str]:
         PRODUCT_TYPE_PROFIT_SQL,
         SHIPPING_PRIORITY_SQL,
         LOCAL_SUPPLIER_VOLUME_SQL,
+        MODAL_PRIORITY_SQL,
+        PARETO_FRONT_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -505,6 +512,8 @@ def oracle_sql() -> dict[str, str]:
         TIME_TO_PURCHASE_SQL,
         USER_EVENT_PIVOT_SQL,
         SLIDING_UNIQUE_USERS_SQL,
+        ACTIVITY_STREAKS_SQL,
+        INTERVAL_COVERAGE_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -540,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         LEXICAL_STATS_SQL,
         UNIGRAM_PROB_SCORE_SQL,
         SOURCE_TOKEN_DIVERGENCE_SQL,
+        SOURCE_SIMPSON_DIVERSITY_SQL,
     )
 
     return {
@@ -595,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_stats": LEXICAL_STATS_SQL,
         "unigram_prob_score": UNIGRAM_PROB_SCORE_SQL,
         "source_token_divergence": SOURCE_TOKEN_DIVERGENCE_SQL,
+        "source_simpson_diversity": SOURCE_SIMPSON_DIVERSITY_SQL,
         "decontaminate": DECON_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
@@ -667,6 +678,8 @@ def oracle_sql() -> dict[str, str]:
         "time_to_purchase": TIME_TO_PURCHASE_SQL,
         "user_event_pivot": USER_EVENT_PIVOT_SQL,
         "sliding_unique_users": SLIDING_UNIQUE_USERS_SQL,
+        "activity_streaks": ACTIVITY_STREAKS_SQL,
+        "interval_coverage": INTERVAL_COVERAGE_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -699,6 +712,8 @@ def oracle_sql() -> dict[str, str]:
         "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
         "shipping_priority": SHIPPING_PRIORITY_SQL,
         "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+        "modal_priority": MODAL_PRIORITY_SQL,
+        "pareto_front": PARETO_FRONT_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

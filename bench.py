@@ -195,6 +195,12 @@ BENCH_QUERIES = [
     "dup_rate_by_source",
     "triangle_count",
     "event_trigrams",
+    # fifth-wave ops (round-5 closing session)
+    "activity_streaks",
+    "interval_coverage",
+    "modal_priority",
+    "pareto_front",
+    "source_simpson_diversity",
 ]
 
 

@@ -3009,3 +3009,141 @@ def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# --- modal aggregate: per-customer most-frequent order priority ----------------------
+
+MODAL_PRIORITY_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+r AS (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderpriority AS modal_priority,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM r WHERE rn = 1 GROUP BY o_orderpriority
+"""
+
+
+def modal_priority(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer modal order priority (most-frequent value, ties to
+    the lexicographically smallest), reported as a histogram — the MODE
+    ordered-set aggregate, which neither Ray Data's aggregate API nor a
+    mergeable partial can express directly (mode is not decomposable:
+    per-shard modes don't merge).
+
+    The exact decomposition: mode IS decomposable through its count
+    table — per-batch (custkey, priority) partial counts shrink the
+    shuffle, one bucketed shuffle on custkey delivers complete per-key
+    count groups, and the per-bucket argmax (sort by count desc /
+    priority asc, take first per key — vectorized drop_duplicates) is
+    exact. Each bucket emits a partial priority histogram; partials
+    merge in one task over the 5-value priority domain. The per-key
+    frame is the priority domain (≤5 rows), so no skew guard applies."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(
+            ["o_custkey", "o_orderpriority"], as_index=False
+        ).agg(n=("o_orderpriority", "size"))
+
+    def modal_hist(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["o_custkey", "o_orderpriority"], as_index=False)["n"].sum()
+        c = c.sort_values(
+            ["o_custkey", "n", "o_orderpriority"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("o_custkey")
+        h = c.groupby("o_orderpriority", as_index=False).agg(
+            n_customers=("o_custkey", "size")
+        )
+        return pd.DataFrame(
+            {"modal_priority": h["o_orderpriority"],
+             "n_customers": h["n_customers"].astype("int64")}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/orders.parquet"))
+    partials = bucketed_group_agg(
+        ds, ["o_custkey"], modal_hist, partial_fn=partial, num_buckets=nb
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("modal_priority", as_index=False)["n_customers"].sum()
+        return s.astype({"n_customers": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- skyline / Pareto front over the part catalog ------------------------------------
+
+PARETO_FRONT_SQL = """
+WITH s AS (
+  SELECT p_retailprice AS pr, max(p_size) AS mxs FROM part GROUP BY p_retailprice
+),
+r AS (
+  SELECT pr, mxs,
+         max(mxs) OVER (ORDER BY pr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_lt
+  FROM s
+)
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p JOIN r ON p.p_retailprice = r.pr
+WHERE p.p_size = r.mxs AND (r.mx_lt IS NULL OR r.mxs > r.mx_lt)
+"""
+
+
+def pareto_front(sf_dir: str) -> ray.data.Dataset:
+    """Skyline query: parts not dominated on (price ↓, size ↑) — q
+    dominates p iff q is no worse on both axes and strictly better on
+    one. Duplicate (price, size) points never dominate each other, so
+    every copy of a front point survives (the oracle's join keeps them
+    the same way).
+
+    The distributed shape is the classic two-level skyline: a per-batch
+    LOCAL skyline (dominance is transitive, so a locally dominated point
+    is globally dominated — per-batch filtering is lossless), then the
+    surviving candidates — O(distinct prices on the front) in the worst
+    case, ~O(log n) expected for independent axes — gather to one
+    vectorized final pass. Both passes are the same kernel: sort by
+    (price asc, size desc), per-price max size, survivors where that max
+    strictly exceeds the running max over cheaper prices. At 100 TB the
+    gather stays bounded because each batch forwards only its front; if
+    an adversarial (monotone) catalog made fronts corpus-sized, insert
+    intermediate skyline levels (repartition → re-reduce) — same kernel,
+    documented assumption."""
+
+    def local_front(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("p_retailprice")["p_size"].max()
+        s = s.sort_index()
+        mx_lt = s.cummax().shift(1)
+        ok = mx_lt.isna() | (s > mx_lt)
+        keep_price = s.index[ok.to_numpy()]
+        keep_max = s[ok.to_numpy()]
+        m = b["p_retailprice"].map(keep_max)
+        sel = m.notna() & (b["p_size"] == m)
+        out = b.loc[sel, ["p_partkey", "p_retailprice", "p_size"]]
+        return pd.DataFrame(
+            {
+                "p_partkey": out["p_partkey"].astype("int64"),
+                "p_retailprice": out["p_retailprice"].astype("float64"),
+                "p_size": out["p_size"].astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    candidates = ds.map_batches(local_front, batch_format="pandas")
+    return candidates.repartition(1).map_batches(
+        local_front, batch_format="pandas"
+    )

@@ -3269,3 +3269,215 @@ def event_trigrams(
         ),
         batch_format="pandas",
     )
+
+
+# --- gaps-and-islands: longest consecutive-day activity streak ----------------------
+
+ACTIVITY_STREAKS_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id,
+         day - to_days(CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                            AS INTEGER)) AS anchor
+  FROM du
+),
+st AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, anchor
+),
+mx AS (SELECT user_id, max(len) AS max_streak FROM st GROUP BY user_id)
+SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+FROM mx GROUP BY max_streak
+"""
+
+
+def activity_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Longest consecutive-day activity streak per user, reported as a
+    histogram (max_streak → n_users) — the classic gaps-and-islands
+    window query (``day - row_number`` island anchors), which Ray Data
+    has no window function for.
+
+    Ray-Data-first decomposition: per-batch dedupe to (user, epoch-day)
+    pairs (the only corpus-sized reduction), one bucketed shuffle on
+    user_id — complete per-user groups per bucket, and a user's frame is
+    bounded by the CALENDAR (≤ corpus-span days), so no single-key skew
+    guard is needed (contrast event_transitions, where one user's raw
+    events are unbounded). The per-bucket reducer is one vectorized
+    pass: sort by (user, day), anchor = day − per-user cumcount, streak
+    lengths via a (user, anchor) groupby size, per-user max, then each
+    bucket emits a partial (max_streak → n_users) histogram; partials
+    merge in one task over a calendar-bounded domain (streak ≤ span
+    days). Driver holds nothing; output is the tiny histogram."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy().astype("datetime64[D]").astype("int64"))
+        return pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"), "day": day}
+        ).drop_duplicates()
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        rk = p.groupby("user_id").cumcount().to_numpy()
+        p = p.assign(anchor=p["day"].to_numpy() - rk)
+        streaks = (
+            p.groupby(["user_id", "anchor"], as_index=False)
+            .size()
+            .groupby("user_id", as_index=False)["size"]
+            .max()
+        )
+        h = streaks.groupby("size", as_index=False).agg(n=("size", "count"))
+        return pd.DataFrame(
+            {"max_streak": h["size"].astype("int64"),
+             "n_users": h["n"].astype("int64")}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    partials = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["user_id"], bucket_hist, num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("max_streak", as_index=False)["n_users"].sum()
+        return s.astype({"max_streak": "int64", "n_users": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- merged-interval coverage: per-customer covered order-activity days -------------
+
+INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT o.o_custkey AS custkey,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+         greatest(
+           CAST(CAST(max(l.l_shipdate) AS DATE) - DATE '1970-01-01' AS BIGINT),
+           CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+),
+m AS (
+  SELECT custkey, s, e,
+         max(e) OVER (PARTITION BY custkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+g AS (
+  SELECT custkey, s, e,
+         SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY custkey ORDER BY s, e) AS isl
+  FROM m
+),
+c AS (
+  SELECT custkey, isl, max(e) - min(s) + 1 AS len FROM g GROUP BY custkey, isl
+)
+SELECT custkey, CAST(SUM(len) AS BIGINT) AS covered_days
+FROM c GROUP BY custkey
+"""
+
+
+def interval_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer merged-interval coverage: each order spans
+    [orderdate, last shipdate]; overlapping spans union, and the op
+    reports the total covered days per customer — the interval-union
+    sweep (running-max islands) behind SLA/uptime/exposure analytics,
+    inexpressible in Ray Data's aggregate API.
+
+    Two bucketed shuffles, both byte-scaled: (1) order assembly — a
+    tag-union on orderkey (orders row carries custkey+orderdate, line
+    rows carry shipdate; complete per-order groups reduce to one
+    interval row each — no broadcast: both sides are corpus-scaled);
+    (2) the sweep — intervals bucket on custkey (complete per-customer
+    groups; a customer's frame is their order count, the same
+    per-entity bound rfm_features rides). The per-bucket sweep is fully
+    vectorized: sort by (cust, s, e), previous running max end via
+    shifted per-group cummax, island ids by cumsum of gap flags, then
+    one groupby over (cust, island) and a per-cust sum. Output is one
+    row per active customer."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def order_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": b["o_orderkey"].astype("int64"),
+                "custkey": b["o_custkey"].astype("int64"),
+                "d": b["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64"),
+                "_t": np.int64(0),
+            }
+        )
+
+    def line_tag(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype("int64"),
+                "d": b["l_shipdate"].to_numpy().astype("datetime64[D]").astype("int64"),
+            }
+        ).groupby("orderkey", as_index=False)["d"].max()  # per-batch partial max
+        return g.assign(custkey=np.int64(-1), _t=np.int64(1))[
+            ["orderkey", "custkey", "d", "_t"]
+        ]
+
+    tagged = orders.map_batches(order_tag, batch_format="pandas").union(
+        lines.map_batches(line_tag, batch_format="pandas")
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["_t"] == 0]
+        mx = g.loc[g["_t"] == 1].groupby("orderkey")["d"].max()
+        e = o["orderkey"].map(mx)
+        keep = e.notna()  # orders with no lines have no interval (inner join)
+        o = o.loc[keep]
+        s = o["d"].to_numpy()
+        return pd.DataFrame(
+            {
+                "custkey": o["custkey"].to_numpy(),
+                "s": s,
+                "e": np.maximum(e.loc[keep].to_numpy().astype("int64"), s),
+            }
+        )
+
+    nb = scaled_num_buckets(
+        input_bytes_estimate(f"{sf_dir}/lineitem.parquet")
+        + input_bytes_estimate(f"{sf_dir}/orders.parquet")
+    )
+    intervals = bucketed_group_agg(tagged, ["orderkey"], assemble, num_buckets=nb)
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["custkey", "s", "e"], kind="mergesort")
+        # vectorized per-group running max: cythonized groupby cummax,
+        # global shift, first-row-of-group masked (no per-group lambda)
+        pm = g.groupby("custkey")["e"].cummax().shift(1)
+        first = g["custkey"].ne(g["custkey"].shift(1))
+        pm[first.to_numpy()] = np.nan
+        new_isl = pm.isna() | (g["s"] > pm)
+        isl = new_isl.groupby(g["custkey"].to_numpy()).cumsum()
+        g = g.assign(isl=isl.to_numpy())
+        spans = g.groupby(["custkey", "isl"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+        out = spans.assign(len=spans["e"] - spans["s"] + 1).groupby(
+            "custkey", as_index=False
+        )["len"].sum()
+        return pd.DataFrame(
+            {"custkey": out["custkey"].astype("int64"),
+             "covered_days": out["len"].astype("int64")}
+        )
+
+    return bucketed_group_agg(intervals, ["custkey"], sweep, num_buckets=nb)

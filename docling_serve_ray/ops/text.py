@@ -1810,3 +1810,97 @@ def source_token_divergence(sf_dir: str) -> ray.data.Dataset:
     return partials.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source Simpson diversity (exact-integer concentration index)
+# ---------------------------------------------------------------------------
+
+SOURCE_SIMPSON_DIVERSITY_SQL = """
+WITH w AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+  FROM w GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS sum_sq
+FROM c GROUP BY source
+"""
+
+
+def source_simpson_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Per-source token-concentration sufficient statistics: total token
+    count T and Σc² over the source's token-count table — the exact
+    integer numerator/denominator of the Simpson index (Σ(c/T)² =
+    sum_sq/T²; its complement is Gini–Simpson diversity). Shannon
+    entropy needs a log and would not hash bit-equal across engines;
+    Simpson is the standard diversity index with an exact integer form
+    (the same engine-parity trick as revenue_trend's OLS sufficient
+    statistics and source_token_divergence's Python-int partials).
+
+    Shape: per-batch (source, token) partial counts shrink the shuffle;
+    one bucketed shuffle on (source, token) delivers complete groups, so
+    each bucket's exact per-token counts square locally and collapse to
+    per-source partials (Python-int sums — Σc² at 100 TB exceeds int64,
+    the HUGEINT-parity lesson); the final merge is one task over
+    |sources| × N_buckets partial rows. No token ever leaves its bucket."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = b.set_index("source")["text"].str.split(" ").explode()
+        g = e.groupby([e.index, e.to_numpy()]).size()
+        g.index.names = ["source", "token"]
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        tot = c.groupby("source", as_index=False)["n"].sum()
+        # int64 fast path when the partial provably fits: per-(bucket,
+        # source) Σc² ≤ (Σc)², safe iff every bucket-source total < 2^31;
+        # past that, exact Python-int (the oracle's HUGEINT) — the
+        # source_token_divergence guard, never silent overflow
+        if int(tot["n"].max()) < 2**31:
+            n = c["n"].to_numpy()
+            sq = pd.DataFrame({"source": c["source"], "sq": n * n})
+            a = sq.groupby("source", as_index=False)["sq"].sum()
+            out = tot.merge(a, on="source")
+            return pd.DataFrame(
+                {"source": out["source"],
+                 "n_tokens": out["n"].map(str),
+                 "sum_sq": out["sq"].map(str)}
+            )
+        rows = []
+        for src, grp in c.groupby("source"):
+            ns = [int(x) for x in grp["n"]]
+            rows.append((src, str(sum(ns)), str(sum(x * x for x in ns))))
+        return pd.DataFrame(rows, columns=["source", "n_tokens", "sum_sq"])
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    partials = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "token"], bucket_partial, num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, grp in b.groupby("source"):
+            rows.append(
+                {
+                    "source": src,
+                    "n_tokens": sum(int(x) for x in grp["n_tokens"]),
+                    "sum_sq": sum(int(x) for x in grp["sum_sq"]),
+                }
+            )
+        out = pd.DataFrame(rows, columns=["source", "n_tokens", "sum_sq"])
+        return out.astype({"n_tokens": "int64", "sum_sq": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

@@ -1789,3 +1789,102 @@ def test_triangle_count_k4_fixture(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "lineitem.parquet")
     out = triangle_count(str(tmp_path))
     assert out.iloc[0].to_dict() == {"n_edges": 6, "n_wedges": 12, "n_triangles": 4}
+
+
+def test_activity_streaks_islands_fixture(ray_session, tmp_path):
+    """Hand-built gaps-and-islands: user 1 is active on days 1,2,3 then
+    5,6 then 10 (max streak 3 — the gap breaks it), user 2 on one day
+    (streak 1); duplicate same-day events must not inflate a streak."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import activity_streaks
+
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+    rows = [(1, day(1)), (1, day(1)), (1, day(2)), (1, day(3)),
+            (1, day(5)), (1, day(6)), (1, day(10)), (2, day(7))]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = activity_streaks(str(tmp_path)).to_pandas()
+    got = dict(zip(out["max_streak"], out["n_users"]))
+    assert got == {3: 1, 1: 1}
+
+
+def test_interval_coverage_merge_fixture(ray_session, tmp_path):
+    """Hand-built interval union: two overlapping orders merge ([0,5] ∪
+    [3,8] → 9 days), a disjoint span adds its own length ([20,22] → 3),
+    a nested span adds nothing ([21,21]), a shipdate BEFORE the
+    orderdate clamps to a 1-day span, and an order with no lineitems
+    contributes nothing (inner join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import interval_coverage
+
+    day = lambda d: pd.Timestamp("1970-01-01") + pd.Timedelta(days=d)
+    orders = [  # (orderkey, custkey, orderdate-day)
+        (1, 7, 0), (2, 7, 3), (3, 7, 20), (4, 7, 21),
+        (5, 7, 30),   # clamp case: ship before order
+        (6, 7, 40),   # no lineitems: excluded
+    ]
+    lines = [  # (orderkey, shipdate-day)
+        (1, 5), (1, 2), (2, 8), (3, 22), (4, 21), (5, 25),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderdate": pa.array([day(o[2]) for o in orders], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_shipdate": pa.array([day(l[1]) for l in lines], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = interval_coverage(str(tmp_path)).to_pandas()
+    # [0,8]=9 + [20,22]=3 (nested [21,21] absorbed) + clamped [30,30]=1
+    assert out.to_dict("records") == [{"custkey": 7, "covered_days": 13}]
+
+
+def test_pareto_front_duplicates_and_dominance(ray_session, tmp_path):
+    """Skyline rule on a constructed catalog: duplicate (price, size)
+    points never dominate each other (both survive), equal-size
+    higher-price is dominated, and the front is exactly the strictly
+    improving price→size staircase."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import pareto_front
+
+    pts = [  # (partkey, price, size)
+        (1, 1.0, 5), (2, 1.0, 5),   # duplicates: both on the front
+        (3, 2.0, 5),                # dominated by 1 (same size, pricier)
+        (4, 0.5, 3),                # front (cheapest tier)
+        (5, 2.0, 9),                # front (largest size)
+        (6, 0.5, 2),                # dominated by 4
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([p[0] for p in pts], pa.int64()),
+                "p_retailprice": pa.array([p[1] for p in pts], pa.float64()),
+                "p_size": pa.array([p[2] for p in pts], pa.int32()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    out = pareto_front(str(tmp_path)).to_pandas()
+    assert sorted(out["p_partkey"]) == [1, 2, 4, 5]

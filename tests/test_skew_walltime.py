@@ -81,8 +81,13 @@ def test_skewed_partition_wall_times_balanced(ray_session, tmp_path):
         walls = [r["wall_s"] for r in s["manifest"]]
         in_bytes = [r["input_bytes"] for r in s["manifest"]]
         assert len(walls) == 4
-        # byte balance is deterministic: assert it every attempt
-        assert max(in_bytes) < 2 * min(in_bytes), in_bytes
+        # byte balance is deterministic: assert it every attempt. Files
+        # are indivisible, so when one file alone exceeds the ideal bin
+        # size (the giant's parquet can be > total/4 under the current
+        # format mix) NO binning can reach 2× balance — the byte-greedy
+        # guarantee is max ≤ max(2·min, largest single file).
+        largest_file = max(os.path.getsize(f) for f in files)
+        assert max(in_bytes) <= max(2 * min(in_bytes), largest_file), in_bytes
         spreads.append(max(walls) / min(walls))
         if spreads[-1] < 2.0:
             break
