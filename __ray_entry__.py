@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": cluster.dup_cluster_sizes,
         "pagerank": cluster.pagerank,
         "triangle_count": cluster.triangle_count,
+        "degree_histogram": cluster.degree_histogram,
         "dedup_apply": curation.dedup_apply,
         "curation_report": curation.curation_report,
         "cross_source_dups": curation.cross_source_dups,
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_unique_users": relational.sliding_unique_users,
         "activity_streaks": relational.activity_streaks,
         "interval_coverage": relational.interval_coverage,
+        "upsert_compaction": relational.upsert_compaction,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -198,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
+        "rrf_search": curation.rrf_search,
         "global_rank": curation.global_rank,
         "vocab_build": curation.vocab_build,
         "tokenize_ids": curation.tokenize_ids,
@@ -414,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         NEARDUP_CLUSTERS_SQL,
         PAGERANK_SQL,
         TRIANGLE_COUNT_SQL,
+        DEGREE_HISTOGRAM_SQL,
     )
     from docling_serve_ray.ops.curation import (
         CORPUS_STATS_SQL,
@@ -427,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         KEYWORD_SEARCH_SQL,
         NORMALIZE_TEXT_SQL,
         BM25_SEARCH_SQL,
+        RRF_SEARCH_SQL,
         GLOBAL_RANK_SQL,
         VOCAB_BUILD_SQL,
         TOKENIZE_IDS_SQL,
@@ -514,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         SLIDING_UNIQUE_USERS_SQL,
         ACTIVITY_STREAKS_SQL,
         INTERVAL_COVERAGE_SQL,
+        UPSERT_COMPACTION_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -623,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_sizes": DUP_CLUSTER_SIZES_SQL,
         "pagerank": PAGERANK_SQL,
         "triangle_count": TRIANGLE_COUNT_SQL,
+        "degree_histogram": DEGREE_HISTOGRAM_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "curation_report": CURATION_REPORT_SQL,
         "cross_source_dups": CROSS_SOURCE_DUPS_SQL,
@@ -680,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_unique_users": SLIDING_UNIQUE_USERS_SQL,
         "activity_streaks": ACTIVITY_STREAKS_SQL,
         "interval_coverage": INTERVAL_COVERAGE_SQL,
+        "upsert_compaction": UPSERT_COMPACTION_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -717,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,
+        "rrf_search": RRF_SEARCH_SQL,
         "global_rank": GLOBAL_RANK_SQL,
         "vocab_build": VOCAB_BUILD_SQL,
         "tokenize_ids": TOKENIZE_IDS_SQL,

@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     "modal_priority",
     "pareto_front",
     "source_simpson_diversity",
+    "degree_histogram",
+    "upsert_compaction",
+    "rrf_search",
 ]
 
 

@@ -789,3 +789,91 @@ def triangle_count(sf_dir: str) -> "pd.DataFrame":
             "n_triangles": pd.Series([n_triangles], dtype="int64"),
         }
     )
+
+
+# --- degree distribution of the co-purchase graph ------------------------------------
+
+DEGREE_HISTOGRAM_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= {TRIANGLE_MIN_SUPPORT}
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+  GROUP BY v
+)
+SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d
+"""
+
+
+def degree_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Degree distribution (degree → node count) of the same support-≥2
+    co-purchase graph triangle_count censuses — the first plot every
+    graph pipeline draws (power-law check / hub detection).
+
+    Identical scale shape to triangle_count's first two passes: basket
+    co-location on orderkey (pair expansion is basket-local), support
+    filter inside the byte-scaled pair reduce so only surviving edges
+    materialize, then per-node degrees from a bucketed endpoint-count
+    reduce (each bucket owns its nodes fully, so local sums are exact
+    degrees) emitting per-bucket partial histograms; partials merge in
+    one task over the tiny distinct-degree domain."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    ds = ray.data.read_parquet(path, columns=["l_orderkey", "l_partkey"])
+
+    def basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        f = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        f = f.loc[f["l_partkey_a"] < f["l_partkey_b"]]
+        out = f.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        out.columns = ["pa", "pb", "n"]
+        return out.astype({"pa": "int64", "pb": "int64", "n": "int64"})
+
+    pair_partials = bucketed_group_agg(
+        ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        ["l_orderkey"], basket_pairs, num_buckets=nb,
+    )
+
+    def support_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pa", "pb"], as_index=False).agg(n=("n", "sum"))
+        return s.loc[s["n"] >= TRIANGLE_MIN_SUPPORT, ["pa", "pb"]]
+
+    edges = bucketed_group_agg(
+        pair_partials, ["pa", "pb"], support_filter, num_buckets=nb
+    )
+
+    def endpoint_rows(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([b["pa"].to_numpy(), b["pb"].to_numpy()])
+        h = pd.Series(v).value_counts()
+        return pd.DataFrame(
+            {"v": h.index.to_numpy().astype("int64"),
+             "n": h.to_numpy().astype("int64")}
+        )
+
+    def degree_hist_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("v")["n"].sum()
+        h = d.value_counts()
+        return pd.DataFrame(
+            {"degree": h.index.to_numpy().astype("int64"),
+             "n_nodes": h.to_numpy().astype("int64")}
+        )
+
+    partials = bucketed_group_agg(
+        edges.map_batches(endpoint_rows, batch_format="pandas"),
+        ["v"], degree_hist_partial, num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("degree", as_index=False)["n_nodes"].sum()
+        return s.astype({"degree": "int64", "n_nodes": "int64"})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

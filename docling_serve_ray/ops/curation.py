@@ -1772,3 +1772,69 @@ def inverted_index(
         )
 
     return bucketed_group_agg(rows, ["token"], per_bucket, num_buckets=nb)
+
+
+# --- reciprocal-rank fusion of the two search rankings -------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+RRF_TOP_K = 10
+RRF_SCALE = 1_000_000_000  # integer 1/(K+r) in parts-per-billion
+
+RRF_SEARCH_SQL = f"""
+WITH b AS ({BM25_SEARCH_SQL}),
+kr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ('spark','hash','merge','sort')))
+                AS BIGINT) AS score
+    FROM documents
+  ) WHERE score > 0
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {SEARCH_TOP_K}
+),
+u AS (
+  SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS c FROM b
+  UNION ALL
+  SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS c FROM kr
+),
+s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppb FROM u GROUP BY doc_id)
+SELECT doc_id, rrf_ppb,
+       CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS BIGINT) AS rank
+FROM s
+QUALIFY row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) <= {RRF_TOP_K}
+"""
+
+
+def rrf_search(sf_dir: str) -> "pd.DataFrame":
+    """Reciprocal-rank fusion of the BM25 and keyword-count rankings —
+    the standard training-data retrieval ensemble (RRF score =
+    Σ 1/(K+rank) over the lists a doc appears in, K=60), in exact
+    integer parts-per-billion so both engines hash identically.
+
+    Scale shape: the fusion runs over the two TOP-K RESULT lists (≤ 20
+    rows each — constants, not corpus-sized), so combining them on the
+    driver is O(k); all corpus-scale work happens inside the two
+    underlying search pipelines, each already a combiner → broadcast →
+    per-batch-top-k stream. This is the composition pattern of
+    curation_report: finished small aggregates fuse cheaply."""
+    bm25 = bm25_search(sf_dir).to_pandas()  # (doc_id, rank), ≤ SEARCH_TOP_K rows
+    kw = keyword_search(sf_dir).to_pandas()  # (doc_id, score), ≤ SEARCH_TOP_K rows
+    kw = kw.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    kw["rank"] = np.arange(1, len(kw) + 1, dtype="int64")
+    both = pd.concat(
+        [bm25[["doc_id", "rank"]], kw[["doc_id", "rank"]]], ignore_index=True
+    )
+    both["c"] = RRF_SCALE // (RRF_K + both["rank"].to_numpy())
+    s = both.groupby("doc_id", as_index=False)["c"].sum()
+    s = s.sort_values(["c", "doc_id"], ascending=[False, True],
+                      kind="mergesort").head(RRF_TOP_K).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "doc_id": s["doc_id"].astype("int64"),
+            "rrf_ppb": s["c"].astype("int64"),
+            "rank": np.arange(1, len(s) + 1, dtype="int64"),
+        }
+    )

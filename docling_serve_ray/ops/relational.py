@@ -3481,3 +3481,83 @@ def interval_coverage(sf_dir: str) -> ray.data.Dataset:
         )
 
     return bucketed_group_agg(intervals, ["custkey"], sweep, num_buckets=nb)
+
+
+# --- upsert-log compaction: latest value per (user, event_type) ---------------------
+
+UPSERT_COMPACTION_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS nv
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_c,
+       CAST(nv AS BIGINT) AS n_versions
+FROM r WHERE rn = 1
+"""
+
+
+def upsert_compaction(sf_dir: str) -> ray.data.Dataset:
+    """Compact an append-only event log into its latest-writer-wins state
+    table: per (user, event_type) key, the value of the newest event
+    (ties on ts broken by the larger event_id — a total order, so the
+    winner is engine-independent) plus the superseded-version count —
+    the CDC/upsert compaction every lakehouse table service runs
+    (Hudi/Delta compaction; Ray Data has no upsert primitive).
+
+    The argmax is decomposable: each batch keeps ONE candidate row and a
+    partial version count per key it sees (per-batch sort +
+    drop_duplicates — vectorized), so the shuffle carries ≤ one row per
+    (batch, key); the bucketed final applies the same rule over complete
+    key groups and sums the partial counts. Same per-entity frame bound
+    as first_touch_attribution, on a composite key."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            value_c=np.floor(b["value"].to_numpy() * 100 + 0.5).astype("int64"),
+            nv=np.int64(1),
+        )
+        s = b.sort_values(
+            ["user_id", "event_type", "ts", "event_id"],
+            ascending=[True, True, False, False],
+            kind="mergesort",
+        )
+        top = s.drop_duplicates(["user_id", "event_type"])
+        cnt = b.groupby(["user_id", "event_type"], as_index=False)["nv"].sum()
+        return top[["user_id", "event_type", "ts", "event_id", "value_c"]].merge(
+            cnt, on=["user_id", "event_type"]
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            ["user_id", "event_type", "ts", "event_id"],
+            ascending=[True, True, False, False],
+            kind="mergesort",
+        )
+        top = s.drop_duplicates(["user_id", "event_type"])
+        cnt = g.groupby(["user_id", "event_type"], as_index=False)["nv"].sum()
+        out = top[["user_id", "event_type", "value_c"]].merge(
+            cnt, on=["user_id", "event_type"]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "event_type": out["event_type"],
+                "last_value_c": out["value_c"].astype("int64"),
+                "n_versions": out["nv"].astype("int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    return bucketed_group_agg(
+        ds, ["user_id", "event_type"], final, partial_fn=partial, num_buckets=nb
+    )

