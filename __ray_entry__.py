@@ -197,10 +197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": analytics.local_supplier_volume,
         "modal_priority": analytics.modal_priority,
         "pareto_front": analytics.pareto_front,
+        "revenue_pareto": analytics.revenue_pareto,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
         "rrf_search": curation.rrf_search,
+        "table_profile": curation.table_profile,
         "global_rank": curation.global_rank,
         "vocab_build": curation.vocab_build,
         "tokenize_ids": curation.tokenize_ids,
@@ -432,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         NORMALIZE_TEXT_SQL,
         BM25_SEARCH_SQL,
         RRF_SEARCH_SQL,
+        TABLE_PROFILE_SQL,
         GLOBAL_RANK_SQL,
         VOCAB_BUILD_SQL,
         TOKENIZE_IDS_SQL,
@@ -476,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         LOCAL_SUPPLIER_VOLUME_SQL,
         MODAL_PRIORITY_SQL,
         PARETO_FRONT_SQL,
+        REVENUE_PARETO_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -722,10 +726,12 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
         "modal_priority": MODAL_PRIORITY_SQL,
         "pareto_front": PARETO_FRONT_SQL,
+        "revenue_pareto": REVENUE_PARETO_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,
         "rrf_search": RRF_SEARCH_SQL,
+        "table_profile": TABLE_PROFILE_SQL,
         "global_rank": GLOBAL_RANK_SQL,
         "vocab_build": VOCAB_BUILD_SQL,
         "tokenize_ids": TOKENIZE_IDS_SQL,

@@ -3147,3 +3147,136 @@ def pareto_front(sf_dir: str) -> ray.data.Dataset:
     return candidates.repartition(1).map_batches(
         local_front, batch_format="pandas"
     )
+
+
+# --- 80/20 concentration: smallest part set covering 80% of revenue ------------------
+
+PARETO_SHARE_NUM = 4  # crossing rule: cum*DEN >= tot*NUM  ⇔  cum >= 0.8·tot
+PARETO_SHARE_DEN = 5
+
+REVENUE_PARETO_SQL = f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM pr),
+c AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn
+  FROM pr
+)
+SELECT CAST(c.rn AS BIGINT) AS n_parts_80,
+       CAST(c.cum AS BIGINT) AS cum_revenue_c,
+       t.tot AS total_revenue_c
+FROM c, t
+WHERE c.cum * {PARETO_SHARE_DEN} >= t.tot * {PARETO_SHARE_NUM}
+ORDER BY c.rn LIMIT 1
+"""
+
+
+def revenue_pareto(sf_dir: str) -> "pd.DataFrame":
+    """The 80/20 concentration question: how many parts (taken in
+    revenue-descending order, partkey tie-break) cover ≥ 80% of total
+    revenue — one row (n_parts_80, cum_revenue_c, total_revenue_c).
+    The oracle's window cumsum needs a GLOBAL SORT of every per-part
+    revenue; the distributed shape here finds the crossing without one:
+
+    1. per-part revenues via the standard partial → bucketed reduce;
+    2. each revenue bucketed by its log2 magnitude — DETERMINISTIC
+       range partitioning (no sampling, no sort): ~40 coarse buckets
+       whose (count, sum) partials give the driver an exact descending
+       prefix profile, locating the single bucket where the 80% line
+       crosses (driver state: O(40) pairs);
+    3. only that one bucket's parts — a log2 revenue band, corpus-
+       independent fraction of parts — gather for the exact in-band
+       sort + cumsum; everything above the band contributes closed-form
+       prefix totals, everything below never moves.
+
+    frexp gives the exact MSB index (revenues < 2^53 are exact in
+    float64), so band assignment is engine-independent; the in-band
+    gather is the documented bound (one magnitude band — refine with a
+    second range split if a 100-TB catalog concentrates there)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()) * 100
+            + 0.5
+        ).astype("int64")
+        g = pd.DataFrame({"l_partkey": b["l_partkey"], "rev": cents}).groupby(
+            "l_partkey", as_index=False
+        )["rev"].sum()
+        return g
+
+    def rev_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False)["rev"].sum().astype(
+            {"l_partkey": "int64", "rev": "int64"}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    part_rev = bucketed_group_agg(
+        ds, ["l_partkey"], rev_final, partial_fn=rev_partial, num_buckets=nb
+    ).materialize()  # reused by the profile pass and the in-band gather
+
+    def band_of(rev: np.ndarray) -> np.ndarray:
+        # exact MSB index: frexp exponents are exact for ints < 2^53
+        m = np.zeros(len(rev), dtype="int64")
+        pos = rev > 0
+        m[pos] = np.frexp(rev[pos].astype("float64"))[1] - 1
+        return m
+
+    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({"band": band_of(b["rev"].to_numpy()), "rev": b["rev"]})
+        g = f.groupby("band", as_index=False).agg(
+            cnt=("rev", "size"), s=("rev", "sum")
+        )
+        return g.astype({"band": "int64", "cnt": "int64", "s": "int64"})
+
+    prof = (
+        part_rev.map_batches(band_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("band", as_index=False).agg(
+                cnt=("cnt", "sum"), s=("s", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("band", ascending=False)
+    )
+    tot = int(prof["s"].sum())
+    # walk bands in descending revenue order to the crossing band
+    pre_cnt = 0
+    pre_sum = 0
+    cross_band = None
+    for r in prof.itertuples():
+        if (pre_sum + int(r.s)) * PARETO_SHARE_DEN >= tot * PARETO_SHARE_NUM:
+            cross_band = int(r.band)
+            break
+        pre_cnt += int(r.cnt)
+        pre_sum += int(r.s)
+
+    band = part_rev.map_batches(
+        lambda b: b.loc[band_of(b["rev"].to_numpy()) == cross_band],
+        batch_format="pandas",
+    ).to_pandas()
+    band = band.sort_values(
+        ["rev", "l_partkey"], ascending=[False, True], kind="mergesort"
+    )
+    cum = pre_sum + band["rev"].cumsum().to_numpy()
+    idx = int(np.argmax(cum * PARETO_SHARE_DEN >= tot * PARETO_SHARE_NUM))
+    return pd.DataFrame(
+        {
+            "n_parts_80": [np.int64(pre_cnt + idx + 1)],
+            "cum_revenue_c": [np.int64(cum[idx])],
+            "total_revenue_c": [np.int64(tot)],
+        }
+    )

@@ -1838,3 +1838,127 @@ def rrf_search(sf_dir: str) -> "pd.DataFrame":
             "rank": np.arange(1, len(s) + 1, dtype="int64"),
         }
     )
+
+
+# --- data-quality profiler: per-column stats over the orders table -------------------
+
+TABLE_PROFILE_SQL = """
+SELECT 'o_orderstatus' AS col,
+       CAST(count(o_orderstatus) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderstatus) AS VARCHAR) AS min_v,
+       CAST(max(o_orderstatus) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+"""
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def table_profile(sf_dir: str) -> ray.data.Dataset:
+    """Schema profiler over the orders table: per column, the non-null
+    count, EXACT distinct count, and lexicographic min/max (values
+    canonicalized to strings — int columns via str(int), which matches
+    DuckDB's VARCHAR cast) — the Deequ/great-expectations-style data
+    quality sweep a lakehouse runs before trusting a new drop.
+
+    Two streams over one pruned read: (1) n/min/max are mergeable — one
+    partial row per (batch, column), folded in a single tiny task;
+    (2) exact distinct is the only shuffle: per-batch (col, value)
+    dedupe, bucketed on the pair so a reduce task holds complete value
+    groups (never one column's whole domain — the weekly_active_users
+    pair-keyed lesson), emitting per-column partial distinct counts.
+    Costs one corpus-sized pair shuffle regardless of column count;
+    columns ride together rather than one pass per column."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = ray.data.read_parquet(path, columns=list(_PROFILE_COLS))
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        # int columns → zero-padded 20-digit strings so LEXICOGRAPHIC
+        # min/max equals numeric min/max through the string-only fold
+        # (requires non-negative ints — true of every key column here);
+        # merge() strips the padding back to str(int), DuckDB's VARCHAR
+        # cast of the numeric aggregate.
+        out = {}
+        for c in _PROFILE_COLS:
+            s = b[c]
+            out[c] = (
+                s.astype("int64").map("{:020d}".format)
+                if s.dtype.kind in "iu" else s
+            )
+        return pd.DataFrame(out)
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = canon(b)
+        rows = [
+            {"col": c, "n": np.int64(b[c].notna().sum()),
+             "min_v": b[c].min(), "max_v": b[c].max()}
+            for c in _PROFILE_COLS
+        ]
+        return pd.DataFrame(rows)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("col", as_index=False).agg(
+                n=("n", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max")
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def value_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = canon(b)
+        frames = [
+            pd.DataFrame({"col": c, "v": b[c].drop_duplicates()})
+            for c in _PROFILE_COLS
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "v"]).groupby("col", as_index=False).size()
+        return pd.DataFrame(
+            {"col": d["col"], "nd": d["size"].astype("int64"), "_t": np.int64(1)}
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    distinct = bucketed_group_agg(
+        ds.map_batches(value_rows, batch_format="pandas"),
+        ["col", "v"], distinct_partial, num_buckets=nb,
+    )
+
+    tagged = stats.map_batches(
+        lambda b: b.assign(nd=np.int64(0), _t=np.int64(0)), batch_format="pandas"
+    ).union(distinct)
+
+    def unpad(v: str) -> str:
+        if len(v) == 20 and v.isdigit():
+            return str(int(v))
+        return v
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.loc[b["_t"] == 0]
+        nd = b.loc[b["_t"] == 1].groupby("col")["nd"].sum()
+        return pd.DataFrame(
+            {
+                "col": s["col"],
+                "n": s["n"].astype("int64"),
+                "n_distinct": s["col"].map(nd).astype("int64"),
+                "min_v": s["min_v"].map(unpad),
+                "max_v": s["max_v"].map(unpad),
+            }
+        )
+
+    return tagged.repartition(1).map_batches(merge, batch_format="pandas")

@@ -1960,3 +1960,56 @@ def test_rrf_search_fusion_math(ray_session, duck):
     got = _canon(rrf_search(SF))
     want = _canon(duck.sql(entrymod.oracle_sql()["rrf_search"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_table_profile_int_minmax_is_numeric(ray_session, tmp_path):
+    """The profiler's int min/max must be NUMERIC, not lexicographic:
+    custkeys {9, 10, 111} must report min=9 / max=111 (a string fold
+    would say min='10' / max='9'), with exact distinct counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import table_profile
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([9, 10, 111, 9], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F", "O", "P"]),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = table_profile(str(tmp_path)).to_pandas().set_index("col")
+    ck = out.loc["o_custkey"]
+    assert (ck["min_v"], ck["max_v"], ck["n_distinct"], ck["n"]) == ("9", "111", 3, 4)
+    assert out.loc["o_orderstatus"]["n_distinct"] == 3
+    assert out.loc["o_orderpriority"]["n_distinct"] == 1
+
+
+def test_revenue_pareto_crossing_fixture(ray_session, tmp_path):
+    """Hand-built revenue ladder where the 80% line lands mid-band:
+    parts with revenues 50, 30, 15, 5 (total 100 cents → threshold 80)
+    need the top THREE parts (50+30=80 exactly ⇒ crossing at cum=80
+    ... the >= rule fires at n=2). Also exercises the cross-band prefix:
+    50 (band 5) + 30 (band 4) with the crossing inside band 4."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import revenue_pareto
+
+    # l_extendedprice in dollars, discount 0 → cents = price*100
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_extendedprice": pa.array([0.50, 0.30, 0.15, 0.05], pa.float64()),
+                "l_discount": pa.array([0.0] * 4, pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = revenue_pareto(str(tmp_path))
+    row = out.iloc[0].to_dict()
+    assert row == {"n_parts_80": 2, "cum_revenue_c": 80, "total_revenue_c": 100}
