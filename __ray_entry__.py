@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "first_touch_attribution": relational.first_touch_attribution,
         "event_transitions": relational.event_transitions,
+        "funnel_conversion": relational.funnel_conversion,
         "event_trigrams": relational.event_trigrams,
         "orphan_audit": relational.orphan_audit,
         "time_to_purchase": relational.time_to_purchase,
@@ -198,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_priority": analytics.modal_priority,
         "pareto_front": analytics.pareto_front,
         "revenue_pareto": analytics.revenue_pareto,
+        "cumulative_revenue": analytics.cumulative_revenue,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
         "bm25_search": curation.bm25_search,
@@ -480,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         MODAL_PRIORITY_SQL,
         PARETO_FRONT_SQL,
         REVENUE_PARETO_SQL,
+        CUMULATIVE_REVENUE_SQL,
     )
     from docling_serve_ray.ops.media_ops import (
         FRAME_SAMPLE_SQL,
@@ -516,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         BLOOM_SEMI_JOIN_SQL,
         FIRST_TOUCH_ATTRIBUTION_SQL,
         EVENT_TRANSITIONS_SQL,
+        FUNNEL_CONVERSION_SQL,
         EVENT_TRIGRAMS_SQL,
         ORPHAN_AUDIT_SQL,
         TIME_TO_PURCHASE_SQL,
@@ -684,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
         "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
         "event_transitions": EVENT_TRANSITIONS_SQL,
+        "funnel_conversion": FUNNEL_CONVERSION_SQL,
         "event_trigrams": EVENT_TRIGRAMS_SQL,
         "orphan_audit": ORPHAN_AUDIT_SQL,
         "time_to_purchase": TIME_TO_PURCHASE_SQL,
@@ -727,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "modal_priority": MODAL_PRIORITY_SQL,
         "pareto_front": PARETO_FRONT_SQL,
         "revenue_pareto": REVENUE_PARETO_SQL,
+        "cumulative_revenue": CUMULATIVE_REVENUE_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
         "bm25_search": BM25_SEARCH_SQL,

@@ -204,6 +204,11 @@ BENCH_QUERIES = [
     "degree_histogram",
     "upsert_compaction",
     "rrf_search",
+    # seventh-wave ops
+    "table_profile",
+    "revenue_pareto",
+    "funnel_conversion",
+    "cumulative_revenue",
 ]
 
 

@@ -3280,3 +3280,75 @@ def revenue_pareto(sf_dir: str) -> "pd.DataFrame":
             "total_revenue_c": [np.int64(tot)],
         }
     )
+
+
+# --- running cumulative revenue (unbounded-preceding window) ------------------------
+
+CUMULATIVE_REVENUE_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT flag, month, rev_c,
+       CAST(SUM(rev_c) OVER (PARTITION BY flag ORDER BY month) AS BIGINT)
+         AS cum_rev_c
+FROM m
+"""
+
+
+def cumulative_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Running revenue-to-date per return flag and ship month — the
+    UNBOUNDED PRECEDING window cumsum (SUM OVER PARTITION BY flag ORDER
+    BY month) the suite's other window ops (LAG-12 yoy_growth,
+    share-of-total region_share, ntile deciles) don't cover.
+
+    The heavy work is the fact scan: per-batch partial (flag, month)
+    cent-sums → one bucketed reduce. The running total itself is
+    computed in a single final task over the REDUCED table, whose size
+    is structurally bounded by |flags| × |months| (~3 × corpus years —
+    a few hundred rows even at 100 TB), not by corpus rows; a cumsum
+    over an unbounded partition key would instead need the
+    range-partitioned prefix machinery customer_value_deciles uses."""
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "flag": b["l_returnflag"],
+                "month": b["l_shipdate"].dt.strftime("%Y-%m"),
+                "rev_c": np.floor(
+                    b["l_extendedprice"].to_numpy()
+                    * (1 - b["l_discount"].to_numpy())
+                    * 100
+                    + 0.5
+                ).astype("int64"),
+            }
+        )
+        return f.groupby(["flag", "month"], as_index=False)["rev_c"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["flag", "month"], as_index=False)["rev_c"].sum()
+
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    monthly = bucketed_group_agg(
+        ds, ["flag", "month"], final, partial_fn=partial, num_buckets=nb
+    )
+
+    def running(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["flag", "month"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "flag": s["flag"],
+                "month": s["month"],
+                "rev_c": s["rev_c"].astype("int64"),
+                "cum_rev_c": s.groupby("flag")["rev_c"].cumsum().astype("int64"),
+            }
+        )
+
+    return monthly.repartition(1).map_batches(running, batch_format="pandas")

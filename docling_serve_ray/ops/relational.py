@@ -3561,3 +3561,124 @@ def upsert_compaction(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         ds, ["user_id", "event_type"], final, partial_fn=partial, num_buckets=nb
     )
+
+
+# --- conversion funnel (staged sequential EXISTS) ---------------------------------
+
+# Stage semantics: a user completes stage k when an event of that type
+# exists STRICTLY AFTER their stage-(k-1) completion event in the total
+# per-user order (ts, event_id) — the classic product-analytics funnel,
+# which is NOT the consecutive-pair/trigram question event_transitions /
+# event_trigrams answer (arbitrary other events may intervene).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+FUNNEL_CONVERSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s1 AS (SELECT user_id, min(rn) AS r1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.rn) AS r2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.rn > s1.r1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.rn) AS r3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.rn > s2.r2 GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(3 AS BIGINT), CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+def _funnel_after(left: pd.DataFrame, right: pd.DataFrame) -> pd.Series:
+    """Vectorized strict (ts, event_id) tuple comparison left > right
+    (columns ts/event_id vs ts_r/event_id_r, row-aligned)."""
+    return (left["ts"] > right["ts_r"]) | (
+        (left["ts"] == right["ts_r"]) & (left["event_id"] > right["event_id_r"])
+    )
+
+
+def funnel_conversion(sf_dir: str) -> ray.data.Dataset:
+    """view → click → purchase conversion funnel: per stage, how many
+    users completed it (stage k = an event of that type strictly after
+    the user's stage-(k-1) completion in (ts, event_id) order).
+
+    Distributed shape — one user-bucketed shuffle over a COMPACTED
+    stream: per batch, views collapse to the per-user minimum and
+    purchases to the per-user maximum (stage-1 membership needs only the
+    global first view; stage-3 membership is `max purchase > r2`, an
+    EXISTS against the first qualifying click, so only the per-user max
+    purchase can decide it). Clicks cannot be compacted batch-locally —
+    the first click AFTER the global first view depends on a cross-batch
+    minimum — so they ride through filtered + projected (≤1/5 of events,
+    4 thin columns). Each bucket holds complete user groups and resolves
+    the three stages with vectorized sorts/merges (no per-user Python);
+    output partials are 3 counts per bucket, summed in one tiny task.
+    A pathologically hot user's clicks concentrate in one bucket — the
+    keyed-log time-sliced stitch (event_transitions) is the documented
+    escape hatch if a real corpus ever exhibits one."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(
+        ev_path, columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    kind_of = {s: np.int8(i) for i, s in enumerate(FUNNEL_STAGES)}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["event_type"].isin(FUNNEL_STAGES)]
+        k = b["event_type"].map(kind_of).astype("int8")
+        b = b.assign(kind=k)[["user_id", "kind", "ts", "event_id"]]
+        s = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        views = s.loc[s["kind"] == 0].drop_duplicates("user_id")  # batch min
+        purch = s.loc[s["kind"] == 2].drop_duplicates("user_id", keep="last")
+        clicks = b.loc[b["kind"] == 1]
+        return pd.concat([views, clicks, purch], ignore_index=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        r1 = (
+            s.loc[s["kind"] == 0]
+            .drop_duplicates("user_id")[["user_id", "ts", "event_id"]]
+            .rename(columns={"ts": "ts_r", "event_id": "event_id_r"})
+        )
+        c = s.loc[s["kind"] == 1, ["user_id", "ts", "event_id"]].merge(
+            r1, on="user_id"
+        )
+        c = c.loc[_funnel_after(c, c)]
+        r2 = c.drop_duplicates("user_id")[["user_id", "ts", "event_id"]].rename(
+            columns={"ts": "ts_r", "event_id": "event_id_r"}
+        )
+        p = (
+            s.loc[s["kind"] == 2]
+            .drop_duplicates("user_id", keep="last")[["user_id", "ts", "event_id"]]
+            .merge(r2, on="user_id")
+        )
+        n3 = int(_funnel_after(p, p).sum())
+        return pd.DataFrame(
+            {
+                "stage": list(FUNNEL_STAGES),
+                "stage_idx": np.arange(1, 4, dtype="int64"),
+                "n": np.array([len(r1), len(r2), n3], dtype="int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(ev_path))
+    partials = bucketed_group_agg(
+        ds, ["user_id"], per_bucket, partial_fn=partial, num_buckets=nb
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["stage", "stage_idx"], as_index=False)["n"].sum()
+        out = out.sort_values("stage_idx")
+        return pd.DataFrame(
+            {
+                "stage": out["stage"],
+                "stage_idx": out["stage_idx"].astype("int64"),
+                "n_users": out["n"].astype("int64"),
+            }
+        )
+
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")

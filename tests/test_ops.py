@@ -2013,3 +2013,61 @@ def test_revenue_pareto_crossing_fixture(ray_session, tmp_path):
     out = revenue_pareto(str(tmp_path))
     row = out.iloc[0].to_dict()
     assert row == {"n_parts_80": 2, "cum_revenue_c": 80, "total_revenue_c": 100}
+
+
+def test_funnel_conversion_stage_semantics(ray_session, tmp_path):
+    """Hand-built funnel: stage k requires its event STRICTLY AFTER the
+    stage-(k-1) completion in (ts, event_id) order — NOT mere presence.
+    u1 view<click<purchase (all 3); u2 click BEFORE view (stage 1 only,
+    its purchase can't count without a qualifying click); u3
+    view<purchase<click (stages 1-2: the purchase precedes the click);
+    u4 purchase only (no stages); u5 all three at ONE timestamp with
+    ascending event_ids (the event_id tie-break alone must qualify)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import funnel_conversion
+
+    ts = lambda s: pd.Timestamp(f"2024-01-0{s}")
+    rows = [
+        (1, ts(1), 1, "view"), (1, ts(2), 2, "click"), (1, ts(3), 3, "purchase"),
+        (2, ts(1), 4, "click"), (2, ts(2), 5, "view"), (2, ts(3), 6, "purchase"),
+        (3, ts(1), 7, "view"), (3, ts(2), 8, "purchase"), (3, ts(3), 9, "click"),
+        (4, ts(1), 10, "purchase"),
+        (5, ts(5), 11, "view"), (5, ts(5), 12, "click"), (5, ts(5), 13, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = (
+        funnel_conversion(str(tmp_path)).to_pandas().set_index("stage")["n_users"]
+    )
+    assert out.to_dict() == {"view": 4, "click": 3, "purchase": 2}
+
+
+def test_cumulative_revenue_running_total(ray_session, tmp_path):
+    """Running total restarts per flag and accumulates in month order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import cumulative_revenue
+
+    df = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "A", "B"],
+            "l_shipdate": pd.to_datetime(
+                ["1995-01-10", "1995-01-20", "1995-03-05", "1995-02-01"]
+            ),
+            "l_extendedprice": [1.00, 2.00, 4.00, 8.00],
+            "l_discount": [0.0, 0.0, 0.5, 0.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "lineitem.parquet")
+    out = cumulative_revenue(str(tmp_path)).to_pandas()
+    got = {
+        (r.flag, r.month): (r.rev_c, r.cum_rev_c) for r in out.itertuples()
+    }
+    assert got == {
+        ("A", "1995-01"): (300, 300),
+        ("A", "1995-03"): (200, 500),
+        ("B", "1995-02"): (800, 800),
+    }
