@@ -1929,8 +1929,17 @@ def table_profile(sf_dir: str) -> ray.data.Dataset:
 
     def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["col", "v"]).groupby("col", as_index=False).size()
+        # pad to the stats-stream schema so the union is schema-stable
+        # (mismatched block schemas concat leniently today but warn)
         return pd.DataFrame(
-            {"col": d["col"], "nd": d["size"].astype("int64"), "_t": np.int64(1)}
+            {
+                "col": d["col"],
+                "n": np.int64(0),
+                "min_v": "",
+                "max_v": "",
+                "nd": d["size"].astype("int64"),
+                "_t": np.int64(1),
+            }
         )
 
     nb = scaled_num_buckets(input_bytes_estimate(path))
