@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": text.repetition_score,
         "lexical_stats": text.lexical_stats,
         "unigram_prob_score": text.unigram_prob_score,
+        "dsir_select": text.dsir_select,
         "source_token_divergence": text.source_token_divergence,
         "source_simpson_diversity": text.source_simpson_diversity,
         "decontaminate": text.decontaminate,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_paragraphs": dedup.boilerplate_paragraphs,
         "paragraph_dedup": dedup.paragraph_dedup,
         "paragraph_dedup_apply": dedup.paragraph_dedup_apply,
+        "dup_span_removal": dedup.dup_span_removal,
         "prefix_dup": dedup.prefix_dup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
@@ -412,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         FUZZY_PREFIX_PAIRS_SQL,
         PARAGRAPH_DEDUP_SQL,
         PARAGRAPH_DEDUP_APPLY_SQL,
+        DUP_SPAN_REMOVAL_SQL,
         PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
     )
@@ -562,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         TOP_TOKENS_PER_LANG_SQL,
         LEXICAL_STATS_SQL,
         UNIGRAM_PROB_SCORE_SQL,
+        DSIR_SELECT_SQL,
         SOURCE_TOKEN_DIVERGENCE_SQL,
         SOURCE_SIMPSON_DIVERSITY_SQL,
     )
@@ -618,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": REPETITION_SCORE_SQL,
         "lexical_stats": LEXICAL_STATS_SQL,
         "unigram_prob_score": UNIGRAM_PROB_SCORE_SQL,
+        "dsir_select": DSIR_SELECT_SQL,
         "source_token_divergence": SOURCE_TOKEN_DIVERGENCE_SQL,
         "source_simpson_diversity": SOURCE_SIMPSON_DIVERSITY_SQL,
         "decontaminate": DECON_SQL,
@@ -626,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_paragraphs": BOILERPLATE_PARAGRAPHS_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "paragraph_dedup_apply": PARAGRAPH_DEDUP_APPLY_SQL,
+        "dup_span_removal": DUP_SPAN_REMOVAL_SQL,
         "prefix_dup": PREFIX_DUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,

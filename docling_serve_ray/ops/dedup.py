@@ -986,6 +986,218 @@ def paragraph_dedup_apply(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(surv, ["doc_id"], rebuild, num_buckets=nb)
 
 
+# --- exact-substring duplicate-span removal (ExactSubstr-style) ---------------------
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (ACL 2022): remove every duplicated substring occurrence except its global
+# first. The paper's engine is a corpus-wide suffix array; the bounded-window
+# re-expression here marks every stride-1 window of SPAN_W tokens whose
+# fingerprint occurs elsewhere (keeping the global-min occurrence), merges
+# the marked windows per document into maximal intervals, and rebuilds the
+# document from the uncovered tokens — so an L-token duplicated passage
+# (L ≥ SPAN_W) is removed in full from every non-first occurrence, exactly
+# like ExactSubstr with the paper's length threshold playing SPAN_W's role.
+
+SPAN_W = 8  # window width in tokens: the minimum duplicated run that triggers removal
+_SPAN_POS_BASE = 1_000_000  # position bound: a doc would need 1M tokens to break it
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         md5(array_to_string(words[i+1 : i+{SPAN_W}], ' ')) AS fp,
+         doc_id * {_SPAN_POS_BASE} + i AS pos_code
+  FROM w, LATERAL (
+    SELECT UNNEST(range(0, len(words) - {SPAN_W} + 1)) AS i
+  )
+),
+k AS (SELECT fp, MIN(pos_code) AS keeper FROM g GROUP BY fp),
+d AS (
+  SELECT g.doc_id, g.p AS s, g.p + {SPAN_W} AS e
+  FROM g JOIN k ON g.fp = k.fp
+  WHERE g.pos_code <> k.keeper
+),
+m AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM d
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+  FROM isl GROUP BY doc_id, island
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+covered AS (
+  SELECT doc_id, CAST(pp AS BIGINT) AS p
+  FROM spans, LATERAL (SELECT UNNEST(range(s, e)) AS pp)
+),
+toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, words[i+1] AS tok
+  FROM w, LATERAL (SELECT UNNEST(range(0, len(words))) AS i)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+n AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)
+SELECT st.doc_id, n.n_tokens, st.dup_spans, st.dup_tokens,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM stats st
+JOIN n ON n.doc_id = st.doc_id
+LEFT JOIN clean c ON c.doc_id = st.doc_id
+"""
+
+
+def dup_span_removal(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-style duplicate-span removal APPLIED: every stride-1
+    SPAN_W-token window is fingerprinted; windows whose fingerprint occurs
+    anywhere else in the corpus (or earlier in the same document) are
+    marked in all but the global-first occurrence; marked windows merge
+    into maximal per-doc intervals, and each affected document is rebuilt
+    from its uncovered tokens. Output is one row per document that lost at
+    least one span: (doc_id, n_tokens, dup_spans, dup_tokens, clean_text).
+
+    Scale shape (two corpus passes, text crosses the wire once):
+      1. thin explode — (md5 fp, int64 pos_code) per window, nothing else;
+         the per-fp bucketed reduce holds complete occurrence groups and
+         emits NON-keeper pos_codes directly (no second keeper join). The
+         window stream is the honest cost vs the paper's suffix array:
+         ×SPAN_W fingerprint bytes on a 24-byte/window stream, never text.
+         A boilerplate fingerprint repeated everywhere is one hot group —
+         same residency bound paragraph_dedup carries (its reduce is a
+         transform+filter, linear in the group).
+      2. rebuild — doc rows (text) union mark rows (doc_id, start) tagged
+         into the same doc_id buckets (interval_coverage's tag-union);
+         per-doc interval merge is vectorized (sort + cummax islands +
+         reduceat), then one mask pass rebuilds the text. Docs with no
+         marks never surface from the reduce.
+    """
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    docs_bytes = input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    nb = scaled_num_buckets(docs_bytes)
+    docs = _docs(sf_dir)
+
+    def explode_fps(batch: pd.DataFrame) -> pd.DataFrame:
+        fps: list = []
+        codes: list = []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            npos = len(words) - SPAN_W + 1
+            if npos >= _SPAN_POS_BASE:  # shared pos_code contract (ADVICE r4)
+                raise ValueError(f"doc {d}: {npos} window positions exceed pos encoding")
+            base = int(d) * _SPAN_POS_BASE
+            for i in range(max(0, npos)):
+                fps.append(
+                    hashlib.md5(" ".join(words[i : i + SPAN_W]).encode("utf-8")).hexdigest()
+                )
+                codes.append(base + i)
+        return pd.DataFrame({"fp": fps, "pos_code": pd.Series(codes, dtype="int64")})
+
+    def non_keepers(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("fp")["pos_code"].transform("min")
+        nk = g.loc[g["pos_code"] != keeper, "pos_code"]
+        return pd.DataFrame(
+            {
+                "doc_id": (nk // _SPAN_POS_BASE).astype("int64"),
+                "s": (nk % _SPAN_POS_BASE).astype("int64"),
+            }
+        )
+
+    marks = bucketed_group_agg(
+        docs.map_batches(explode_fps, batch_format="pandas"),
+        ["fp"], non_keepers, num_buckets=nb,
+    )
+
+    def doc_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "s": np.int64(-1),
+                "text": b["text"].astype("string"),
+            }
+        )
+
+    def mark_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "s": b["s"].astype("int64"),
+                "text": pd.array([""] * len(b), dtype="string"),
+            }
+        )
+
+    tagged = docs.map_batches(doc_tag, batch_format="pandas").union(
+        marks.map_batches(mark_tag, batch_format="pandas")
+    )
+
+    span_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("dup_spans", pa.int64()),
+            ("dup_tokens", pa.int64()),
+            ("clean_text", pa.string()),
+        ]
+    )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        texts = g.loc[g["s"] < 0].set_index("doc_id")["text"]
+        ms = g.loc[g["s"] >= 0]
+        out_d: list = []
+        out_n: list = []
+        out_sp: list = []
+        out_dt: list = []
+        out_t: list = []
+        for d, sub in ms.groupby("doc_id"):
+            starts = np.sort(sub["s"].to_numpy())
+            ends = starts + SPAN_W
+            run_max = np.maximum.accumulate(ends)
+            new_isl = np.ones(len(starts), dtype=bool)
+            new_isl[1:] = starts[1:] > run_max[:-1]
+            isl_starts = np.flatnonzero(new_isl)
+            s0 = starts[new_isl]
+            e0 = np.maximum.reduceat(ends, isl_starts)
+            words = texts.loc[d].split(" ")
+            mask = np.ones(len(words), dtype=bool)
+            for a, b_ in zip(s0, e0):
+                mask[a:b_] = False
+            out_d.append(int(d))
+            out_n.append(len(words))
+            out_sp.append(len(s0))
+            out_dt.append(int((e0 - s0).sum()))
+            out_t.append(" ".join(w for w, m in zip(words, mask) if m))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out_d,
+                "n_tokens": out_n,
+                "dup_spans": out_sp,
+                "dup_tokens": out_dt,
+                "clean_text": out_t,
+            },
+            schema=span_schema,
+        )
+
+    return bucketed_group_agg(tagged, ["doc_id"], rebuild, num_buckets=nb)
+
+
 # --- fuzzy prefix pairs (character-level near-match blocking) ----------------------
 #
 # Entity-resolution-style fuzzy string join: document pairs whose padded

@@ -1685,6 +1685,247 @@ def unigram_prob_score(
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection for language models)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"  # the in-domain "target" distribution: English docs
+DSIR_FRAC_NUM, DSIR_FRAC_DEN = 1, 4  # keep the top ceil(N/4) by importance
+
+DSIR_SELECT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+cr AS (SELECT t, CAST(count(*) AS HUGEINT) AS c FROM tok GROUP BY t),
+ct AS (SELECT t, CAST(count(*) AS HUGEINT) AS c FROM tok
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY t),
+nr AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM tok),
+nt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM tok
+       WHERE lang = '{DSIR_TARGET_LANG}'),
+ratio AS (
+  SELECT cr.t,
+         COALESCE(ct.c, 0) * (SELECT n FROM nr) * 1000000
+           // (cr.c * (SELECT n FROM nt)) AS ppm
+  FROM cr LEFT JOIN ct ON cr.t = ct.t
+),
+dsc AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(ratio.ppm) // CAST(count(*) AS HUGEINT) AS BIGINT) AS score_ppm
+  FROM tok JOIN ratio ON tok.t = ratio.t
+  GROUP BY tok.doc_id
+),
+rk AS (
+  SELECT score_ppm,
+         row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rn,
+         count(*) OVER () AS nd
+  FROM dsc
+),
+thr AS (SELECT MIN(score_ppm) AS t FROM rk
+        WHERE rn * {DSIR_FRAC_DEN} <= nd * {DSIR_FRAC_NUM} + {DSIR_FRAC_DEN} - 1)
+SELECT doc_id, n_tokens, score_ppm
+FROM dsc WHERE score_ppm >= (SELECT t FROM thr)
+"""
+
+
+def dsir_select(
+    sf_dir: str, *, broadcast_max_vocab: int = 2_000_000
+) -> ray.data.Dataset:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by its likelihood ratio between an in-domain target unigram model
+    (lang = 'en' documents) and the raw-corpus unigram model, then keep the
+    top ceil(N/4) by score. The paper's hashed-n-gram log-ratio is
+    re-expressed integer-exact so the oracle hashes bit-exact: the
+    per-token ratio is ppm-scaled ct·Nr·10^6 // (cr·Nt) (Python-int ==
+    HUGEINT), a document's score is the floor-mean of its tokens' ratios,
+    and selection keeps score ≥ the ceil(N/4)-th largest score
+    (tie-inclusive, so the rule is order-free on both engines).
+
+    Scale shape — three thin passes, no global sort:
+      1. joint counts: one bucketed token reduce carries (cr, ct) together
+         (ct rides as a 0/1 partial sum), so target and raw models cost ONE
+         shuffle; Nr/Nt are two driver scalars.
+      2. score attach: vocabulary under ``broadcast_max_vocab`` broadcasts
+         the ppm table once (ray.put) — a doc is one row, so scoring is a
+         stateless map with NO shuffle; past the gate the tag-union
+         fallback (unigram_prob_score's) joins (doc_id, t, tf) rows to ppm
+         rows in token buckets and re-assembles per-doc sums in doc_id
+         buckets.
+      3. threshold without sorting: scores band by exact MSB
+         (revenue_pareto's log2 range partition — frexp is exact below
+         2^53), per-band counts give the driver an O(40) descending
+         profile locating the band holding rank ceil(N/4); only that one
+         magnitude band's scores gather for the exact in-band k-th
+         largest. Equal scores share a band, so the threshold is exact;
+         the in-band gather is the documented bound (one magnitude band —
+         refine with a second split if a corpus concentrates there).
+    """
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split(" ").explode()
+        tgt = (b["lang"] == DSIR_TARGET_LANG).loc[ex.index].to_numpy()
+        f = pd.DataFrame(
+            {"t": ex.to_numpy(), "cr": np.int64(1), "ct": tgt.astype("int64")}
+        )
+        return f.groupby("t", as_index=False).agg(cr=("cr", "sum"), ct=("ct", "sum"))
+
+    def cnt_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("t", as_index=False).agg(cr=("cr", "sum"), ct=("ct", "sum"))
+        return out.astype({"cr": "int64", "ct": "int64"})
+
+    uni = bucketed_group_agg(
+        docs, ["t"], cnt_final, partial_fn=cnt_partial, num_buckets=nb
+    ).materialize()
+    n_r = int(uni.sum("cr"))
+    n_t = int(uni.sum("ct"))
+
+    def to_ppm(b: pd.DataFrame) -> pd.DataFrame:
+        # Python-int arithmetic mirrors the oracle's HUGEINT: ct·Nr·10^6
+        # overflows int64 long before the ppm quotient does
+        ppm = [
+            int(ct) * n_r * 1_000_000 // (int(cr) * n_t)
+            for cr, ct in zip(b["cr"], b["ct"])
+        ]
+        return pd.DataFrame({"t": b["t"], "ppm": pd.Series(ppm, dtype="int64")})
+
+    ratio = uni.map_batches(to_ppm, batch_format="pandas")
+
+    def finish(doc_ids, sums, ntoks) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype="int64"),
+                "n_tokens": np.asarray(ntoks, dtype="int64"),
+                "score_ppm": np.asarray(sums, dtype="int64")
+                // np.asarray(ntoks, dtype="int64"),
+            }
+        )
+
+    n_vocab = uni.count()
+    if n_vocab <= broadcast_max_vocab:
+        rp = ratio.to_pandas()
+        ref = ray.put(pd.Series(rp["ppm"].astype("int64").to_numpy(), index=rp["t"]))
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            ppm = ray.get(ref)
+            ex = b.set_index("doc_id")["text"].str.split(" ").explode()
+            pp = ex.map(ppm).astype("int64")
+            sums = pp.groupby(level=0).sum()
+            ntoks = ex.groupby(level=0).size()
+            return finish(sums.index, sums.to_numpy(), ntoks.to_numpy())
+
+        scored = docs.map_batches(score, batch_format="pandas")
+    else:
+        # tag-union fallback: tf rows join ppm rows in token buckets, then
+        # per-doc sums re-assemble in doc_id buckets (unigram_prob_score)
+        def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+            ex = b["text"].str.split(" ").explode()
+            f = pd.DataFrame(
+                {"doc_id": b["doc_id"].loc[ex.index].to_numpy(), "t": ex.to_numpy()}
+            )
+            g = f.groupby(["doc_id", "t"], as_index=False).size()
+            return g.rename(columns={"size": "tf"}).assign(_p=np.int64(-1)).astype(
+                {"doc_id": "int64", "tf": "int64"}
+            )
+
+        def tag_ppm(u: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.int64(-1),
+                    "t": u["t"],
+                    "tf": np.int64(-1),
+                    "_p": u["ppm"].astype("int64"),
+                }
+            )
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            ppm = g.loc[g["_p"] >= 0].set_index("t")["_p"]
+            rows = g.loc[g["_p"] < 0]
+            return pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"].astype("int64"),
+                    "tf": rows["tf"].astype("int64"),
+                    "p": rows["t"].map(ppm).astype("int64"),
+                }
+            )
+
+        attached = bucketed_group_agg(
+            docs.map_batches(tf_rows, batch_format="pandas").union(
+                ratio.map_batches(tag_ppm, batch_format="pandas")
+            ),
+            ["t"], attach, num_buckets=nb,
+        )
+
+        def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(s=b["tf"] * b["p"])
+            return b.groupby("doc_id", as_index=False).agg(
+                s=("s", "sum"), nt=("tf", "sum")
+            )
+
+        def doc_final(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.groupby("doc_id", as_index=False).agg(
+                s=("s", "sum"), nt=("nt", "sum")
+            )
+            return finish(a["doc_id"].to_numpy(), a["s"].to_numpy(), a["nt"].to_numpy())
+
+        scored = bucketed_group_agg(
+            attached, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
+        )
+
+    scored = scored.materialize()  # reused: band profile + in-band gather + filter
+    n_docs = scored.count()
+    n_sel = (n_docs * DSIR_FRAC_NUM + DSIR_FRAC_DEN - 1) // DSIR_FRAC_DEN
+
+    def band_of(v: np.ndarray) -> np.ndarray:
+        m = np.zeros(len(v), dtype="int64")
+        pos = v > 0
+        m[pos] = np.frexp(v[pos].astype("float64"))[1] - 1
+        return m
+
+    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({"band": band_of(b["score_ppm"].to_numpy())})
+        g = f.groupby("band", as_index=False).size().rename(columns={"size": "cnt"})
+        return g.astype({"band": "int64", "cnt": "int64"})
+
+    prof = (
+        scored.map_batches(band_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("band", as_index=False).agg(cnt=("cnt", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("band", ascending=False)
+    )
+    pre_cnt = 0
+    cross_band = None
+    for r in prof.itertuples():
+        if pre_cnt + int(r.cnt) >= n_sel:
+            cross_band = int(r.band)
+            break
+        pre_cnt += int(r.cnt)
+
+    band_scores = (
+        scored.map_batches(
+            lambda b: b.loc[band_of(b["score_ppm"].to_numpy()) == cross_band,
+                            ["score_ppm"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["score_ppm"]
+        .sort_values(ascending=False)
+        .to_numpy()
+    )
+    threshold = int(band_scores[n_sel - pre_cnt - 1])
+
+    return scored.map_batches(
+        lambda b: b.loc[b["score_ppm"] >= threshold], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source token-distribution divergence (total variation, integer-exact)
 # ---------------------------------------------------------------------------
 

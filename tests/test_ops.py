@@ -129,6 +129,8 @@ SUBSET = [
     "dup_rate_by_source",
     "triangle_count",
     "event_trigrams",
+    "dup_span_removal",
+    "dsir_select",
 ]
 
 
@@ -154,6 +156,60 @@ def test_unigram_prob_score_shuffle_path_matches(ray_session, duck):
     got = _canon(unigram_prob_score(SF, broadcast_max_vocab=0).to_pandas())
     want = _canon(duck.sql(entrymod.oracle_sql()["unigram_prob_score"]).df())
     assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_dsir_select_shuffle_path_matches(ray_session, duck):
+    """Forcing the ppm vocabulary past the broadcast gate routes the score
+    attach through the tag-union fallback (token buckets, then doc_id
+    buckets) — selection must be identical to the oracle."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.text import dsir_select
+
+    got = _canon(dsir_select(SF, broadcast_max_vocab=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["dsir_select"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_dup_span_removal_semantics(ray_session, tmp_path):
+    """ExactSubstr contract on a hand-built corpus: a duplicated run longer
+    than the window merges into ONE maximal span, the global-first
+    occurrence survives untouched, self-repeats within a document are
+    removed, and documents with no duplicated window never surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import dup_span_removal
+
+    run = " ".join(f"P{i}" for i in range(10))  # 10-token duplicated passage
+    q = " ".join(f"Q{i}" for i in range(8))  # exactly one window wide
+    docs = {
+        1: "u1 u2 u3 u4 u5 " + run + " u6 u7 u8 u9 u10",  # keeper (min pos_code)
+        2: "v1 v2 v3 v4 " + run + " v5 v6 v7 v8",  # loses the run
+        3: "w1 w2 " + q + " w3 w4 " + q + " w5",  # self-repeat: 2nd Q run goes
+        4: "x1 x2 x3 x4 x5 x6 x7 x8 x9",  # unique 9-tokens: absent from output
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": [docs[d] for d in sorted(docs)],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        dup_span_removal(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [2, 3]
+    # doc 2: three overlapping marked windows merge to one 10-token span
+    assert out.loc[2, "dup_spans"] == 1 and out.loc[2, "dup_tokens"] == 10
+    assert out.loc[2, "clean_text"] == "v1 v2 v3 v4 v5 v6 v7 v8"
+    # doc 3: only the SECOND Q run (position 12) is removed
+    assert out.loc[3, "dup_spans"] == 1 and out.loc[3, "dup_tokens"] == 8
+    assert out.loc[3, "clean_text"] == "w1 w2 " + q + " w3 w4 w5"
 
 
 def test_ivf_reduced_nprobe_recall_curve(ray_session, tmp_path):
