@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "prefix_dup",
     "paragraph_dedup_apply",
+    "dup_span_removal",
     "ngram_containment",
     "vocab_build",
     "tokenize_ids",
@@ -167,6 +168,7 @@ BENCH_QUERIES = [
     "disjunctive_revenue",
     "event_transitions",
     "unigram_prob_score",
+    "dsir_select",
     "cross_source_dups",
     "source_vocab_overlap",
     "boilerplate_paragraphs",
