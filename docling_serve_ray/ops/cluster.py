@@ -484,12 +484,27 @@ r{i} AS (
 PAGERANK_SQL = _pagerank_sql()
 
 
-def pagerank(sf_dir: str) -> ray.data.Dataset:
+PAGERANK_LOCAL_MAX_BYTES = 128 * 1024 * 1024  # ≈5M edges × 24 B
+
+
+def pagerank(
+    sf_dir: str, *, local_max_bytes: int = PAGERANK_LOCAL_MAX_BYTES
+) -> ray.data.Dataset:
     """Distributed PageRank (5 fixed iterations, damping 0.85, exact int64
     fixed-point) over the bipartite customer→supplier graph: an edge per
     distinct (customer, supplier) trading pair, derived from lineitem ⋈
     orders. Returns (node, rank_fp); supplier nodes are offset by
-    PAGERANK_SUPP_OFFSET."""
+    PAGERANK_SUPP_OFFSET.
+
+    Adaptive execution (the suite's standard size gate): edge DERIVATION —
+    the fact-table-scale work — is always distributed; the power iteration
+    itself runs driver-local in exact int64 numpy (np.add.at, identical
+    floor arithmetic) when the deduped edge list fits ``local_max_bytes``,
+    because ten bucketed-shuffle stages of fixed per-stage overhead swamp
+    a sub-128 MB frontier (measured: 33 s → the edge-derivation cost alone
+    at sf0.1). Past the gate the distributed loop runs — two thin bucketed
+    shuffles per iteration over a (node, val) frontier materialized once
+    per round; the driver never holds more than the O(40)-int profile."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     li_path = f"{sf_dir}/lineitem.parquet"
@@ -549,6 +564,27 @@ def pagerank(sf_dir: str) -> ray.data.Dataset:
 
     edges = bucketed_group_agg(pairs, ["src"], dedup_and_deg, num_buckets=nb)
     edges = edges.repartition(nb_iter).materialize()
+
+    # -- small-graph fast path: local exact iteration under the byte gate ------
+    if edges.count() * 24 <= local_max_bytes:
+        ep = edges.to_pandas()
+        src = ep["src"].to_numpy(dtype="int64")
+        dst = ep["dst"].to_numpy(dtype="int64")
+        deg = ep["deg"].to_numpy(dtype="int64")
+        node_ids = np.unique(np.concatenate([src, dst]))
+        n_nodes = len(node_ids)
+        base = (PAGERANK_SCALE * 15) // (100 * n_nodes)
+        si = np.searchsorted(node_ids, src)
+        di = np.searchsorted(node_ids, dst)
+        val = np.full(n_nodes, PAGERANK_SCALE // n_nodes, dtype="int64")
+        for _ in range(PAGERANK_ITERS):
+            share = (val[si] * np.int64(85)) // (np.int64(100) * deg)
+            nxt = np.full(n_nodes, base, dtype="int64")
+            np.add.at(nxt, di, share)  # int64-exact scatter-add (bincount floats)
+            val = nxt
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": node_ids, "rank_fp": val})
+        )
 
     # -- node set (distinct src ∪ dst) ----------------------------------------
     def node_rows(b: pd.DataFrame) -> pd.DataFrame:

@@ -1721,6 +1721,18 @@ def test_pagerank_conservation_and_sink_floor(ray_session):
     assert df["rank_fp"].sum() <= PAGERANK_SCALE
 
 
+def test_pagerank_distributed_path_matches(ray_session, duck):
+    """Forcing the edge list past the local-iteration gate routes the
+    power iteration through the distributed bucketed-shuffle loop — ranks
+    must be bit-identical to the oracle (and the local path)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.cluster import pagerank
+
+    got = _canon(pagerank(SF, local_max_bytes=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["pagerank"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
 def test_fuzzy_prefix_pairs_pigeonhole_completeness(ray_session, tmp_path):
     """The 3-segment blocking must be COMPLETE at Hamming <= 2: construct
     pairs differing in exactly 2 chars placed to straddle two different
