@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_revenue": analytics.cumulative_revenue,
         "tfidf_top_terms": curation.tfidf_top_terms,
         "length_percentile_filter": curation.length_percentile_filter,
+        "token_budget_select": curation.token_budget_select,
         "bm25_search": curation.bm25_search,
         "rrf_search": curation.rrf_search,
         "table_profile": curation.table_profile,
@@ -445,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         TOKENIZE_IDS_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
+        TOKEN_BUDGET_SELECT_SQL,
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
@@ -741,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_revenue": CUMULATIVE_REVENUE_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "length_percentile_filter": LENGTH_PERCENTILE_FILTER_SQL,
+        "token_budget_select": TOKEN_BUDGET_SELECT_SQL,
         "bm25_search": BM25_SEARCH_SQL,
         "rrf_search": RRF_SEARCH_SQL,
         "table_profile": TABLE_PROFILE_SQL,

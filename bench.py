@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "unigram_prob_score",
     "dsir_select",
+    "token_budget_select",
     "cross_source_dups",
     "source_vocab_overlap",
     "boilerplate_paragraphs",

@@ -1971,3 +1971,128 @@ def table_profile(sf_dir: str) -> ray.data.Dataset:
         )
 
     return tagged.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- token-budget selection (quality-ordered greedy under a token cap) -------------
+#
+# The "give me the best documents up to N training tokens" curation step:
+# rank documents by an integer quality score (type-token ratio in ppm —
+# repetitive boilerplate scores low), then keep documents in (score DESC,
+# doc_id ASC) order while the running token total stays within the budget
+# (¼ of corpus tokens). The oracle needs a GLOBAL window cumsum over the
+# score order; the engine finds the same cut with no global sort, using the
+# sum-weighted variant of revenue_pareto's log2-band range partition: each
+# band's (count, token-sum) partials give the driver an exact descending
+# prefix profile, only the single budget-crossing band gathers for the exact
+# in-band order + cumsum, and the in-band keeper doc_ids broadcast for the
+# final filter (bounded by one magnitude band).
+
+TOKEN_BUDGET_NUM, TOKEN_BUDGET_DEN = 1, 4  # budget = floor(total_tokens / 4)
+
+TOKEN_BUDGET_SELECT_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+d AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT) AS score_ppm
+  FROM t
+),
+b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM d),
+r AS (
+  SELECT doc_id, n_tokens, score_ppm,
+         SUM(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, score_ppm
+FROM r WHERE cum * {TOKEN_BUDGET_DEN} <= (SELECT tot FROM b) * {TOKEN_BUDGET_NUM}
+"""
+
+
+def token_budget_select(sf_dir: str) -> ray.data.Dataset:
+    """Quality-ordered greedy selection under a global token budget — see
+    the block comment above for the contract and the band machinery.
+
+    Scale shape: one stateless scoring pass (vectorized explode +
+    per-doc nunique — a doc is one row, so its token multiset never
+    splits); the score profile is O(~20 log2 bands) on the driver; only
+    the crossing band's (score, doc_id, n_tokens) rows gather for the
+    exact in-band cumsum; the kept-in-band id set broadcasts via ray.put
+    for the final vectorized filter. No corpus-scale sort or shuffle."""
+
+    docs = _docs(sf_dir)
+
+    def score_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b.set_index("doc_id")["text"].str.split(" ").explode()
+        ntoks = ex.groupby(level=0).size()
+        ndist = ex.groupby(level=0).nunique()
+        return pd.DataFrame(
+            {
+                "doc_id": ntoks.index.astype("int64"),
+                "n_tokens": ntoks.to_numpy().astype("int64"),
+                "score_ppm": (
+                    ndist.to_numpy().astype("int64") * 1_000_000
+                    // ntoks.to_numpy().astype("int64")
+                ),
+            }
+        )
+
+    scored = docs.map_batches(score_batch, batch_format="pandas").materialize()
+    total = int(scored.sum("n_tokens"))
+    budget = total * TOKEN_BUDGET_NUM // TOKEN_BUDGET_DEN
+
+    def band_of(v: np.ndarray) -> np.ndarray:
+        m = np.zeros(len(v), dtype="int64")
+        pos = v > 0
+        m[pos] = np.frexp(v[pos].astype("float64"))[1] - 1
+        return m
+
+    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {"band": band_of(b["score_ppm"].to_numpy()), "nt": b["n_tokens"]}
+        )
+        g = f.groupby("band", as_index=False).agg(cnt=("nt", "size"), s=("nt", "sum"))
+        return g.astype({"band": "int64", "cnt": "int64", "s": "int64"})
+
+    prof = (
+        scored.map_batches(band_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("band", as_index=False).agg(
+                cnt=("cnt", "sum"), s=("s", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("band", ascending=False)
+    )
+    pre_sum = 0
+    cross_band = None
+    for r in prof.itertuples():
+        if pre_sum + int(r.s) > budget:
+            cross_band = int(r.band)
+            break
+        pre_sum += int(r.s)
+
+    if cross_band is None:  # budget covers the whole corpus
+        return scored
+
+    in_band = scored.map_batches(
+        lambda b: b.loc[band_of(b["score_ppm"].to_numpy()) == cross_band],
+        batch_format="pandas",
+    ).to_pandas().sort_values(
+        ["score_ppm", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    cum = pre_sum + in_band["n_tokens"].cumsum()
+    kept_ids = ray.put(
+        set(in_band.loc[(cum <= budget).to_numpy(), "doc_id"].astype("int64"))
+    )
+
+    def final_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(kept_ids)
+        bands = band_of(b["score_ppm"].to_numpy())
+        keep = (bands > cross_band) | (
+            (bands == cross_band) & b["doc_id"].isin(ids).to_numpy()
+        )
+        return b.loc[keep]
+
+    return scored.map_batches(final_filter, batch_format="pandas")

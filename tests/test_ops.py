@@ -131,6 +131,7 @@ SUBSET = [
     "event_trigrams",
     "dup_span_removal",
     "dsir_select",
+    "token_budget_select",
 ]
 
 
@@ -1731,6 +1732,30 @@ def test_pagerank_distributed_path_matches(ray_session, duck):
     got = _canon(pagerank(SF, local_max_bytes=0).to_pandas())
     want = _canon(duck.sql(entrymod.oracle_sql()["pagerank"]).df())
     assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_token_budget_select_tiebreak_at_boundary(ray_session, tmp_path):
+    """When the budget cut falls inside a run of equal scores, selection
+    must follow the doc_id tiebreak exactly: 8 identical 10-token docs,
+    budget = 80//4 = 20 tokens → precisely the two lowest doc_ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import token_budget_select
+
+    text = " ".join(f"t{i}" for i in range(10))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 3, 11, 5, 2, 9, 4, 8], pa.int64()),
+                "text": [text] * 8,
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = token_budget_select(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 3]
+    assert (out["n_tokens"] == 10).all()
 
 
 def test_fuzzy_prefix_pairs_pigeonhole_completeness(ray_session, tmp_path):
