@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus curation ---
         "quality_filter": curation.quality_filter,
         "weighted_mix": curation.weighted_mix,
+        "temperature_mix": curation.temperature_mix,
+        "oov_rate": curation.oov_rate,
+        "vocab_coverage_curve": curation.vocab_coverage_curve,
         "normalize_text": curation.normalize_text,
         "corpus_stats": curation.corpus_stats,
         "dup_ngram_coverage": curation.dup_ngram_coverage,
@@ -450,6 +453,9 @@ def oracle_sql() -> dict[str, str]:
         TFIDF_TOP_TERMS_SQL,
         QUALITY_FILTER_SQL,
         WEIGHTED_MIX_SQL,
+        TEMPERATURE_MIX_SQL,
+        OOV_RATE_SQL,
+        VOCAB_COVERAGE_SQL,
     )
     from docling_serve_ray.ops.analytics import (
         LARGE_VOLUME_CUSTOMERS_SQL,
@@ -654,6 +660,9 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup": NORMALIZED_DEDUP_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "weighted_mix": WEIGHTED_MIX_SQL,
+        "temperature_mix": TEMPERATURE_MIX_SQL,
+        "oov_rate": OOV_RATE_SQL,
+        "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,
         "corpus_stats": CORPUS_STATS_SQL,
         "dup_ngram_coverage": DUP_NGRAM_COVERAGE_SQL,

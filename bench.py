@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "unigram_prob_score",
     "dsir_select",
     "token_budget_select",
+    "temperature_mix",
+    "oov_rate",
+    "vocab_coverage_curve",
     "cross_source_dups",
     "source_vocab_overlap",
     "boilerplate_paragraphs",

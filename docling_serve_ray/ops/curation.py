@@ -2096,3 +2096,299 @@ def token_budget_select(sf_dir: str) -> ray.data.Dataset:
         return b.loc[keep]
 
     return scored.map_batches(final_filter, batch_format="pandas")
+
+
+# --- temperature-scaled language sampling (mT5 / XLM-R mixing) --------------
+#
+# Multilingual corpora are head-heavy: sampling documents uniformly starves
+# low-resource languages. The standard fix (mT5, XLM-R) samples language l
+# with probability proportional to n_l^alpha for alpha < 1. This op applies
+# alpha = 1/2 with a deterministic, coordination-free keep rule: the per-lang
+# keep threshold is derived ONCE from the per-lang counts (w_l = isqrt(n_l),
+# target kept mass T = N // 2, thr_l = 2^32 * T * w_l / (n_l * sum_w), all
+# integer arithmetic) and a document keeps iff its salted md5 hash falls
+# under its language's threshold — reproducible across runs, engines and
+# shard layouts, no RNG, no shuffle. Unlike weighted_mix (fixed external
+# rates) the rates here are DATA-DERIVED corpus statistics at temperature.
+
+TEMP_MIX_SALT = ":temp"
+# target kept mass = floor(total_docs / 2), re-allocated across langs at
+# temperature alpha = 1/2 (literal 2s below mirror these constants)
+
+TEMPERATURE_MIX_SQL = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS HUGEINT) AS w FROM c
+),
+s AS (SELECT SUM(w) AS sw, SUM(n) AS tot FROM w),
+thr AS (
+  SELECT lang,
+         CAST(LEAST(CAST(4294967296 AS HUGEINT),
+                    (CAST(4294967296 AS HUGEINT) * (tot // 2) * w) // (n * sw))
+              AS BIGINT) AS thr
+  FROM w, s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))
+           AS BIGINT) < thr.thr
+"""
+
+
+def temperature_mix(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-scaled language sampling (see block comment). Scale
+    shape: one combiner-style counting pass whose reduce domain is the
+    LANGUAGE SET (bounded ~10^2 even at 100 TB — safe driver state by
+    construction, unlike value domains); the thresholds broadcast via
+    one ray.put; the keep pass is stateless and never shuffles."""
+    import math
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang"))
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False).size()
+        return pd.DataFrame({"lang": g["lang"], "n": g["size"].astype("int64")})
+
+    counts = (
+        docs.map_batches(cpart, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("lang", as_index=False).agg(n=("n", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n = dict(zip(counts["lang"], counts["n"].astype(int)))
+    tot = sum(n.values())
+    w = {l: math.isqrt(c) for l, c in n.items()}
+    sw = sum(w.values())
+    target = tot // 2
+    thr_ref = ray.put(
+        {
+            l: min(1 << 32, ((1 << 32) * target * w[l]) // (n[l] * sw))
+            for l in n
+        }
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        hv = b["doc_id"].map(
+            lambda d: int(
+                hashlib.md5((str(d) + TEMP_MIX_SALT).encode()).hexdigest()[:8], 16
+            )
+        ).to_numpy()
+        lim = b["lang"].map(thr).to_numpy()
+        return b.loc[hv < lim, ["doc_id", "lang"]]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+# --- out-of-vocabulary rate (tokenizer / vocab coverage audit) ---------------
+#
+# Per-document fraction of tokens absent from the min_count-bounded corpus
+# vocabulary — the coverage metric a tokenizer-prep pipeline publishes to
+# decide min_count / vocab size. Same size-gated vocab attach contract as
+# tokenize_ids: broadcast the sorted vocab while it fits, degrade to the
+# tag-union token-bucket shuffle past the gate; the fallback's per-bucket
+# output is (doc_id, token-count, oov-count) PARTIALS, reduced in a second
+# thin bucketed pass — token rows never concentrate per doc.
+
+OOV_RATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token FROM t GROUP BY token HAVING count(*) >= {VOCAB_MIN_COUNT}
+),
+j AS (
+  SELECT t.doc_id, CASE WHEN c.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM t LEFT JOIN c ON t.token = c.token
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM j GROUP BY doc_id
+"""
+
+
+def oov_rate(
+    sf_dir: str, *, broadcast_max_vocab: int = 2_000_000
+) -> ray.data.Dataset:
+    """Per-doc OOV rate vs the vocab_build vocabulary (see block comment)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    vocab_ds = vocab_build(sf_dir).materialize()  # min_count-bounded by design
+    n_vocab = vocab_ds.count()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": b["n_tokens"].astype("int64"),
+                "n_oov": b["n_oov"].astype("int64"),
+                "oov_ppm": (
+                    b["n_oov"].astype("int64") * 1_000_000
+                    // b["n_tokens"].astype("int64")
+                ),
+            }
+        )
+
+    if n_vocab <= broadcast_max_vocab:
+        vocab = vocab_ds.to_pandas()
+        keys = np.sort(vocab["token"].to_numpy(dtype=str))
+        ref = ray.put(keys)
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            ex = batch.set_index("doc_id")["text"].str.split(" ").explode()
+            flat = ex.to_numpy(dtype=str)
+            idx = np.clip(np.searchsorted(ks, flat), 0, len(ks) - 1)
+            oov = pd.Series((ks[idx] != flat).astype("int64"), index=ex.index)
+            g = oov.groupby(level=0).agg(["size", "sum"])
+            return finalize(
+                pd.DataFrame(
+                    {
+                        "doc_id": g.index.astype("int64"),
+                        "n_tokens": g["size"].to_numpy(),
+                        "n_oov": g["sum"].to_numpy(),
+                    }
+                )
+            )
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    # tag-union fallback: token rows (_vid == -1) and vocab rows (_vid == 1)
+    # share a token bucket; the per-bucket reduce emits per-doc PARTIALS
+    def tag_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b.set_index("doc_id")["text"].str.split(" ").explode()
+        return pd.DataFrame(
+            {
+                "token": ex.to_numpy(dtype=str),
+                "doc_id": ex.index.to_numpy().astype("int64"),
+                "_vid": np.int64(-1),
+            }
+        )
+
+    def tag_vocab(v: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "token": v["token"].astype(str),
+                "doc_id": np.int64(-1),
+                "_vid": np.int64(1),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        known = set(g.loc[g["_vid"] > 0, "token"])
+        rows = g.loc[g["_vid"] < 0]
+        oov = (~rows["token"].isin(known)).astype("int64")
+        part = pd.DataFrame({"doc_id": rows["doc_id"], "oov": oov}).groupby(
+            "doc_id", as_index=False
+        ).agg(n_tokens=("oov", "size"), n_oov=("oov", "sum"))
+        return part.astype({"doc_id": "int64", "n_tokens": "int64", "n_oov": "int64"})
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    partials = bucketed_group_agg(
+        ds.map_batches(tag_tokens, batch_format="pandas").union(
+            vocab_ds.map_batches(tag_vocab, batch_format="pandas")
+        ),
+        ["token"], attach, num_buckets=nb,
+    )
+
+    def reduce_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum")
+        )
+        return finalize(s)
+
+    return bucketed_group_agg(partials, ["doc_id"], reduce_doc, num_buckets=nb)
+
+
+# --- vocabulary coverage curve (how big must the vocab be?) -------------------
+#
+# Cumulative token mass covered by the top-k vocabulary entries (ordered
+# count DESC, token) at k in {100, 1000, 10000} — the Zipf report that
+# sizes a tokenizer vocabulary. The full token count table is Heaps'-law
+# unbounded, but the report only needs each bucket's LOCAL top-K (a token
+# aggregates fully inside one hash bucket, so the global top-K under the
+# (cnt DESC, token) total order is contained in the union of per-bucket
+# top-Ks) plus one tagged per-bucket mass subtotal; the single final task
+# sees O(num_buckets * K) candidate rows, never the vocabulary.
+
+COVERAGE_KS = (100, 1000, 10000)
+
+VOCAB_COVERAGE_SQL = """
+WITH t AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM c
+),
+tot AS (SELECT SUM(cnt) AS total FROM c)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST((SELECT SUM(cnt) FROM r WHERE rk <= k) AS BIGINT) AS covered,
+       CAST(total AS BIGINT) AS total_tokens,
+       CAST((SELECT SUM(cnt) FROM r WHERE rk <= k) * 1000000 // total AS BIGINT)
+         AS coverage_ppm
+FROM (VALUES (100), (1000), (10000)) AS ks(k), tot
+"""
+
+
+def vocab_coverage_curve(sf_dir: str) -> ray.data.Dataset:
+    """Token-mass coverage of the top-k vocabulary (see block comment)."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    kmax = max(COVERAGE_KS)
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["text"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        flat = pd.Series(np.concatenate(toks.to_numpy()), name="token")
+        c = flat.groupby(flat, sort=False).size()
+        return pd.DataFrame({"token": c.index, "n": c.to_numpy().astype("int64")})
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False).agg(cnt=("n", "sum"))
+        top = s.sort_values(["cnt", "token"], ascending=[False, True]).head(kmax)
+        mass = pd.DataFrame(
+            {"token": [""], "cnt": [s["cnt"].sum()], "_mass": np.int64(1)}
+        )
+        return pd.concat(
+            [top.assign(_mass=np.int64(0)), mass], ignore_index=True
+        ).astype({"cnt": "int64", "_mass": "int64"})
+
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    cand = bucketed_group_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["token"], bucket_top, num_buckets=nb,
+    )
+
+    def report(b: pd.DataFrame) -> pd.DataFrame:
+        total = int(b.loc[b["_mass"] == 1, "cnt"].sum())
+        top = b.loc[b["_mass"] == 0].sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        )
+        cum = top["cnt"].to_numpy().cumsum()
+        rows = []
+        for k in COVERAGE_KS:
+            covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+            rows.append(
+                {
+                    "k": np.int64(k),
+                    "covered": np.int64(covered),
+                    "total_tokens": np.int64(total),
+                    "coverage_ppm": np.int64(covered * 1_000_000 // total),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return cand.repartition(1).map_batches(report, batch_format="pandas")

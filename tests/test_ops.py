@@ -132,6 +132,9 @@ SUBSET = [
     "dup_span_removal",
     "dsir_select",
     "token_budget_select",
+    "temperature_mix",
+    "oov_rate",
+    "vocab_coverage_curve",
 ]
 
 
@@ -2164,3 +2167,56 @@ def test_cumulative_revenue_running_total(ray_session, tmp_path):
         ("A", "1995-03"): (200, 500),
         ("B", "1995-02"): (800, 800),
     }
+
+
+def test_oov_rate_shuffle_path_matches(ray_session, duck):
+    """Forcing the vocab past the broadcast gate routes the OOV attach
+    through the tag-union token-bucket fallback (then a doc_id partial
+    reduce) — output must be identical to the oracle (and hence to the
+    broadcast path)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.curation import oov_rate
+
+    got = _canon(oov_rate(SF, broadcast_max_vocab=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["oov_rate"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_temperature_mix_upweights_low_resource_lang(ray_session, tmp_path):
+    """Temperature alpha = 1/2 must keep ALL of a tiny language (its
+    threshold caps at 2^32) while sampling the head language at the exact
+    integer rate — verified against a direct recomputation of the keep
+    rule (isqrt weights, largest-mass target N//2, salted md5 hash)."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import TEMP_MIX_SALT, temperature_mix
+
+    n_en, n_xx = 96, 4
+    ids = list(range(n_en + n_xx))
+    langs = ["en"] * n_en + ["xx"] * n_xx
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "lang": langs,
+                  "text": ["w"] * len(ids)}),
+        tmp_path / "documents.parquet",
+    )
+    out = temperature_mix(str(tmp_path)).to_pandas()
+
+    w = {"en": math.isqrt(n_en), "xx": math.isqrt(n_xx)}
+    sw = sum(w.values())
+    target = (n_en + n_xx) // 2
+    n = {"en": n_en, "xx": n_xx}
+    thr = {
+        l: min(1 << 32, ((1 << 32) * target * w[l]) // (n[l] * sw)) for l in n
+    }
+    assert thr["xx"] == 1 << 32  # tiny lang: keep everything
+    expect = {
+        d for d, l in zip(ids, langs)
+        if int(hashlib.md5((str(d) + TEMP_MIX_SALT).encode()).hexdigest()[:8], 16)
+        < thr[l]
+    }
+    assert set(out["doc_id"]) == expect
+    assert set(out.loc[out["lang"] == "xx", "doc_id"]) == set(range(n_en, n_en + n_xx))
