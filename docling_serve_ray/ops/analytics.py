@@ -3185,20 +3185,15 @@ def revenue_pareto(sf_dir: str) -> "pd.DataFrame":
     revenue; the distributed shape here finds the crossing without one:
 
     1. per-part revenues via the standard partial → bucketed reduce;
-    2. each revenue bucketed by its log2 magnitude — DETERMINISTIC
-       range partitioning (no sampling, no sort): ~40 coarse buckets
-       whose (count, sum) partials give the driver an exact descending
-       prefix profile, locating the single bucket where the 80% line
-       crosses (driver state: O(40) pairs);
-    3. only that one bucket's parts — a log2 revenue band, corpus-
-       independent fraction of parts — gather for the exact in-band
-       sort + cumsum; everything above the band contributes closed-form
-       prefix totals, everything below never moves.
-
-    frexp gives the exact MSB index (revenues < 2^53 are exact in
-    float64), so band assignment is engine-independent; the in-band
-    gather is the documented bound (one magnitude band — refine with a
-    second range split if a 100-TB catalog concentrates there)."""
+    2. shuffle.descending_value_cut refines the revenue domain by 256×
+       per pass — (count, sum) profiles only, O(256) driver state per
+       level — to the EXACT crossing revenue v*, with closed-form
+       prefix totals for everything above it (this replaces the earlier
+       one-log2-band gather, which was O(parts) whenever a catalog's
+       revenues concentrate in a single magnitude band);
+    3. ties all carry the same weight (the value IS the weight), so the
+       number of tied parts needed is arithmetic — the partkey tiebreak
+       cannot change the count, and nothing ever gathers."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     path = f"{sf_dir}/lineitem.parquet"
@@ -3221,62 +3216,41 @@ def revenue_pareto(sf_dir: str) -> "pd.DataFrame":
             {"l_partkey": "int64", "rev": "int64"}
         )
 
+    from .shuffle import descending_value_cut
+
     nb = scaled_num_buckets(input_bytes_estimate(path))
     part_rev = bucketed_group_agg(
         ds, ["l_partkey"], rev_final, partial_fn=rev_partial, num_buckets=nb
-    ).materialize()  # reused by the profile pass and the in-band gather
+    ).materialize()  # reused by the refinement profile passes
 
-    def band_of(rev: np.ndarray) -> np.ndarray:
-        # exact MSB index: frexp exponents are exact for ints < 2^53
-        m = np.zeros(len(rev), dtype="int64")
-        pos = rev > 0
-        m[pos] = np.frexp(rev[pos].astype("float64"))[1] - 1
-        return m
-
-    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
-        f = pd.DataFrame({"band": band_of(b["rev"].to_numpy()), "rev": b["rev"]})
-        g = f.groupby("band", as_index=False).agg(
-            cnt=("rev", "size"), s=("rev", "sum")
+    tot = int(part_rev.sum("rev") or 0)
+    if tot == 0:
+        # degenerate all-zero catalog: the oracle's first (rev DESC,
+        # partkey) row crosses immediately
+        n = part_rev.count()
+        return pd.DataFrame(
+            {
+                "n_parts_80": [np.int64(1 if n else 0)],
+                "cum_revenue_c": [np.int64(0)],
+                "total_revenue_c": [np.int64(0)],
+            }
         )
-        return g.astype({"band": "int64", "cnt": "int64", "s": "int64"})
 
-    prof = (
-        part_rev.map_batches(band_partial, batch_format="pandas")
-        .repartition(1)
-        .map_batches(
-            lambda b: b.groupby("band", as_index=False).agg(
-                cnt=("cnt", "sum"), s=("s", "sum")
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .sort_values("band", ascending=False)
+    v_star, pre_cnt, pre_sum, _, _ = descending_value_cut(
+        part_rev,
+        "rev",
+        lambda c: c * PARETO_SHARE_DEN >= tot * PARETO_SHARE_NUM,
+        weight_col="rev",
     )
-    tot = int(prof["s"].sum())
-    # walk bands in descending revenue order to the crossing band
-    pre_cnt = 0
-    pre_sum = 0
-    cross_band = None
-    for r in prof.itertuples():
-        if (pre_sum + int(r.s)) * PARETO_SHARE_DEN >= tot * PARETO_SHARE_NUM:
-            cross_band = int(r.band)
-            break
-        pre_cnt += int(r.cnt)
-        pre_sum += int(r.s)
-
-    band = part_rev.map_batches(
-        lambda b: b.loc[band_of(b["rev"].to_numpy()) == cross_band],
-        batch_format="pandas",
-    ).to_pandas()
-    band = band.sort_values(
-        ["rev", "l_partkey"], ascending=[False, True], kind="mergesort"
-    )
-    cum = pre_sum + band["rev"].cumsum().to_numpy()
-    idx = int(np.argmax(cum * PARETO_SHARE_DEN >= tot * PARETO_SHARE_NUM))
+    # smallest k with (pre_sum + k*v_star)*DEN >= tot*NUM; the tie block
+    # crosses by construction so k <= eq_cnt, and v_star >= 1 (zero-weight
+    # ties cannot be the crossing value)
+    need = tot * PARETO_SHARE_NUM - pre_sum * PARETO_SHARE_DEN
+    k = -(-need // (v_star * PARETO_SHARE_DEN))
     return pd.DataFrame(
         {
-            "n_parts_80": [np.int64(pre_cnt + idx + 1)],
-            "cum_revenue_c": [np.int64(cum[idx])],
+            "n_parts_80": [np.int64(pre_cnt + k)],
+            "cum_revenue_c": [np.int64(pre_sum + k * v_star)],
             "total_revenue_c": [np.int64(tot)],
         }
     )

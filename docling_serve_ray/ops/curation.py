@@ -1981,11 +1981,12 @@ def table_profile(sf_dir: str) -> ray.data.Dataset:
 # doc_id ASC) order while the running token total stays within the budget
 # (¼ of corpus tokens). The oracle needs a GLOBAL window cumsum over the
 # score order; the engine finds the same cut with no global sort, using the
-# sum-weighted variant of revenue_pareto's log2-band range partition: each
-# band's (count, token-sum) partials give the driver an exact descending
-# prefix profile, only the single budget-crossing band gathers for the exact
-# in-band order + cumsum, and the in-band keeper doc_ids broadcast for the
-# final filter (bounded by one magnitude band).
+# sum-weighted iterative value-domain refinement (shuffle.
+# descending_value_cut): successive (count, token-sum) profiles over ever-
+# narrower score intervals pin the exact crossing score with O(256) driver
+# state per level, a second ascending cut over doc_id resolves the tie set
+# at that score — NOTHING corpus-sized ever reaches the driver, even when
+# every score lands in one magnitude band (which real TTR scores do).
 
 TOKEN_BUDGET_NUM, TOKEN_BUDGET_DEN = 1, 4  # budget = floor(total_tokens / 4)
 
@@ -2010,14 +2011,14 @@ FROM r WHERE cum * {TOKEN_BUDGET_DEN} <= (SELECT tot FROM b) * {TOKEN_BUDGET_NUM
 
 def token_budget_select(sf_dir: str) -> ray.data.Dataset:
     """Quality-ordered greedy selection under a global token budget — see
-    the block comment above for the contract and the band machinery.
+    the block comment above for the contract and the cut machinery.
 
     Scale shape: one stateless scoring pass (vectorized explode +
     per-doc nunique — a doc is one row, so its token multiset never
-    splits); the score profile is O(~20 log2 bands) on the driver; only
-    the crossing band's (score, doc_id, n_tokens) rows gather for the
-    exact in-band cumsum; the kept-in-band id set broadcasts via ray.put
-    for the final vectorized filter. No corpus-scale sort or shuffle."""
+    splits); then two descending_value_cut refinements (score DESC, then
+    doc_id ASC inside the score ties), each a handful of vectorized
+    profile scans with O(256) driver state — no gather, no broadcast id
+    set, no corpus-scale sort or shuffle."""
 
     docs = _docs(sf_dir)
 
@@ -2040,58 +2041,39 @@ def token_budget_select(sf_dir: str) -> ray.data.Dataset:
     total = int(scored.sum("n_tokens"))
     budget = total * TOKEN_BUDGET_NUM // TOKEN_BUDGET_DEN
 
-    def band_of(v: np.ndarray) -> np.ndarray:
-        m = np.zeros(len(v), dtype="int64")
-        pos = v > 0
-        m[pos] = np.frexp(v[pos].astype("float64"))[1] - 1
-        return m
+    # Locate the exact greedy cut with NO driver gather (the previous
+    # crossing-BAND gather is O(n) when scores concentrate in one octave —
+    # real corpora put most TTR scores in [2^18, 2^20); see
+    # descending_value_cut's doc). Two refinement cuts, each O(256/level)
+    # driver state:
+    #   1. over score_ppm DESC, weighted by n_tokens → the crossing score
+    #      v* plus exact pre-totals of every higher score;
+    #   2. over doc_id ASC within the score == v* ties → the single
+    #      crossing doc (cum is strictly increasing: n_tokens >= 1), so
+    #      the tie set never gathers either.
+    from .shuffle import descending_value_cut
 
-    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
-        f = pd.DataFrame(
-            {"band": band_of(b["score_ppm"].to_numpy()), "nt": b["n_tokens"]}
-        )
-        g = f.groupby("band", as_index=False).agg(cnt=("nt", "size"), s=("nt", "sum"))
-        return g.astype({"band": "int64", "cnt": "int64", "s": "int64"})
-
-    prof = (
-        scored.map_batches(band_partial, batch_format="pandas")
-        .repartition(1)
-        .map_batches(
-            lambda b: b.groupby("band", as_index=False).agg(
-                cnt=("cnt", "sum"), s=("s", "sum")
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .sort_values("band", ascending=False)
+    cut = descending_value_cut(
+        scored, "score_ppm", lambda c: c > budget, weight_col="n_tokens"
     )
-    pre_sum = 0
-    cross_band = None
-    for r in prof.itertuples():
-        if pre_sum + int(r.s) > budget:
-            cross_band = int(r.band)
-            break
-        pre_sum += int(r.s)
-
-    if cross_band is None:  # budget covers the whole corpus
+    if cut is None:  # budget covers the whole corpus
         return scored
+    v_star, _, pre_sum, _, _ = cut
+    remaining = budget - pre_sum  # >= 0: crossed(pre_sum) was False
 
-    in_band = scored.map_batches(
-        lambda b: b.loc[band_of(b["score_ppm"].to_numpy()) == cross_band],
-        batch_format="pandas",
-    ).to_pandas().sort_values(
-        ["score_ppm", "doc_id"], ascending=[False, True], kind="mergesort"
+    ties = scored.map_batches(
+        lambda b: b.loc[b["score_ppm"] == v_star], batch_format="pandas"
     )
-    cum = pre_sum + in_band["n_tokens"].cumsum()
-    kept_ids = ray.put(
-        set(in_band.loc[(cum <= budget).to_numpy(), "doc_id"].astype("int64"))
-    )
+    # the tie weight crosses `remaining` by construction, so cut2 exists;
+    # d_star itself does NOT fit (crossed means cum > remaining)
+    d_star = descending_value_cut(
+        ties, "doc_id", lambda c: c > remaining,
+        weight_col="n_tokens", ascending=True,
+    )[0]
 
     def final_filter(b: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(kept_ids)
-        bands = band_of(b["score_ppm"].to_numpy())
-        keep = (bands > cross_band) | (
-            (bands == cross_band) & b["doc_id"].isin(ids).to_numpy()
+        keep = (b["score_ppm"] > v_star) | (
+            (b["score_ppm"] == v_star) & (b["doc_id"] < d_star)
         )
         return b.loc[keep]
 

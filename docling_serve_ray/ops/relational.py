@@ -1784,46 +1784,29 @@ GROUP BY n.n_name
 """
 
 
-def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+def revenue_by_nation(
+    sf_dir: str, *, broadcast_threshold_bytes: int = BROADCAST_MAX_BYTES
+) -> ray.data.Dataset:
     """orders ⋈ customer ⋈ nation → revenue per nation name: the
-    multi-dimension star join. Both dimension hops are ONE composed
-    broadcast lookup (custkey → nationkey → name built driver-side from
-    the two small dims, shipped via ray.put once), so the fact table
-    streams through a single map_batches with a per-batch partial
-    aggregate — no shuffle of fact rows at all; the final groupby is ~25
-    nation rows. At a scale where customer outgrows the broadcast gate,
-    compose join_priority_revenue's hash-join path instead (size gate
-    pattern in join_revenue)."""
+    multi-dimension star join. While customer fits the broadcast gate,
+    both dimension hops are ONE composed lookup (custkey → nationkey →
+    name built driver-side from the two small dims, shipped via ray.put
+    once), so the fact table streams through a single map_batches with a
+    per-batch partial aggregate — no shuffle of fact rows at all; the
+    final groupby is ~25 nation rows. Past the gate (customer SCALES
+    with the corpus) the custkey hop degrades to the bucketed tag-union
+    hash join: customer ships thin (custkey, nationkey) rows and orders
+    ship per-batch (custkey, rev, cnt) partials into shared key buckets,
+    the per-bucket reduce attaches nationkey and pre-aggregates to the
+    25-row nation domain — only the always-tiny nation name map ever
+    broadcasts. Both paths produce identical output (forced in tests)."""
     nat = ray.data.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(keys)
-    # compose the two hops once: custkey -> nation NAME (object array)
-    names = cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order]
-    ref = ray.put((keys[order], names))
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        name = _lookup(ref, batch["o_custkey"].to_numpy())
-        cents = np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64")
-        g = (
-            pd.DataFrame({"n_name": name, "price_c": cents})
-            .groupby("n_name", as_index=False)
-            .agg(p_rev=("price_c", "sum"), p_cnt=("price_c", "size"))
-        )
-        return g
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("p_rev", alias_name="revenue_c"), Sum("p_cnt", alias_name="n_orders"))
     )
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
@@ -1835,7 +1818,95 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    if _customer_small_enough(sf_dir, broadcast_threshold_bytes):
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        keys = cust["c_custkey"].to_numpy()
+        order = np.argsort(keys)
+        # compose the two hops once: custkey -> nation NAME (object array)
+        names = cust["c_nationkey"].map(nation_names).to_numpy(dtype=object)[order]
+        ref = ray.put((keys[order], names))
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            name = _lookup(ref, batch["o_custkey"].to_numpy())
+            cents = np.floor(batch["o_totalprice"] * 100 + 0.5).astype("int64")
+            g = (
+                pd.DataFrame({"n_name": name, "price_c": cents})
+                .groupby("n_name", as_index=False)
+                .agg(p_rev=("price_c", "sum"), p_cnt=("price_c", "size"))
+            )
+            return g
+
+        agg = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(
+                Sum("p_rev", alias_name="revenue_c"),
+                Sum("p_cnt", alias_name="n_orders"),
+            )
+        )
+        return agg.map_batches(finalize, batch_format="pandas")
+
+    # hash-join fallback: tag-union on custkey, nation attach in-bucket
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def order_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"] * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame({"key": b["o_custkey"].astype("int64"), "rev": cents})
+            .groupby("key", as_index=False)
+            .agg(rev=("rev", "sum"), cnt=("rev", "size"))
+        )
+        return g.assign(nk=np.int64(-1)).astype(
+            {"key": "int64", "rev": "int64", "cnt": "int64", "nk": "int64"}
+        )
+
+    cust_rows = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["c_custkey"].astype("int64"),
+                "rev": np.int64(0),
+                "cnt": np.int64(0),
+                "nk": b["c_nationkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    names_ref = ray.put(nation_names)  # 25 rows — always broadcastable
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        nk = g.loc[g["nk"] >= 0].set_index("key")["nk"]
+        facts = g.loc[g["nk"] < 0]
+        nmap = ray.get(names_ref)
+        name = facts["key"].map(nk).map(nmap)
+        out = (
+            pd.DataFrame({"n_name": name, "rev": facts["rev"], "cnt": facts["cnt"]})
+            .groupby("n_name", as_index=False)
+            .agg(revenue_c=("rev", "sum"), n_orders=("cnt", "sum"))
+        )
+        return out
+
+    nb = scaled_num_buckets(
+        input_bytes_estimate(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+        )
+    )
+    partials = bucketed_group_agg(
+        ds.map_batches(order_partial, batch_format="pandas").union(cust_rows),
+        ["key"], attach, num_buckets=nb,
+    )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("n_name", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"), n_orders=("n_orders", "sum")
+        )
+        return finalize(out)
+
+    # nation domain is ~25 rows — one-task merge
+    return partials.repartition(1).map_batches(merge, batch_format="pandas")
 
 
 # --- daily active users ---------------------------------------------------------

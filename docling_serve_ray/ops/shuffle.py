@@ -351,3 +351,119 @@ def histogram_merge(
     return ds.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+def descending_value_cut(
+    ds: ray.data.Dataset,
+    value_col: str,
+    crossed,
+    *,
+    weight_col: str | None = None,
+    ascending: bool = False,
+    nsplits: int = 256,
+):
+    """Exact order-statistic crossing over a non-negative integer column
+    with O(nsplits) driver state per level and NO driver-side gather.
+
+    Rows are conceptually ordered by ``value_col`` descending (set
+    ``ascending=True`` to flip). ``crossed`` is a MONOTONE predicate on the
+    cumulative weight (``weight_col``, default 1 per row) taken in that
+    order. Returns ``(v_star, pre_cnt, pre_sum, eq_cnt, eq_sum)`` — the
+    first value at which the cumulative weight crosses, with exact
+    count/weight totals of everything ordered strictly before it
+    (``crossed(pre_sum)`` is False, ``crossed(pre_sum + eq_sum)`` is
+    True) — or ``None`` if even the total weight never crosses.
+
+    Why not gather the crossing log2 band: a band is a corpus-independent
+    FRACTION only when values spread across magnitudes. Concentrated
+    domains (ppm scores cluster in one octave; per-entity totals cluster
+    around a mean) put most of the corpus in ONE band, making a band
+    gather O(n) driver state — the exact defect class
+    customer_value_deciles was cured of. This helper instead narrows the
+    value interval by a factor of ``nsplits`` per pass (one vectorized
+    partial-aggregate scan each; ~3 passes for a ppm domain, ~6 for
+    64-bit cents), so driver state stays O(nsplits) regardless of how the
+    values distribute. Callers resolve ties analytically (equal values
+    contribute equal or summable weight) or with a second cut over a
+    unique tiebreak column — never by gathering the tie set.
+
+    ``ds`` is materialized here (multiple passes over a derived table —
+    the same contract as the ops' existing ``scored.materialize()``)."""
+    import numpy as np
+
+    ds = ds.materialize()
+
+    def extremes_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"lo": [], "hi": [], "c": [], "s": []})
+        w = (
+            b[weight_col].to_numpy()
+            if weight_col is not None
+            else np.ones(len(v), dtype="int64")
+        )
+        return pd.DataFrame(
+            {"lo": [int(v.min())], "hi": [int(v.max())],
+             "c": [len(v)], "s": [int(w.sum())]}
+        )
+
+    ext = (
+        ds.map_batches(extremes_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"lo": [b["lo"].min()], "hi": [b["hi"].max()],
+                 "c": [b["c"].sum()], "s": [b["s"].sum()]}
+            )
+            if len(b)
+            else b,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if len(ext) == 0 or not crossed(int(ext["s"].iloc[0])):
+        return None
+    lo, hi = int(ext["lo"].iloc[0]), int(ext["hi"].iloc[0])
+
+    pre_cnt = 0
+    pre_sum = 0
+    while True:
+        width = hi - lo + 1
+        step = max(1, (width + nsplits - 1) // nsplits)
+
+        def prof_partial(b: pd.DataFrame, lo=lo, hi=hi, step=step) -> pd.DataFrame:
+            v = b[value_col].to_numpy()
+            w = (
+                b[weight_col].to_numpy()
+                if weight_col is not None
+                else np.ones(len(v), dtype="int64")
+            )
+            m = (v >= lo) & (v <= hi)
+            f = pd.DataFrame({"i": (v[m] - lo) // step, "s": w[m]})
+            g = f.groupby("i", as_index=False).agg(c=("s", "size"), s=("s", "sum"))
+            return g.astype({"i": "int64", "c": "int64", "s": "int64"})
+
+        prof = (
+            ds.map_batches(prof_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: b.groupby("i", as_index=False).agg(
+                    c=("c", "sum"), s=("s", "sum")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .sort_values("i", ascending=ascending)
+        )
+        hit = None
+        for r in prof.itertuples():
+            if crossed(pre_sum + int(r.s)):
+                hit = r
+                break
+            pre_cnt += int(r.c)
+            pre_sum += int(r.s)
+        # a crossing interval must exist: crossed(total) held at entry
+        assert hit is not None, "monotone predicate regressed mid-walk"
+        if step == 1:
+            return (lo + int(hit.i), pre_cnt, pre_sum, int(hit.c), int(hit.s))
+        lo, hi = lo + int(hit.i) * step, min(hi, lo + (int(hit.i) + 1) * step - 1)

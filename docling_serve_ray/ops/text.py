@@ -1875,50 +1875,20 @@ def dsir_select(
             attached, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
         )
 
-    scored = scored.materialize()  # reused: band profile + in-band gather + filter
+    scored = scored.materialize()  # reused: refinement passes + final filter
     n_docs = scored.count()
     n_sel = (n_docs * DSIR_FRAC_NUM + DSIR_FRAC_DEN - 1) // DSIR_FRAC_DEN
 
-    def band_of(v: np.ndarray) -> np.ndarray:
-        m = np.zeros(len(v), dtype="int64")
-        pos = v > 0
-        m[pos] = np.frexp(v[pos].astype("float64"))[1] - 1
-        return m
+    # The n_sel-th largest score via iterative value-domain refinement —
+    # O(256/level) driver state even when scores concentrate in one octave
+    # (a crossing-BAND gather is O(n) exactly there; see the helper doc).
+    # Selection keeps all score ties, so the threshold VALUE is the whole
+    # answer — nothing gathers.
+    from .shuffle import descending_value_cut
 
-    def band_partial(b: pd.DataFrame) -> pd.DataFrame:
-        f = pd.DataFrame({"band": band_of(b["score_ppm"].to_numpy())})
-        g = f.groupby("band", as_index=False).size().rename(columns={"size": "cnt"})
-        return g.astype({"band": "int64", "cnt": "int64"})
-
-    prof = (
-        scored.map_batches(band_partial, batch_format="pandas")
-        .repartition(1)
-        .map_batches(
-            lambda b: b.groupby("band", as_index=False).agg(cnt=("cnt", "sum")),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .sort_values("band", ascending=False)
-    )
-    pre_cnt = 0
-    cross_band = None
-    for r in prof.itertuples():
-        if pre_cnt + int(r.cnt) >= n_sel:
-            cross_band = int(r.band)
-            break
-        pre_cnt += int(r.cnt)
-
-    band_scores = (
-        scored.map_batches(
-            lambda b: b.loc[band_of(b["score_ppm"].to_numpy()) == cross_band,
-                            ["score_ppm"]],
-            batch_format="pandas",
-        )
-        .to_pandas()["score_ppm"]
-        .sort_values(ascending=False)
-        .to_numpy()
-    )
-    threshold = int(band_scores[n_sel - pre_cnt - 1])
+    threshold = descending_value_cut(
+        scored, "score_ppm", lambda c: c >= n_sel
+    )[0]
 
     return scored.map_batches(
         lambda b: b.loc[b["score_ppm"] >= threshold], batch_format="pandas"

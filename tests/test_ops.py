@@ -2220,3 +2220,67 @@ def test_temperature_mix_upweights_low_resource_lang(ray_session, tmp_path):
     }
     assert set(out["doc_id"]) == expect
     assert set(out.loc[out["lang"] == "xx", "doc_id"]) == set(range(n_en, n_en + n_xx))
+
+
+def test_descending_value_cut_multilevel_and_ties(ray_session):
+    """The refinement helper must pin the exact crossing value with small
+    nsplits (forcing several refinement levels) on a CONCENTRATED domain —
+    the case where a log2-band gather would have been O(n) — for both
+    orders, weighted and unweighted, matching a brute-force oracle."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from docling_serve_ray.ops.shuffle import descending_value_cut
+
+    rng = np.random.RandomState(7)
+    vals = 100_000 + rng.randint(0, 50, size=3_000)  # 50 distinct, one octave
+    wts = 1 + rng.randint(0, 9, size=3_000)
+    df = pd.DataFrame({"v": vals.astype("int64"), "w": wts.astype("int64")})
+    ds = ray.data.from_pandas(df)
+
+    def brute(desc, weighted, target):
+        s = df.sort_values("v", ascending=not desc, kind="mergesort")
+        w = s["w"] if weighted else pd.Series(1, index=s.index)
+        g = pd.DataFrame({"v": s["v"], "w": w}).groupby("v", sort=True)["w"].sum()
+        order = g.index[::-1] if desc else g.index
+        pre_c = pre_s = 0
+        for v in order:
+            block = int(g[v])
+            cnt = int((df["v"] == v).sum())
+            if pre_s + block > target:
+                return (int(v), pre_c, pre_s, cnt, block)
+            pre_c += cnt
+            pre_s += block
+        return None
+
+    for desc in (True, False):
+        for weighted in (True, False):
+            total = int(wts.sum() if weighted else len(df))
+            for target in (0, total // 3, total - 1):
+                got = descending_value_cut(
+                    ds, "v", lambda c, t=target: c > t,
+                    weight_col="w" if weighted else None,
+                    ascending=not desc, nsplits=4,
+                )
+                assert got == brute(desc, weighted, target), (
+                    desc, weighted, target)
+            # predicate never crossed -> None
+            assert descending_value_cut(
+                ds, "v", lambda c, t=total: c > t,
+                weight_col="w" if weighted else None,
+                ascending=not desc, nsplits=4,
+            ) is None
+
+
+def test_revenue_by_nation_hash_path_matches(ray_session, duck):
+    """Forcing customer past the broadcast gate routes the star join
+    through the bucketed tag-union hash path (only the 25-row nation map
+    broadcasts) — output must be identical to the oracle (and hence to
+    the broadcast path)."""
+    import __ray_entry__ as entrymod
+    from docling_serve_ray.ops.relational import revenue_by_nation
+
+    got = _canon(revenue_by_nation(SF, broadcast_threshold_bytes=0).to_pandas())
+    want = _canon(duck.sql(entrymod.oracle_sql()["revenue_by_nation"]).df())
+    assert _hash(got) == _hash(want) and len(got) == len(want)
