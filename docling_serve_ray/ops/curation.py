@@ -752,10 +752,11 @@ def length_percentile_filter(sf_dir: str) -> ray.data.Dataset:
     Exactness: the threshold is the smallest value whose cumulative count
     reaches ceil(q·N), computed in pure integers on both sides (no float
     quantile interpolation). Scale shape: a per-batch value-count combiner
-    over the BOUNDED n_tokens domain → one small bucketed merge → the
-    tiny (value, count) histogram reaches the driver (≤ distinct lengths
-    rows, not N), the threshold broadcasts, and the corpus streams through
-    a vectorized filter. Two passes over the input, zero row shuffles."""
+    → one small bucketed merge into a DISTRIBUTED (value, count)
+    histogram — it never gathers; shuffle.descending_value_cut walks it
+    (ascending, count-weighted) to the exact crossing value with O(256)
+    driver state per level, the threshold broadcasts, and the corpus
+    streams through a vectorized filter. Zero row shuffles."""
     import pyarrow.compute as pc
 
     from .shuffle import bucketed_group_agg
@@ -771,20 +772,20 @@ def length_percentile_filter(sf_dir: str) -> ray.data.Dataset:
         out = g.groupby("n_tokens", as_index=False)["cnt"].sum()
         return out.astype({"n_tokens": "int64", "cnt": "int64"})
 
-    hist = (
-        bucketed_group_agg(
-            _docs(sf_dir).map_batches(counts_partial, batch_format="pyarrow"),
-            ["n_tokens"],
-            counts_final,
-            num_buckets=16,
-        )
-        .to_pandas()
-        .sort_values("n_tokens")
-    )
-    n_total = int(hist["cnt"].sum())
+    from .shuffle import descending_value_cut
+
+    hist = bucketed_group_agg(
+        _docs(sf_dir).map_batches(counts_partial, batch_format="pyarrow"),
+        ["n_tokens"],
+        counts_final,
+        num_buckets=16,
+    )  # stays distributed — only refinement profiles reach the driver
+    n_total = int(hist.sum("cnt") or 0)
     rank_needed = (LENGTH_PCTL_Q_NUM * n_total + LENGTH_PCTL_Q_DEN - 1) // LENGTH_PCTL_Q_DEN
-    cdf = hist["cnt"].cumsum().to_numpy()
-    threshold = int(hist["n_tokens"].to_numpy()[np.searchsorted(cdf, rank_needed)])
+    threshold = descending_value_cut(
+        hist, "n_tokens", lambda c: c >= rank_needed,
+        weight_col="cnt", ascending=True,
+    )[0]
 
     def keep(batch: pa.Table) -> pa.Table:
         n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
