@@ -2055,7 +2055,10 @@ def token_budget_select(sf_dir: str) -> ray.data.Dataset:
     from .shuffle import descending_value_cut
 
     cut = descending_value_cut(
-        scored, "score_ppm", lambda c: c > budget, weight_col="n_tokens"
+        scored, "score_ppm", lambda c: c > budget, weight_col="n_tokens",
+        # TTR ppm is bounded by construction and total is already in hand —
+        # skip the extremes pass (one fewer Dataset execution)
+        domain=(0, 1_000_000), total_weight=total,
     )
     if cut is None:  # budget covers the whole corpus
         return scored

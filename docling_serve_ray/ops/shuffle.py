@@ -360,7 +360,9 @@ def descending_value_cut(
     *,
     weight_col: str | None = None,
     ascending: bool = False,
-    nsplits: int = 256,
+    nsplits: int = 1024,
+    domain: "tuple[int, int] | None" = None,
+    total_weight: int | None = None,
 ):
     """Exact order-statistic crossing over a non-negative integer column
     with O(nsplits) driver state per level and NO driver-side gather.
@@ -388,10 +390,28 @@ def descending_value_cut(
     unique tiebreak column — never by gathering the tie set.
 
     ``ds`` is materialized here (multiple passes over a derived table —
-    the same contract as the ops' existing ``scored.materialize()``)."""
+    the same contract as the ops' existing ``scored.materialize()``).
+
+    Per-pass fixed overhead dominates at SMALL scale (each level is one
+    Dataset execution, ~1 s of scheduling floor on this Ray), so callers
+    that already know the value bounds and the total weight pass
+    ``domain=(lo, hi)`` (inclusive) and ``total_weight`` to skip the
+    extremes pass — e.g. ppm scores live in [0, 10^6] and the caller
+    usually holds sum/count already."""
     import numpy as np
 
     ds = ds.materialize()
+
+    if domain is not None and total_weight is not None:
+        if not crossed(int(total_weight)):
+            return None
+        lo, hi = int(domain[0]), int(domain[1])
+        pre_cnt = 0
+        pre_sum = 0
+        return _refine_cut(
+            ds, value_col, crossed, weight_col, ascending, nsplits,
+            lo, hi, pre_cnt, pre_sum,
+        )
 
     def extremes_partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b[value_col].to_numpy()
@@ -425,8 +445,18 @@ def descending_value_cut(
         return None
     lo, hi = int(ext["lo"].iloc[0]), int(ext["hi"].iloc[0])
 
-    pre_cnt = 0
-    pre_sum = 0
+    return _refine_cut(
+        ds, value_col, crossed, weight_col, ascending, nsplits, lo, hi, 0, 0
+    )
+
+
+def _refine_cut(
+    ds, value_col, crossed, weight_col, ascending, nsplits, lo, hi,
+    pre_cnt, pre_sum,
+):
+    """descending_value_cut's refinement loop (see its contract)."""
+    import numpy as np
+
     while True:
         width = hi - lo + 1
         step = max(1, (width + nsplits - 1) // nsplits)
