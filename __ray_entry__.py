@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_stats": text.lexical_stats,
         "unigram_prob_score": text.unigram_prob_score,
         "dsir_select": text.dsir_select,
+        "bpe_first_merges": text.bpe_first_merges,
         "source_token_divergence": text.source_token_divergence,
         "source_simpson_diversity": text.source_simpson_diversity,
         "decontaminate": text.decontaminate,
@@ -574,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         LEXICAL_STATS_SQL,
         UNIGRAM_PROB_SCORE_SQL,
         DSIR_SELECT_SQL,
+        BPE_FIRST_MERGES_SQL,
         SOURCE_TOKEN_DIVERGENCE_SQL,
         SOURCE_SIMPSON_DIVERSITY_SQL,
     )
@@ -631,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_stats": LEXICAL_STATS_SQL,
         "unigram_prob_score": UNIGRAM_PROB_SCORE_SQL,
         "dsir_select": DSIR_SELECT_SQL,
+        "bpe_first_merges": BPE_FIRST_MERGES_SQL,
         "source_token_divergence": SOURCE_TOKEN_DIVERGENCE_SQL,
         "source_simpson_diversity": SOURCE_SIMPSON_DIVERSITY_SQL,
         "decontaminate": DECON_SQL,

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "oov_rate",
     "vocab_coverage_curve",
+    "bpe_first_merges",
     "cross_source_dups",
     "source_vocab_overlap",
     "boilerplate_paragraphs",

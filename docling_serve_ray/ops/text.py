@@ -2115,3 +2115,80 @@ def source_simpson_diversity(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"n_tokens": "int64", "sum_sq": "int64"})
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- BPE first-merge statistics (tokenizer training prep) ---------------------
+#
+# A byte-pair-encoding trainer's first iteration (Sennrich et al. 2016)
+# counts adjacent symbol pairs inside every word, weighted by the word's
+# corpus frequency, and merges the most frequent pair. This op computes
+# that statistic exactly: top-20 adjacent character pairs by
+# (count DESC, pair ASC). The corpus never explodes to character rows —
+# the token stream collapses to (unique word, corpus count) via the
+# standard combiner → bucketed reduce, pair emission runs once per UNIQUE
+# word (Heaps-bounded, not corpus-bounded) inside its bucket, and pair
+# totals ride a second thin bucketed reduce whose per-bucket local top-20
+# candidates are a provable superset of the global top-20 (a pair
+# aggregates fully inside one hash bucket).
+
+BPE_TOP_PAIRS = 20
+
+BPE_FIRST_MERGES_SQL = f"""
+WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+p AS (
+  SELECT substr(w, i, 2) AS pair, cnt
+  FROM c, LATERAL (SELECT UNNEST(generate_series(1, length(w) - 1)) AS i)
+),
+a AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM p GROUP BY pair)
+SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+def bpe_first_merges(sf_dir: str) -> ray.data.Dataset:
+    """Top adjacent-character-pair counts for BPE merge #1 (see block
+    comment). Repeated pairs inside one word count per occurrence
+    ("aaa" contributes "aa" twice), matching the trainer's statistic."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["text"])
+
+    def word_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ")
+        flat = pd.Series(np.concatenate(toks.to_numpy()), name="w")
+        c = flat.groupby(flat, sort=False).size()
+        return pd.DataFrame({"w": c.index, "n": c.to_numpy().astype("int64")})
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wc = g.groupby("w", as_index=False)["n"].sum()
+        pairs: list[str] = []
+        counts: list[int] = []
+        # loop over UNIQUE words in this bucket (vocab/num_buckets rows),
+        # never over corpus tokens
+        for w, n in zip(wc["w"], wc["n"]):
+            for i in range(len(w) - 1):
+                pairs.append(w[i : i + 2])
+                counts.append(n)
+        f = pd.DataFrame({"pair": pairs, "n": np.asarray(counts, dtype="int64")})
+        return f.groupby("pair", as_index=False)["n"].sum()
+
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    pair_partials = bucketed_group_agg(
+        ds.map_batches(word_partial, batch_format="pandas"),
+        ["w"], pairs_of_bucket, num_buckets=nb,
+    )
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", as_index=False)["n"].sum()
+        return s.sort_values(["n", "pair"], ascending=[False, True]).head(
+            BPE_TOP_PAIRS
+        ).astype({"n": "int64"})
+
+    cand = bucketed_group_agg(pair_partials, ["pair"], bucket_top, num_buckets=64)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+        return s.head(BPE_TOP_PAIRS).reset_index(drop=True)
+
+    return cand.repartition(1).map_batches(final, batch_format="pandas")

@@ -135,6 +135,7 @@ SUBSET = [
     "temperature_mix",
     "oov_rate",
     "vocab_coverage_curve",
+    "bpe_first_merges",
 ]
 
 
@@ -2284,3 +2285,54 @@ def test_revenue_by_nation_hash_path_matches(ray_session, duck):
     got = _canon(revenue_by_nation(SF, broadcast_threshold_bytes=0).to_pandas())
     want = _canon(duck.sql(entrymod.oracle_sql()["revenue_by_nation"]).df())
     assert _hash(got) == _hash(want) and len(got) == len(want)
+
+
+def test_descending_value_cut_degenerate_domains(ray_session):
+    """Width-1 interval at entry (all-equal values) and a single-row
+    dataset must return exact results without refinement."""
+    import pandas as pd
+
+    import ray
+    from docling_serve_ray.ops.shuffle import descending_value_cut
+
+    eq = ray.data.from_pandas(
+        pd.DataFrame({"v": [42] * 10, "w": list(range(1, 11))})
+    )
+    # total weight 55; crossing at > 10 lands on the single value 42
+    assert descending_value_cut(
+        eq, "v", lambda c: c > 10, weight_col="w", nsplits=4
+    ) == (42, 0, 0, 10, 55)
+
+    one = ray.data.from_pandas(pd.DataFrame({"v": [7], "w": [3]}))
+    assert descending_value_cut(
+        one, "v", lambda c: c >= 1, weight_col="w", nsplits=4
+    ) == (7, 0, 0, 1, 3)
+    # domain/total_weight fast path must agree
+    assert descending_value_cut(
+        one, "v", lambda c: c >= 1, weight_col="w", nsplits=4,
+        domain=(0, 100), total_weight=3,
+    ) == (7, 0, 0, 1, 3)
+
+
+def test_bpe_first_merges_multiplicity_and_ties(ray_session, tmp_path):
+    """Repeated pairs inside one word count per occurrence ('aaa' yields
+    'aa' twice), single-char words contribute nothing, and equal counts
+    order by pair ascending."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import bpe_first_merges
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["aaa aaa ab x", "ba x x"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = bpe_first_merges(str(tmp_path)).to_pandas()
+    got = list(zip(out["pair"], out["n"].astype(int)))
+    # aaa (cnt 2) -> 'aa' twice per word = 4; ab/ba tie at 1, 'ab' first
+    assert got == [("aa", 4), ("ab", 1), ("ba", 1)]
