@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_union": text.bloom_union,
         "regex_token_count": text.regex_token_count,
         "rolling_fingerprint": text.rolling_fingerprint,
+        "winnow_fingerprints": text.winnow_fingerprints,
         "chunk_documents": text.chunk_documents,
         "stratified_sample": text.stratified_sample,
         "group_sample": text.group_sample,
@@ -566,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         REGEX_TOKEN_COUNT_SQL,
         REPETITION_SCORE_SQL,
         ROLLING_FINGERPRINT_SQL,
+        WINNOW_FINGERPRINTS_SQL,
         STRATIFIED_SAMPLE_SQL,
         GROUP_SAMPLE_SQL,
         PMI_BIGRAMS_SQL,
@@ -623,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_union": BLOOM_TOKENS_SQL,
         "regex_token_count": REGEX_TOKEN_COUNT_SQL,
         "rolling_fingerprint": ROLLING_FINGERPRINT_SQL,
+        "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
         "chunk_documents": CHUNK_DOCUMENTS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "group_sample": GROUP_SAMPLE_SQL,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "bloom_union",
     "regex_token_count",
     "rolling_fingerprint",
+    "winnow_fingerprints",
     "chunk_documents",
     # sub-document dedup + lexical/semi-structured features
     "paragraph_dedup",

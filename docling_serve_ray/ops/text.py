@@ -799,6 +799,84 @@ def rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+# --- winnowing fingerprint set -------------------------------------------------
+#
+# Schleimer/Wilkerson/Aiken winnowing (MOSS, SIGMOD'03): hash EVERY k-gram
+# (stride 1 — the guarantee REQUIRES it: any sampling stride desynchronizes
+# the k-gram phase between two copies of the same substring, so copies stop
+# sharing hashes at all), slide a window of W consecutive hashes, keep the
+# window MINIMUM — the selected set is guaranteed to share a fingerprint
+# with any copy of a substring of >= W+K-1 characters, which single
+# whole-doc min hashes (``rolling_fingerprint``) are not. Warm-up windows
+# (fewer than W hashes) take the min of what exists, identically on both
+# engines. Output is the DISTINCT (doc_id, fp) set.
+WINNOW_K = 16  # k-gram length in characters
+WINNOW_W = 8  # window: min over 8 consecutive k-gram hashes (guarantee t = 23)
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, GREATEST(length(text) - {WINNOW_K - 1}, 1)))
+           AS i
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         md5_number_upper(substr(text, CAST(i AS INTEGER), {WINNOW_K})) AS h
+  FROM p
+),
+m AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, CAST(fp AS VARCHAR) AS fp FROM m
+"""
+
+
+def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Per-document winnowing fingerprint set (distinct window-min 64-bit
+    k-gram hashes, decimal strings) — the MOSS plagiarism-screen selection
+    rule, the published robust alternative to a single whole-doc min.
+
+    Scale shape: a document is one input row, so this is a pure stateless
+    ``map_batches`` — NO shuffle anywhere; winnowing's own density bound
+    caps the output at ~2·n_chars/(w+1) fingerprints per doc. The sliding
+    min runs vectorized on uint64 (front-padded sliding_window_view; pandas
+    rolling would round-trip through float64 and corrupt 64-bit hashes).
+    Per-position md5 is the portable-oracle hash (the pairing
+    ``_md5_64``/``md5_number_upper`` is already proven by
+    rolling_fingerprint); a production deployment would swap a Karp-Rabin
+    rolling hash into the SAME window-min machinery for the byte-rate-bound
+    hot path."""
+    from .dedup import _md5_64
+
+    u64max = np.uint64(np.iinfo(np.uint64).max)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        fps: list[str] = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            n = len(t)
+            last = max(n - WINNOW_K + 1, 1)
+            hs = np.fromiter(
+                (_md5_64(t[i : i + WINNOW_K]) for i in range(last)),
+                dtype=np.uint64,
+                count=last,
+            )
+            pad = np.concatenate([np.full(WINNOW_W - 1, u64max, dtype=np.uint64), hs])
+            mins = np.lib.stride_tricks.sliding_window_view(pad, WINNOW_W).min(axis=1)
+            uniq = np.unique(mins)
+            ids.extend([int(d)] * len(uniq))
+            fps.extend(str(int(v)) for v in uniq)
+        return pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"), "fp": pd.array(fps, dtype=str)}
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
 # --- Bloom filter --------------------------------------------------------------
 #
 # Membership companion to the HLL (cardinality) and CMS (frequency)

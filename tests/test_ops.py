@@ -48,6 +48,7 @@ SUBSET = [
     "cms_tokens",
     "regex_token_count",
     "rolling_fingerprint",
+    "winnow_fingerprints",
     "order_count_distribution",
     "session_length_histogram",
     "monthly_revenue_ma",
@@ -1354,6 +1355,56 @@ def test_regex_and_rolling_fp_adversarial(ray_session, tmp_path):
 
     fp = rolling_fingerprint(str(tmp_path)).to_pandas().set_index("doc_id")["rfp"]
     assert fp[3] == fp[4]  # min window of 'a'*100 survives the prepend
+
+
+def test_winnow_fingerprints_guarantee(ray_session, tmp_path):
+    """Winnowing's published contract (Schleimer et al., SIGMOD'03): two
+    documents sharing a substring of at least t = W + K - 1 characters
+    share at least one selected fingerprint, regardless of what surrounds
+    it (prefixes deliberately differ in length so any sampling stride would
+    break phase alignment — the bug this test pinned) — plus oracle parity
+    on the same adversarial fixture the rolling test uses (unicode, empty,
+    shorter-than-k)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.text import (
+        WINNOW_FINGERPRINTS_SQL,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    texts = [
+        "intro paragraph one. " + shared + " trailing content here.",
+        "совершенно другой префикс " + shared,  # different prefix, non-ascii
+        "no overlap with anything else at all",
+        "",
+        "tiny",  # shorter than k
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+    got = winnow_fingerprints(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(WINNOW_FINGERPRINTS_SQL).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    sets = got.groupby("doc_id")["fp"].agg(set)
+    assert sets[0] & sets[1], "shared substring must share a fingerprint"
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+    # selection actually thins: far fewer fingerprints than k-grams
+    n_hashes_0 = len(texts[0]) - WINNOW_K + 1
+    assert len(sets[0]) < n_hashes_0 // 2
 
 
 def test_sketch_mergeability(ray_session, tmp_path):
