@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": analytics.revenue_rollup,
         "ship_delay_histogram": analytics.ship_delay_histogram,
         "customer_value_deciles": analytics.customer_value_deciles,
+        "order_value_percentiles": analytics.order_value_percentiles,
         "discount_revenue": analytics.discount_revenue,
         "brand_qty_revenue": analytics.brand_qty_revenue,
         "segment_repeat_customers": analytics.segment_repeat_customers,
@@ -216,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": curation.global_rank,
         "vocab_build": curation.vocab_build,
         "tokenize_ids": curation.tokenize_ids,
+        "pack_sequences": curation.pack_sequences,
+        "epoch_shuffle": curation.epoch_shuffle,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -449,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         GLOBAL_RANK_SQL,
         VOCAB_BUILD_SQL,
         TOKENIZE_IDS_SQL,
+        PACK_SEQUENCES_SQL,
+        EPOCH_SHUFFLE_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TOKEN_BUDGET_SELECT_SQL,
@@ -470,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         TOP_SUPPLIER_SQL,
         SHIP_DELAY_HISTOGRAM_SQL,
         VALUE_DECILES_SQL,
+        ORDER_VALUE_PERCENTILES_SQL,
         DISCOUNT_REVENUE_SQL,
         BRAND_QTY_REVENUE_SQL,
         SEGMENT_REPEAT_CUSTOMERS_SQL,
@@ -730,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "ship_delay_histogram": SHIP_DELAY_HISTOGRAM_SQL,
         "customer_value_deciles": VALUE_DECILES_SQL,
+        "order_value_percentiles": ORDER_VALUE_PERCENTILES_SQL,
         "discount_revenue": DISCOUNT_REVENUE_SQL,
         "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
         "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
@@ -765,6 +772,8 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": GLOBAL_RANK_SQL,
         "vocab_build": VOCAB_BUILD_SQL,
         "tokenize_ids": TOKENIZE_IDS_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
+        "epoch_shuffle": EPOCH_SHUFFLE_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,

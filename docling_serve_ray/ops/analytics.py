@@ -3326,3 +3326,76 @@ def cumulative_revenue(sf_dir: str) -> ray.data.Dataset:
         )
 
     return monthly.repartition(1).map_batches(running, batch_format="pandas")
+
+
+# --- exact distributed percentiles (no global sort) ------------------------------
+
+PCT_POINTS = (50, 90, 99)
+
+ORDER_VALUE_PERCENTILES_SQL = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT 'p50' AS pct, CAST(MIN(cents) AS BIGINT) AS value_c
+FROM r WHERE rn * 100 >= 50 * n
+UNION ALL
+SELECT 'p90', CAST(MIN(cents) AS BIGINT) FROM r WHERE rn * 100 >= 90 * n
+UNION ALL
+SELECT 'p99', CAST(MIN(cents) AS BIGINT) FROM r WHERE rn * 100 >= 99 * n
+"""
+
+
+def order_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of the order total (cents) — the element at
+    ascending rank ceil(p·n/100), the engine-neutral discrete-percentile
+    definition (mirrored literally in the SQL twin's rn·100 >= p·n form,
+    avoiding DuckDB/ANSI quantile-semantics ambiguity).
+
+    Scale shape: data profiling's canonical query, done with NO global
+    sort and NO value gather — one streaming pass collects (min, max,
+    count), then each percentile is an iterative value-domain refinement
+    (``descending_value_cut``, ascending): O(nsplits) driver state per
+    level, ~ceil(log_1024(value range)) vectorized passes per point. The
+    fact table is materialized once and re-scanned by the refinement
+    levels of all three points."""
+    from .shuffle import descending_value_cut
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cents": _cents(b["o_totalprice"])})
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+
+    def ext_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["cents"].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"lo": [], "hi": [], "c": []})
+        return pd.DataFrame(
+            {"lo": [int(v.min())], "hi": [int(v.max())], "c": [len(v)]}
+        )
+
+    ext = cents.map_batches(ext_partial, batch_format="pandas").to_pandas()
+    lo, hi, n = int(ext["lo"].min()), int(ext["hi"].max()), int(ext["c"].sum())
+
+    rows = []
+    for p in PCT_POINTS:
+        thr = -(-p * n // 100)  # ceil(p*n/100)
+        cut = descending_value_cut(
+            cents,
+            "cents",
+            lambda cum, thr=thr: cum >= thr,
+            ascending=True,
+            domain=(lo, hi),
+            total_weight=n,
+        )
+        rows.append({"pct": f"p{p}", "value_c": np.int64(cut[0])})
+    return pd.DataFrame(rows)

@@ -2378,3 +2378,196 @@ def vocab_coverage_curve(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame(rows)
 
     return cand.repartition(1).map_batches(report, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-then-chunk) + deterministic epoch shuffle
+# — the two placement steps between a curated corpus and a pretraining run:
+# WHERE each document's tokens land in the fixed-length sequence stream, and
+# in WHAT order documents are visited for a given epoch seed. Both are exact
+# global-order computations done WITHOUT an all-to-all sort, reusing the
+# range-bucket + driver-prefix-sum machinery of customer_value_deciles /
+# global_rank (offsets per bucket on the driver, exact positions assigned
+# inside complete buckets).
+
+PACK_SEQ_LEN = 512  # tokens per packed training sequence
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {PACK_SEQ_LEN} AS seq_first,
+       (tok_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS seq_last
+FROM o
+"""
+
+
+def pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """GPT-style sequence packing (concat in doc_id order, chunk at
+    PACK_SEQ_LEN): per document, its exact global token offset and the
+    first/last packed-sequence index it lands in — the placement map a
+    tokenizing writer needs to emit fixed-length training sequences
+    shard-parallel (each worker knows exactly which sequences its docs
+    contribute to, with no coordination).
+
+    Scale shape: the text is read ONCE to a thin (doc_id, n_tokens) int
+    table; docs range-bucket by doc_id (order-preserving: every id in
+    bucket b precedes every id in b+1), per-bucket token sums make an
+    O(num_buckets) driver prefix sum, and exact offsets are assigned by a
+    cumsum inside complete buckets. No global sort, no all-to-all; the
+    shuffle carries two int64s per document."""
+    from .shuffle import (
+        bucketed_group_agg,
+        input_bytes_estimate,
+        scaled_num_buckets,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split(" ").str.len().astype("int64")
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "n_tokens": n})
+
+    counts = docs.map_batches(count_tokens, batch_format="pandas").materialize()
+
+    # doc_id domain (one thin pass) -> order-preserving range buckets
+    def extremes(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"lo": [], "hi": []})
+        d = b["doc_id"].to_numpy()
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    ext = counts.map_batches(extremes, batch_format="pandas").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    span = hi - lo + 1
+    nb = min(scaled_num_buckets(counts.size_bytes(), lo=64), span)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(dtype="int64")
+        return b.assign(rb=((d - lo) * nb // span).astype("int64"))
+
+    bucketed = counts.map_batches(add_rb, batch_format="pandas").materialize()
+
+    # per-bucket token sums -> O(nb) exclusive prefix on the driver
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("rb", as_index=False)["n_tokens"].sum()
+        return s.astype({"rb": "int64", "n_tokens": "int64"})
+
+    from .shuffle import histogram_merge
+
+    sums = histogram_merge(
+        bucketed.map_batches(sum_partial, batch_format="pandas"), "rb", "n_tokens"
+    ).to_pandas()
+    full = np.zeros(nb, dtype="int64")
+    full[sums["rb"].to_numpy()] = sums["n_tokens"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put(offsets)
+    pack_sequences.last_driver_state = {"n_offsets": int(len(offsets))}
+
+    # exact per-doc offsets inside complete contiguous buckets (a reduce
+    # call may see SEVERAL rb groups — whole groups, per the bucket hash —
+    # so the cumsum is per-rb, not per-frame)
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["rb", "doc_id"])
+        n = g["n_tokens"].to_numpy(dtype="int64")
+        local = g.groupby("rb", sort=False)["n_tokens"].cumsum().to_numpy() - n
+        off = offs[g["rb"].to_numpy(dtype="int64")] + local
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype="int64"),
+                "n_tokens": n,
+                "tok_offset": off,
+                "seq_first": off // PACK_SEQ_LEN,
+                "seq_last": (off + n - 1) // PACK_SEQ_LEN,
+            }
+        )
+
+    return bucketed_group_agg(bucketed, ["rb"], assign, num_buckets=min(nb, 512))
+
+
+EPOCH_SEED = 42
+
+EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR) || ':{EPOCH_SEED}'),
+                  doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic global shuffle order for training epoch
+    ``EPOCH_SEED``: every document's exact position under ORDER BY
+    md5(doc_id:seed) — reproducible across runs, cluster shapes and
+    engines, unlike ``Dataset.random_shuffle`` (whose placement depends on
+    block layout). Changing the seed reshuffles the whole corpus.
+
+    Scale shape: the ranking key is a 64-bit hash, UNIFORM by
+    construction, so its top bits are a perfect range partitioner — no
+    boundary sampling, no all-to-all sort. Per-bucket counts make an
+    O(num_buckets) driver prefix sum; exact positions come from a local
+    sort inside complete hash-range buckets (collision ties broken by
+    doc_id, mirrored in the SQL twin). The shuffle carries (doc_id, hash)
+    int64 pairs only."""
+    from .dedup import _md5_64
+    from .shuffle import bucketed_group_agg, histogram_merge, scaled_num_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id"])
+
+    want = scaled_num_buckets(docs.size_bytes(), lo=64)
+    bbits = max(6, int(want - 1).bit_length())  # power-of-two bucket count
+    nb = 1 << bbits
+
+    def hash_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype="int64")
+        h = np.fromiter(
+            (_md5_64(f"{d}:{EPOCH_SEED}") for d in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "h": h, "rb": (h >> np.uint64(64 - bbits)).astype("int64")}
+        )
+
+    hashed = docs.map_batches(hash_rows, batch_format="pandas").materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["rb"].value_counts()
+        return pd.DataFrame(
+            {"rb": s.index.astype("int64"), "c": s.to_numpy().astype("int64")}
+        )
+
+    merged = histogram_merge(
+        hashed.map_batches(count_partial, batch_format="pandas"), "rb", "c"
+    ).to_pandas()
+    full = np.zeros(nb, dtype="int64")
+    full[merged["rb"].to_numpy()] = merged["c"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put(offsets)
+    epoch_shuffle.last_driver_state = {"n_offsets": int(len(offsets))}
+
+    # one reduce call may see several complete rb groups -> per-rb cumcount
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["rb", "h", "doc_id"])
+        local = g.groupby("rb", sort=False).cumcount().to_numpy() + 1
+        pos = offs[g["rb"].to_numpy(dtype="int64")] + local
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(dtype="int64"), "pos": pos.astype("int64")}
+        )
+
+    return bucketed_group_agg(hashed, ["rb"], assign, num_buckets=min(nb, 512))

@@ -2387,3 +2387,87 @@ def test_bpe_first_merges_multiplicity_and_ties(ray_session, tmp_path):
     got = list(zip(out["pair"], out["n"].astype(int)))
     # aaa (cnt 2) -> 'aa' twice per word = 4; ab/ba tie at 1, 'ab' first
     assert got == [("aa", 4), ("ab", 1), ("ba", 1)]
+
+
+def test_pack_sequences_offsets_and_boundaries(ray_session, tmp_path):
+    """Exact concat-then-chunk placement on a crafted corpus: offsets are
+    the doc_id-ordered exclusive prefix sum of token counts even with
+    sparse/gappy ids (exercises the range-bucket prefix machinery), and a
+    doc straddling the PACK_SEQ_LEN boundary reports both sequences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import PACK_SEQ_LEN, pack_sequences
+
+    # token counts chosen so doc 500 straddles the first chunk boundary
+    counts = {3: 100, 17: 300, 500: 200, 501: 1, 90_000: 2 * PACK_SEQ_LEN}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(counts), pa.int64()),
+                "text": [" ".join(["w"] * counts[d]) for d in sorted(counts)],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        pack_sequences(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    run = 0
+    for d in sorted(counts):
+        assert out.loc[d, "tok_offset"] == run, d
+        assert out.loc[d, "seq_first"] == run // PACK_SEQ_LEN
+        assert out.loc[d, "seq_last"] == (run + counts[d] - 1) // PACK_SEQ_LEN
+        run += counts[d]
+    # doc 500: offset 400, len 200 -> spans sequences 0 and 1
+    assert (out.loc[500, "seq_first"], out.loc[500, "seq_last"]) == (0, 1)
+
+
+def test_epoch_shuffle_matches_bruteforce_permutation(ray_session, tmp_path):
+    """pos is exactly the 1-based rank under (md5_64(f"{id}:{seed}"), id)
+    — a permutation of 1..n, bit-identical to a driver-side sort, and
+    deterministic across invocations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import EPOCH_SEED, epoch_shuffle
+    from docling_serve_ray.ops.dedup import _md5_64
+
+    ids = list(range(0, 400, 3)) + [10_000_000]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": ["x"] * len(ids)}),
+        tmp_path / "documents.parquet",
+    )
+    out = epoch_shuffle(str(tmp_path)).to_pandas().sort_values("pos")
+    assert sorted(out["pos"]) == list(range(1, len(ids) + 1))
+    expect = sorted(ids, key=lambda d: (_md5_64(f"{d}:{EPOCH_SEED}"), d))
+    assert list(out["doc_id"]) == expect
+    again = epoch_shuffle(str(tmp_path)).to_pandas().sort_values("pos")
+    assert list(again["doc_id"]) == expect
+
+
+def test_order_value_percentiles_exact_rank_definition(ray_session, tmp_path):
+    """p50/p90/p99 equal the value at ascending rank ceil(p*n/100) on a
+    101-value fixture with duplicates at the p90 rank and an outlier max
+    (p99 must NOT report the max: rank 100 of 101)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import order_value_percentiles
+
+    vals = [float(i) for i in range(1, 100)] + [90.0, 1e6]  # n=101, dup at 90
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(vals)), pa.int64()),
+                "o_totalprice": pa.array(vals, pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = order_value_percentiles(str(tmp_path)).set_index("pct")["value_c"]
+    cents = np.sort(np.floor(np.array(vals) * 100 + 0.5).astype(np.int64))
+    n = len(cents)
+    for p in (50, 90, 99):
+        assert out[f"p{p}"] == cents[-(-p * n // 100) - 1], p
