@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_streaks": relational.activity_streaks,
         "interval_coverage": relational.interval_coverage,
         "upsert_compaction": relational.upsert_compaction,
+        "gap_fill_locf": relational.gap_fill_locf,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -219,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_ids": curation.tokenize_ids,
         "pack_sequences": curation.pack_sequences,
         "epoch_shuffle": curation.epoch_shuffle,
+        "unimax_mix": curation.unimax_mix,
+        "ngram_novelty": curation.ngram_novelty,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -454,6 +457,8 @@ def oracle_sql() -> dict[str, str]:
         TOKENIZE_IDS_SQL,
         PACK_SEQUENCES_SQL,
         EPOCH_SHUFFLE_SQL,
+        UNIMAX_MIX_SQL,
+        NGRAM_NOVELTY_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TOKEN_BUDGET_SELECT_SQL,
@@ -547,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         ACTIVITY_STREAKS_SQL,
         INTERVAL_COVERAGE_SQL,
         UPSERT_COMPACTION_SQL,
+        GAP_FILL_LOCF_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
@@ -726,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_streaks": ACTIVITY_STREAKS_SQL,
         "interval_coverage": INTERVAL_COVERAGE_SQL,
         "upsert_compaction": UPSERT_COMPACTION_SQL,
+        "gap_fill_locf": GAP_FILL_LOCF_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -774,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_ids": TOKENIZE_IDS_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
         "epoch_shuffle": EPOCH_SHUFFLE_SQL,
+        "unimax_mix": UNIMAX_MIX_SQL,
+        "ngram_novelty": NGRAM_NOVELTY_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,

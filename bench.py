@@ -217,6 +217,14 @@ BENCH_QUERIES = [
     "revenue_pareto",
     "funnel_conversion",
     "cumulative_revenue",
+    # training-stream placement + exact percentiles
+    "pack_sequences",
+    "epoch_shuffle",
+    "order_value_percentiles",
+    # mixture allocation, novelty attribution, panel densification
+    "unimax_mix",
+    "ngram_novelty",
+    "gap_fill_locf",
 ]
 
 

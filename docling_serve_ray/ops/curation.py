@@ -2571,3 +2571,211 @@ def epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
         )
 
     return bucketed_group_agg(hashed, ["rb"], assign, num_buckets=min(nb, 512))
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped language allocation (Chung et al. 2023): spread a
+# token budget UNIFORMLY across languages, but never take more than
+# MAX_EPOCHS passes over any language's data — the successor to
+# temperature sampling for multilingual pretraining mixes. The waterfill
+# visits languages in ascending-capacity order; each takes
+# min(cap, remaining // remaining_langs), so small languages cap out and
+# their unused share flows to the large ones. All-integer arithmetic
+# (floor division at every step) so the sequential recurrence is
+# bit-identical across engines — mirrored as a recursive CTE in SQL.
+
+UNIMAX_EPOCHS = 4  # per-language repeat cap
+
+UNIMAX_MIX_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS budget, COUNT(*) AS nl FROM t
+),
+s AS (
+  SELECT lang, n_tok, CAST({UNIMAX_EPOCHS} * n_tok AS BIGINT) AS cap,
+         CAST(row_number() OVER (ORDER BY {UNIMAX_EPOCHS} * n_tok, lang)
+              AS BIGINT) AS rn
+  FROM t
+),
+alloc AS (
+  SELECT s.rn, s.lang, s.n_tok, s.cap,
+         LEAST(s.cap, tot.budget // tot.nl) AS alloc,
+         tot.budget - LEAST(s.cap, tot.budget // tot.nl) AS remaining,
+         tot.nl - 1 AS rem_cnt
+  FROM s, tot WHERE s.rn = 1
+  UNION ALL
+  SELECT s.rn, s.lang, s.n_tok, s.cap,
+         LEAST(s.cap, a.remaining // a.rem_cnt),
+         a.remaining - LEAST(s.cap, a.remaining // a.rem_cnt),
+         a.rem_cnt - 1
+  FROM s JOIN alloc a ON s.rn = a.rn + 1
+)
+SELECT lang, n_tok, cap, CAST(alloc AS BIGINT) AS alloc,
+       CAST(1000000 * alloc // n_tok AS BIGINT) AS epochs_ppm
+FROM alloc
+"""
+
+
+def unimax_mix(sf_dir: str) -> pd.DataFrame:
+    """Per-language UniMax allocation: token count, epoch cap
+    (UNIMAX_EPOCHS × count), allocated budget tokens, and the realized
+    repeat rate in ppm-epochs. Budget = half the corpus tokens.
+
+    Scale shape: one combiner-style token-count pass whose reduce domain
+    is the LANGUAGE SET (bounded ~10^2 even at 100 TB — structurally safe
+    driver state, same contract as temperature_mix); the waterfill itself
+    is an O(L log L) driver loop in exact Python ints. No shuffle at all
+    — the per-batch partials collapse through histogram-merge semantics
+    on a domain the data can't grow."""
+    docs = _docs(sf_dir, columns=("doc_id", "lang", "text"))
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split(" ").str.len().astype("int64")
+        g = pd.DataFrame({"lang": b["lang"], "n": n}).groupby(
+            "lang", as_index=False
+        )["n"].sum()
+        return g
+
+    counts = (
+        docs.map_batches(cpart, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("lang", as_index=False).agg(n=("n", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_tok = {l: int(c) for l, c in zip(counts["lang"], counts["n"])}
+    budget = sum(n_tok.values()) // 2
+    order = sorted(n_tok, key=lambda l: (UNIMAX_EPOCHS * n_tok[l], l))
+
+    rows = []
+    remaining, rem_cnt = budget, len(order)
+    for lang in order:
+        cap = UNIMAX_EPOCHS * n_tok[lang]
+        alloc = min(cap, remaining // rem_cnt)
+        remaining -= alloc
+        rem_cnt -= 1
+        rows.append(
+            {
+                "lang": lang,
+                "n_tok": np.int64(n_tok[lang]),
+                "cap": np.int64(cap),
+                "alloc": np.int64(alloc),
+                "epochs_ppm": np.int64(1_000_000 * alloc // n_tok[lang]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence n-gram novelty: for each document, how many of its
+# DISTINCT word 5-grams appear for the FIRST time in the corpus there
+# (global first occurrence = minimum doc_id over all docs containing the
+# n-gram). Low novelty marks template/derivative text; the per-position
+# variant of the signal is dup_ngram_coverage above — this is its
+# set-semantics, attribution-ordered sibling (who introduced the text,
+# not just who shares it).
+
+NGRAM_NOVELTY_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i+1 : i+5], ' ') AS ngram
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words) - 5)) AS i)
+  WHERE len(words) >= 5
+),
+fo AS (SELECT ngram, MIN(doc_id) AS first_doc FROM ng GROUP BY ngram)
+SELECT ng.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN fo.first_doc = ng.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(1000000 * SUM(CASE WHEN fo.first_doc = ng.doc_id THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM ng JOIN fo USING (ngram)
+GROUP BY ng.doc_id
+"""
+
+
+def ngram_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc novelty report: distinct 5-grams, how many are globally
+    first-introduced here, and the novelty ratio in ppm.
+
+    Scale shape (same skeleton as dup_ngram_coverage): the text never
+    leaves the first map stage — it collapses to distinct (64-bit hash,
+    doc_id) pairs per doc. One bucketed reduce on the hash computes the
+    per-n-gram min doc_id and flags each (h, doc) row in place; a second
+    thin bucketed reduce sums flags per doc. Both shuffles carry two
+    int64s per distinct n-gram occurrence; collision budget identical to
+    the n-gram Jaccard family (documented there)."""
+    from .dedup import _md5_64_memo
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    def ngram_rows(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        hs_out: list[np.ndarray] = []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = t.split(" ")
+            if len(words) < NGRAM_N:
+                continue
+            h = np.fromiter(
+                (
+                    _md5_64_memo(" ".join(words[j : j + NGRAM_N]))
+                    for j in range(len(words) - NGRAM_N + 1)
+                ),
+                dtype=np.uint64,
+                count=len(words) - NGRAM_N + 1,
+            )
+            uh = np.unique(h)
+            ids_out.append(np.full(len(uh), i, dtype=np.int64))
+            hs_out.append(uh.view(np.int64))
+        if not ids_out:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs_out)),
+                "doc_id": pa.array(np.concatenate(ids_out)),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    rows = _docs(sf_dir).map_batches(ngram_rows, batch_format="pyarrow")
+
+    def flag_first(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "novel": (g["doc_id"] == first).astype("int64"),
+            }
+        )
+
+    flagged = bucketed_group_agg(rows, ["h"], flag_first, num_buckets=nb)
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("doc_id", as_index=False).agg(
+            n_distinct=("novel", "size"), n_novel=("novel", "sum")
+        )
+
+    def doc_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_distinct=("n_distinct", "sum"), n_novel=("n_novel", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_distinct": out["n_distinct"].astype("int64"),
+                "n_novel": out["n_novel"].astype("int64"),
+                "novelty_ppm": (
+                    1_000_000 * out["n_novel"] // out["n_distinct"]
+                ).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(
+        flagged, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
+    )

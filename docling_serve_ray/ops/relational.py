@@ -3753,3 +3753,104 @@ def funnel_conversion(sf_dir: str) -> ray.data.Dataset:
         )
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- LOCF gap fill: per-user daily grid with forward-filled last value --------------
+#
+# The observation→panel densification step every feature store / timeseries
+# training-prep pipeline runs: expand each entity's sparse event record onto
+# a complete daily grid and carry the last observed value forward (LOCF).
+# Ray Data has no window function or series generator; the decomposition is
+# per-batch (user, day) compaction → ONE bucketed shuffle on user_id →
+# vectorized grid expansion + ffill inside complete per-user groups.
+
+GAP_FILL_LOCF_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+d AS (SELECT user_id, day, value FROM e WHERE rn = 1),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       LAST_VALUE(d.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+"""
+
+
+def gap_fill_locf(sf_dir: str) -> ray.data.Dataset:
+    """Per-user daily LOCF panel: one row per (user, calendar day) from
+    the user's first to last active day; ``value`` is the value of the
+    latest event (by ts, then event_id) on or before that day. The float
+    is CARRIED, never combined, so it crosses engines bit-exactly.
+
+    Scale shape: the combiner compacts each batch to one row per
+    (user, day) — the only corpus-sized reduction; after it, per-user
+    frames are CALENDAR-bounded (≤ span days, same no-skew-guard
+    argument as activity_streaks) even for a pathologically hot user.
+    One bucketed shuffle on user_id; the reducer re-resolves the per-day
+    argmax across partials (ts/event_id travel with the row), then builds
+    each user's grid arithmetically (repeat + offset arange — no Python
+    loop) and forward-fills with a grouped ffill. Output rows are
+    grid-sized (≤ users × span), written streaming per bucket."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "day": b["ts"].to_numpy().astype("datetime64[D]").astype("int64"),
+                "ts": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "value": b["value"].astype("float64"),
+            }
+        )
+        p = p.sort_values(["user_id", "day", "ts", "event_id"], kind="mergesort")
+        return p.drop_duplicates(["user_id", "day"], keep="last")
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the per-(user, day) argmax across combiner partials
+        g = g.sort_values(["user_id", "day", "ts", "event_id"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "day"], keep="last")
+        span = g.groupby("user_id", sort=True).agg(
+            lo=("day", "min"), hi=("day", "max")
+        )
+        lens = (span["hi"] - span["lo"] + 1).to_numpy()
+        total = int(lens.sum())
+        users = np.repeat(span.index.to_numpy(), lens)
+        starts = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        days = np.arange(total) - starts + np.repeat(span["lo"].to_numpy(), lens)
+        grid = pd.DataFrame({"user_id": users, "day": days})
+        out = grid.merge(g[["user_id", "day", "value"]], how="left",
+                         on=["user_id", "day"])
+        out["value"] = out.groupby("user_id", sort=False)["value"].ffill()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "day": np.datetime_as_string(
+                    out["day"].to_numpy().astype("datetime64[D]"), unit="D"
+                ),
+                "value": out["value"].astype("float64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    return bucketed_group_agg(
+        ds.map_batches(day_partial, batch_format="pandas"),
+        ["user_id"], fill, num_buckets=nb,
+    )

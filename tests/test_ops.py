@@ -2471,3 +2471,118 @@ def test_order_value_percentiles_exact_rank_definition(ray_session, tmp_path):
     n = len(cents)
     for p in (50, 90, 99):
         assert out[f"p{p}"] == cents[-(-p * n // 100) - 1], p
+
+
+def test_unimax_mix_cap_and_redistribution(ray_session, tmp_path):
+    """Waterfill semantics on a crafted mix: a tiny language caps out at
+    UNIMAX_EPOCHS x its tokens and its unused share flows to the larger
+    languages; integer floor division at every sequential step."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import UNIMAX_EPOCHS, unimax_mix
+
+    # tokens: tiny=2, mid=40, big=60 -> total=102, budget=51
+    rows = [
+        (1, "a b", "tiny"),
+        (2, " ".join(["w"] * 40), "mid"),
+        (3, " ".join(["w"] * 60), "big"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = unimax_mix(str(tmp_path)).set_index("lang")
+    assert UNIMAX_EPOCHS == 4
+    # ascending caps: tiny(8), mid(160), big(240); budget 51
+    # tiny: min(8, 51//3=17) = 8 -> rem 43; mid: min(160, 43//2=21) = 21
+    # -> rem 22; big: min(240, 22//1) = 22
+    assert out.loc["tiny", ["cap", "alloc"]].tolist() == [8, 8]
+    assert out.loc["mid", "alloc"] == 21
+    assert out.loc["big", "alloc"] == 22
+    assert out.loc["tiny", "epochs_ppm"] == 4_000_000
+
+
+def test_ngram_novelty_attribution_and_distinct(ray_session, tmp_path):
+    """First-occurrence attribution goes to the MIN doc_id; repeats of an
+    n-gram inside one doc count once (set semantics); docs shorter than
+    the n-gram width emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import ngram_novelty
+
+    base = "a b c d e"  # one 5-gram
+    rows = [
+        (1, base + " a b c d e"),      # 6 grams, but 'a b c d e' twice -> distinct set
+        (2, base + " x"),              # shares 'a b c d e' (doc 1 owns it)
+        (3, "p q r s t u"),            # 2 novel grams
+        (4, "too short"),              # no 5-grams
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = ngram_novelty(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3]
+    # doc 1: grams at pos 0..5 -> distinct {abcde, bcdea, cdeab, deabc, eabcd}
+    assert out.loc[1, "n_distinct"] == 5 and out.loc[1, "n_novel"] == 5
+    # doc 2: {abcde, bcdex} -> abcde owned by doc 1
+    assert out.loc[2, "n_distinct"] == 2 and out.loc[2, "n_novel"] == 1
+    assert out.loc[2, "novelty_ppm"] == 500_000
+    assert out.loc[3, "n_novel"] == 2 and out.loc[3, "novelty_ppm"] == 1_000_000
+
+
+def test_gap_fill_locf_grid_and_same_day_argmax(ray_session, tmp_path):
+    """Gaps fill with the LAST observed value; within a day the latest
+    (ts, event_id) wins — including across combiner partials; the grid
+    spans exactly first..last active day per user."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import gap_fill_locf
+
+    t = lambda d, h=0: pd.Timestamp(f"2024-03-{d:02d} {h:02d}:00:00")
+    ev = [  # (event_id, ts, user_id, value)
+        (1, t(1, 9), 7, 10.0),
+        (2, t(1, 9), 7, 99.0),   # same ts -> higher event_id wins day 1
+        (3, t(4, 1), 7, 20.0),   # gap: days 2,3 carry 99.0
+        (4, t(2), 8, 5.0),       # single-day user: one row
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([e[0] for e in ev], pa.int64()),
+                "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+                "user_id": pa.array([e[2] for e in ev], pa.int64()),
+                "value": pa.array([e[3] for e in ev], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = (
+        gap_fill_locf(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["user_id"], out["day"], out["value"]))
+    assert got == [
+        (7, "2024-03-01", 99.0),
+        (7, "2024-03-02", 99.0),
+        (7, "2024-03-03", 99.0),
+        (7, "2024-03-04", 20.0),
+        (8, "2024-03-02", 5.0),
+    ]
