@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "embedding_dim_minmax": similarity.embedding_dim_minmax,
+        "embedding_norm_histogram": similarity.embedding_norm_histogram,
         "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "label_centroids": similarity.label_centroids,
@@ -222,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": curation.epoch_shuffle,
         "unimax_mix": curation.unimax_mix,
         "ngram_novelty": curation.ngram_novelty,
+        "rank_blend": curation.rank_blend,
+        "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
@@ -459,6 +462,8 @@ def oracle_sql() -> dict[str, str]:
         EPOCH_SHUFFLE_SQL,
         UNIMAX_MIX_SQL,
         NGRAM_NOVELTY_SQL,
+        RANK_BLEND_SQL,
+        SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
         TOKEN_BUDGET_SELECT_SQL,
@@ -558,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         ANN_TOPK_FILTERED_SQL,
         ANN_TOPK_SQL,
         EMBEDDING_DIM_MINMAX_SQL,
+        EMBEDDING_NORM_HISTOGRAM_SQL,
         EMBEDDING_NEARDUP_SQL,
         KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
@@ -687,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": KEYWORD_SEARCH_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dim_minmax": EMBEDDING_DIM_MINMAX_SQL,
+        "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
@@ -783,6 +790,8 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": EPOCH_SHUFFLE_SQL,
         "unimax_mix": UNIMAX_MIX_SQL,
         "ngram_novelty": NGRAM_NOVELTY_SQL,
+        "rank_blend": RANK_BLEND_SQL,
+        "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
         "cluster_label_histogram": CLUSTER_LABEL_HISTOGRAM_SQL,

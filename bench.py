@@ -225,6 +225,10 @@ BENCH_QUERIES = [
     "unimax_mix",
     "ngram_novelty",
     "gap_fill_locf",
+    # rank fusion, signal stats, vector-quality audit
+    "rank_blend",
+    "signal_correlation",
+    "embedding_norm_histogram",
 ]
 
 

@@ -2779,3 +2779,180 @@ def ngram_novelty(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         flagged, ["doc_id"], doc_final, partial_fn=doc_partial, num_buckets=nb
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-signal rank fusion: every doc's global rank under each of two quality
+# signals (chars DESC, whitespace words DESC — stand-ins for any pair of
+# scored signals) plus their sum, the Borda-count blend rank selection
+# pipelines cut on. Rank normalization makes incommensurable signals
+# directly addable — the reason curation stacks prefer it to z-scores.
+
+RANK_BLEND_SQL = """
+WITH f AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank_chars,
+       CAST(row_number() OVER (ORDER BY n_words DESC, doc_id) AS BIGINT)
+         AS rank_words,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+            + row_number() OVER (ORDER BY n_words DESC, doc_id) AS BIGINT)
+         AS blend
+FROM f
+"""
+
+
+def rank_blend(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc (rank_chars, rank_words, blend) — two exact global
+    rankings fused without ANY all-to-all sort.
+
+    Scale shape: each signal ranks via the global_rank machinery (its
+    value domain is bounded, so a tiny histogram → driver cumulative
+    offsets → one bucketed reduce with complete value groups assigns
+    exact ranks); the two tagged (doc_id, rank) streams union and a
+    third thin bucketed reduce on doc_id pivots them side by side. Three
+    shuffles, each carrying two int64s per doc; the text is read once
+    and dropped at the first map."""
+    from .shuffle import bucketed_group_agg
+
+    docs = _docs(sf_dir, columns=("doc_id", "n_chars", "text"))
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_chars": b["n_chars"].astype("int64"),
+                "n_words": b["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    features = docs.map_batches(feats, batch_format="pandas").materialize()
+
+    def rank_stream(col: str, tag: int) -> ray.data.Dataset:
+        def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.groupby(col, as_index=False).size()
+            return out.rename(columns={"size": "cnt"}).astype(
+                {col: "int64", "cnt": "int64"}
+            )
+
+        def hist_final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(col, as_index=False)["cnt"].sum()
+            return out.astype({col: "int64", "cnt": "int64"})
+
+        hist = (
+            bucketed_group_agg(
+                features.select_columns(["doc_id", col]),
+                [col], hist_final, partial_fn=hist_partial, num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(col, ascending=False)
+        )
+        offs = dict(
+            zip(hist[col].to_numpy(), (hist["cnt"].cumsum() - hist["cnt"]).to_numpy())
+        )
+        offs_ref = ray.put(offs)
+
+        def per_value(g: pd.DataFrame) -> pd.DataFrame:
+            offs_ = ray.get(offs_ref)
+            g = g.sort_values([col, "doc_id"], ascending=[False, True])
+            local = g.groupby(col, sort=False).cumcount() + 1
+            base = g[col].map(offs_).to_numpy()
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                    "tag": np.full(len(g), tag, dtype="int64"),
+                    "rank": (base + local.to_numpy()).astype("int64"),
+                }
+            )
+
+        return bucketed_group_agg(
+            features.select_columns(["doc_id", col]), [col], per_value
+        )
+
+    tagged = rank_stream("n_chars", 0).union(rank_stream("n_words", 1))
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot(index="doc_id", columns="tag", values="rank").reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": p["doc_id"].astype("int64"),
+                "rank_chars": p[0].astype("int64"),
+                "rank_words": p[1].astype("int64"),
+                "blend": (p[0] + p[1]).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(tagged, ["doc_id"], pivot)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-source Pearson sufficient statistics between two doc signals
+# (whitespace word count vs char count): the correlation audit a feature
+# pipeline publishes to spot redundant signals. Emitted as the INTEGER
+# numerator and the two variance terms (corr = num / sqrt(var_x·var_y) is
+# the consumer's division — a float r would not hash across engines); the
+# sibling of revenue_trend's OLS decomposition.
+
+SIGNAL_CORRELATION_SQL = """
+WITH f AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         n_chars AS y
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM f GROUP BY source
+)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+       CAST(n * syy - sy * sy AS BIGINT) AS var_y
+FROM s
+"""
+
+
+def signal_correlation(sf_dir: str) -> pd.DataFrame:
+    """Per-source n and exact (corr_num, var_x, var_y) for the
+    (n_words, n_chars) signal pair. Scale shape: all six sufficient
+    statistics are plain SUMs keyed on the bounded SOURCE domain — one
+    combiner pass, one-task merge (which accumulates in Python ints for
+    HUGEINT parity with the oracle, then emits BIGINT; the final moment
+    products are int64-checked, the same emission boundary as
+    source_token_divergence)."""
+    docs = _docs(sf_dir, columns=("doc_id", "source", "n_chars", "text"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["text"].str.split(" ").str.len().astype("int64")
+        y = b["n_chars"].astype("int64")
+        f = pd.DataFrame(
+            {"source": b["source"], "n": 1, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x, "syy": y * y}
+        )
+        return f.groupby("source", as_index=False).sum()
+
+    parts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .to_pandas()
+    )
+    rows = []
+    for src, g in parts.groupby("source"):
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy, sxx, syy = int(g["sxy"].sum()), int(g["sxx"].sum()), int(g["syy"].sum())
+        rows.append(
+            {
+                "source": src,
+                "n": np.int64(n),
+                "corr_num": np.int64(n * sxy - sx * sy),
+                "var_x": np.int64(n * sxx - sx * sx),
+                "var_y": np.int64(n * syy - sy * sy),
+            }
+        )
+    return pd.DataFrame(rows)

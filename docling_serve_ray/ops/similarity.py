@@ -1219,3 +1219,49 @@ def embedding_dim_minmax(sf_dir: str) -> ray.data.Dataset:
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas",
                                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm histogram: the vector-quality audit run before indexing —
+# zero / degenerate / un-normalized vectors show up as outlier norm bands.
+# Components are fixed-point quantized (×1000, round-half-up) BEFORE
+# squaring so the squared-norm sum is an exact integer on both engines;
+# bands are tenth-of-unit-norm² wide.
+
+NORM_BAND_DIV = 100_000  # (1000·v)² units per band
+
+EMBEDDING_NORM_HISTOGRAM_SQL = f"""
+WITH q AS (
+  SELECT list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS q2
+  FROM embeddings
+)
+SELECT CAST(q2 // {NORM_BAND_DIV} AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM q GROUP BY band
+"""
+
+
+def embedding_norm_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(band, n_vecs) over quantized squared norms. Scale shape: each
+    batch collapses to a tiny band histogram (vectorized int64 matmul-free
+    row sum over the zero-copy Arrow list column; the float32→float64
+    promotion happens BEFORE the ×1000 on both sides — the SQL twin must
+    CAST(x AS DOUBLE) explicitly because FLOAT×INTEGER stays float32 in
+    the oracle engine, which flips round-half boundary components);
+    the band domain is bounded by the norm range — ≪ corpus — so partials
+    finish in one histogram-merge task with no second shuffle."""
+    from .shuffle import histogram_merge
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, X = _batch_matrix(batch)
+        q = np.floor(X * 1000.0 + 0.5).astype(np.int64)
+        band = (q * q).sum(axis=1) // NORM_BAND_DIV
+        b, c = np.unique(band, return_counts=True)
+        return pd.DataFrame({"band": b.astype("int64"), "n_vecs": c.astype("int64")})
+
+    parts = _emb(sf_dir, columns=("vec_id", "embedding")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return histogram_merge(parts, "band", "n_vecs")

@@ -2586,3 +2586,96 @@ def test_gap_fill_locf_grid_and_same_day_argmax(ray_session, tmp_path):
         (7, "2024-03-04", 20.0),
         (8, "2024-03-02", 5.0),
     ]
+
+
+def test_rank_blend_ties_and_fusion(ray_session, tmp_path):
+    """Both rankings break ties by doc_id; the blend is their plain sum;
+    a doc can rank first on one signal and last on the other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import rank_blend
+
+    rows = [  # (doc_id, text) — n_chars set independently of the words
+        (1, "a b c d e"),   # 5 words
+        (2, "aa bb"),       # 2 words
+        (3, "z y x w v"),   # 5 words (ties doc 1 on words -> doc_id order)
+    ]
+    chars = {1: 10, 2: 99, 3: 10}  # doc 2 longest by chars, 1/3 tie
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "n_chars": pa.array([chars[r[0]] for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = rank_blend(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # chars DESC: 2(99), then tie 10 -> 1, 3 ; words DESC: tie 5 -> 1, 3, then 2
+    assert out["rank_chars"].tolist() == [2, 1, 3]
+    assert out["rank_words"].tolist() == [1, 3, 2]
+    assert out["blend"].tolist() == [3, 4, 5]
+
+
+def test_signal_correlation_exact_stats(ray_session, tmp_path):
+    """Sufficient statistics on a two-source fixture: a perfectly linear
+    source has corr_num² == var_x·var_y; a constant-signal source has
+    zero variance on that axis."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import signal_correlation
+
+    rows = [  # (doc_id, n_words, n_chars, source): lin -> y = 10x
+        (1, 1, 10, "lin"), (2, 2, 20, "lin"), (3, 3, 30, "lin"),
+        (4, 2, 7, "const"), (5, 5, 7, "const"),  # y constant
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [" ".join(["w"] * r[1]) for r in rows],
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+                "source": [r[3] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = signal_correlation(str(tmp_path)).set_index("source")
+    lin = out.loc["lin"]
+    assert lin["corr_num"] ** 2 == lin["var_x"] * lin["var_y"]
+    assert lin["corr_num"] > 0
+    const = out.loc["const"]
+    assert const["var_y"] == 0 and const["corr_num"] == 0
+
+
+def test_embedding_norm_histogram_quantized_bands(ray_session, tmp_path):
+    """Band assignment on crafted vectors: a unit vector lands in band
+    10 (q2 = 1000² = 1e6 // 1e5), a zero vector in band 0, a 2× vector in
+    band 40, and a round-half component (0.0005 -> 1) is half-up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.similarity import embedding_norm_histogram
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],        # q2 = 1e6 -> band 10
+        [0.0, 0.0, 0.0, 0.0],        # band 0
+        [2.0, 0.0, 0.0, 0.0],        # q2 = 4e6 -> band 40
+        [0.0005, 0.0, 0.0, 0.0],     # rounds up to 1 -> q2 = 1 -> band 0
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = embedding_norm_histogram(str(tmp_path)).to_pandas()
+    got = dict(zip(out["band"], out["n_vecs"]))
+    assert got == {0: 2, 10: 1, 40: 1}
