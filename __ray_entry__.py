@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "ngram_containment": dedup.ngram_containment,
         "fuzzy_prefix_pairs": dedup.fuzzy_prefix_pairs,
+        "edit_distance_pairs": dedup.edit_distance_pairs,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_percentiles": analytics.order_value_percentiles,
         "discount_revenue": analytics.discount_revenue,
         "brand_qty_revenue": analytics.brand_qty_revenue,
+        "benford_digits": analytics.benford_digits,
         "segment_repeat_customers": analytics.segment_repeat_customers,
         "global_sales_opportunity": analytics.global_sales_opportunity,
         "sole_return_supplier": analytics.sole_return_supplier,
@@ -432,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         DUP_SPAN_REMOVAL_SQL,
         PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
+        EDIT_DISTANCE_PAIRS_SQL,
     )
     from docling_serve_ray.ops.cluster import (
         DUP_CLUSTER_SIZES_SQL,
@@ -488,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER_VALUE_PERCENTILES_SQL,
         DISCOUNT_REVENUE_SQL,
         BRAND_QTY_REVENUE_SQL,
+        BENFORD_DIGITS_SQL,
         SEGMENT_REPEAT_CUSTOMERS_SQL,
         GLOBAL_SALES_OPPORTUNITY_SQL,
         SOLE_RETURN_SUPPLIER_SQL,
@@ -669,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": JACCARD_PAIRS_SQL,
         "ngram_containment": NGRAM_CONTAINMENT_SQL,
         "fuzzy_prefix_pairs": FUZZY_PREFIX_PAIRS_SQL,
+        "edit_distance_pairs": EDIT_DISTANCE_PAIRS_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
@@ -753,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "order_value_percentiles": ORDER_VALUE_PERCENTILES_SQL,
         "discount_revenue": DISCOUNT_REVENUE_SQL,
         "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
+        "benford_digits": BENFORD_DIGITS_SQL,
         "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
         "global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
         "sole_return_supplier": SOLE_RETURN_SUPPLIER_SQL,

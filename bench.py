@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "rank_blend",
     "signal_correlation",
     "embedding_norm_histogram",
+    # FastSS similarity join + leading-digit audit
+    "edit_distance_pairs",
+    "benford_digits",
 ]
 
 

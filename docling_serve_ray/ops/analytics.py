@@ -3399,3 +3399,39 @@ def order_value_percentiles(sf_dir: str) -> pd.DataFrame:
         )
         rows.append({"pct": f"p{p}", "value_c": np.int64(cut[0])})
     return pd.DataFrame(rows)
+
+
+# --- Benford leading-digit audit ----------------------------------------------------
+
+BENFORD_DIGITS_SQL = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice > 0
+)
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY digit
+"""
+
+
+def benford_digits(sf_dir: str) -> ray.data.Dataset:
+    """Leading-digit distribution of order totals (cents) — the
+    Benford's-law fraud/data-quality screen. Scale shape: per-batch
+    vectorized leading-digit extraction (a fixed 10-step halving-free
+    integer-division cascade — exact, no log10 float boundary risk)
+    collapses each batch to a <=9-cell histogram; one merge task
+    finishes (digit domain is structurally bounded)."""
+    from .shuffle import histogram_merge
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # SQL twin filters o_totalprice > 0 pre-round; cents > 0 post-round
+        # can differ only for 0 < price < 0.005, absent from monetary data
+        d = _cents(b.loc[b["o_totalprice"] > 0, "o_totalprice"])
+        for _ in range(18):  # cents < 10^19 — fixed-depth exact reduction
+            d = np.where(d >= 10, d // 10, d)
+        dig, cnt = np.unique(d, return_counts=True)
+        return pd.DataFrame({"digit": dig.astype("int64"), "n": cnt.astype("int64")})
+
+    return histogram_merge(ds.map_batches(partial, batch_format="pandas"), "digit", "n")

@@ -1507,3 +1507,97 @@ def dup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# FastSS edit-distance-1 similarity join (Bocek et al. 2007): all pairs of
+# DISTINCT catalog strings within Levenshtein distance 1, found WITHOUT the
+# quadratic self-join — every string is indexed under itself plus each
+# single-character deletion; any ed<=1 pair provably shares a key
+# (equal-length substitutions share the deletion at the differing position;
+# insert/delete pairs share the shorter string itself), and candidates are
+# verified exactly. The workhorse of typo clustering / catalog conflation.
+
+EDIT_DISTANCE_PAIRS_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact ed(a,b) <= 1 verify for a != b (one O(len) scan)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0  # a is shorter: one insertion into a makes b
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(name_a < name_b) pairs of distinct part names with ed <= 1.
+
+    Scale shape: the corpus-sized part table first collapses to DISTINCT
+    names (one bucketed reduce on the name hash — the only corpus-scale
+    exchange); each distinct name then emits <= len+1 deletion-key rows,
+    a second bucketed reduce on the 64-bit key hash gathers candidate
+    groups (group size is bounded by local neighborhood density, not
+    corpus size), pairs inside a group are verified with the exact
+    O(len) check, and a final thin reduce on the pair key dedupes pairs
+    discovered under several shared keys. Verification is a Python loop
+    over CANDIDATES — the rare survivors of the key filter — never over
+    the cross product."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/part.parquet"), lo=16)
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    def distinct_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    names = bucketed_group_agg(
+        part, ["p_name"], distinct_final, partial_fn=distinct_partial,
+        num_buckets=nb,
+    )
+
+    def emit_keys(b: pd.DataFrame) -> pd.DataFrame:
+        keys: list[int] = []
+        out_names: list[str] = []
+        for s in b["p_name"]:
+            variants = {s}
+            variants.update(s[:i] + s[i + 1 :] for i in range(len(s)))
+            for v in variants:
+                keys.append(_md5_64(v) - (1 << 63))
+                out_names.append(s)
+        return pd.DataFrame(
+            {"k": pd.array(keys, dtype="int64"), "p_name": out_names}
+        )
+
+    keyed = names.map_batches(emit_keys, batch_format="pandas")
+
+    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("k", sort=False):
+            u = sorted(set(grp["p_name"]))
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if _ed_le1(u[i], u[j]):
+                        rows.append((u[i], u[j]))
+        return pd.DataFrame(rows, columns=["name_a", "name_b"])
+
+    pairs = bucketed_group_agg(keyed, ["k"], candidate_pairs, num_buckets=nb)
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    return bucketed_group_agg(pairs, ["name_a", "name_b"], dedupe, num_buckets=16)

@@ -2679,3 +2679,61 @@ def test_embedding_norm_histogram_quantized_bands(ray_session, tmp_path):
     out = embedding_norm_histogram(str(tmp_path)).to_pandas()
     got = dict(zip(out["band"], out["n_vecs"]))
     assert got == {0: 2, 10: 1, 40: 1}
+
+
+def test_edit_distance_pairs_fastss_semantics(ray_session, tmp_path):
+    """FastSS catches all three ed=1 shapes (substitution, insertion,
+    deletion), rejects ed=2 strings that share a deletion key, and
+    dedupes pairs found under several shared keys; duplicate catalog
+    rows collapse before pairing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import _ed_le1, edit_distance_pairs
+
+    # unit check of the verifier itself
+    assert _ed_le1("cat", "cut") and _ed_le1("cat", "cats") and _ed_le1("cat", "at")
+    assert not _ed_le1("cat", "cut!") and not _ed_le1("abcd", "abXY")
+
+    names = [
+        "bolt", "bolt",        # duplicate rows -> one node
+        "colt",                # sub of bolt
+        "bolts",               # insertion on bolt
+        "olt",                 # deletion of bolt (also of colt!)
+        "ab", "ba",            # ed=2 (swap) but share deletion keys 'a'/'b'
+        "zzz",                 # isolated
+    ]
+    pq.write_table(
+        pa.table({"p_name": pa.array(names, pa.string())}),
+        tmp_path / "part.parquet",
+    )
+    out = edit_distance_pairs(str(tmp_path)).to_pandas()
+    got = sorted(map(tuple, out[["name_a", "name_b"]].to_numpy()))
+    assert got == [
+        ("bolt", "bolts"), ("bolt", "colt"), ("bolt", "olt"), ("colt", "olt"),
+    ]
+
+
+def test_benford_digits_leading_digit_cascade(ray_session, tmp_path):
+    """Leading digit is exact across magnitudes (cents 1 .. 10^8) and the
+    digit comes from IEEE half-up cent rounding (9.995 is 9.99499... in
+    float64 -> 999c -> digit 9, same on both engines)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import benford_digits
+
+    vals = [0.01, 0.09, 9.995, 123.45, 900000.0, 0.2]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(vals)), pa.int64()),
+                "o_totalprice": pa.array(vals, pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = benford_digits(str(tmp_path)).to_pandas()
+    got = dict(zip(out["digit"], out["n"]))
+    # cents: 1, 9, 999, 12345, 90000000, 20 -> digits 1,9,9,1,9,2
+    assert got == {1: 2, 2: 1, 9: 3}
