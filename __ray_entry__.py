@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_dim_minmax": similarity.embedding_dim_minmax,
         "embedding_norm_histogram": similarity.embedding_norm_histogram,
+        "dim_variance": similarity.dim_variance,
         "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "label_centroids": similarity.label_centroids,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": relational.interval_coverage,
         "upsert_compaction": relational.upsert_compaction,
         "gap_fill_locf": relational.gap_fill_locf,
+        "time_weighted_value": relational.time_weighted_value,
         # --- decision-support analytics (TPC-H-shaped star joins) ---
         "promo_revenue": analytics.promo_revenue,
         "top_supplier": analytics.top_supplier,
@@ -226,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unimax_mix": curation.unimax_mix,
         "ngram_novelty": curation.ngram_novelty,
         "rank_blend": curation.rank_blend,
+        "dict_encode_ordered": curation.dict_encode_ordered,
         "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
@@ -466,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         UNIMAX_MIX_SQL,
         NGRAM_NOVELTY_SQL,
         RANK_BLEND_SQL,
+        DICT_ENCODE_ORDERED_SQL,
         SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
@@ -562,12 +566,14 @@ def oracle_sql() -> dict[str, str]:
         INTERVAL_COVERAGE_SQL,
         UPSERT_COMPACTION_SQL,
         GAP_FILL_LOCF_SQL,
+        TIME_WEIGHTED_VALUE_SQL,
     )
     from docling_serve_ray.ops.similarity import (
         ANN_TOPK_FILTERED_SQL,
         ANN_TOPK_SQL,
         EMBEDDING_DIM_MINMAX_SQL,
         EMBEDDING_NORM_HISTOGRAM_SQL,
+        DIM_VARIANCE_SQL,
         EMBEDDING_NEARDUP_SQL,
         KMEANS_SQL,
         LABEL_CENTROIDS_SQL,
@@ -699,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ANN_TOPK_SQL,
         "embedding_dim_minmax": EMBEDDING_DIM_MINMAX_SQL,
         "embedding_norm_histogram": EMBEDDING_NORM_HISTOGRAM_SQL,
+        "dim_variance": DIM_VARIANCE_SQL,
         "ivf_topk": ANN_TOPK_SQL,  # nprobe == nlist → exact, same oracle
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
@@ -745,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": INTERVAL_COVERAGE_SQL,
         "upsert_compaction": UPSERT_COMPACTION_SQL,
         "gap_fill_locf": GAP_FILL_LOCF_SQL,
+        "time_weighted_value": TIME_WEIGHTED_VALUE_SQL,
         "promo_revenue": PROMO_REVENUE_SQL,
         "top_supplier": TOP_SUPPLIER_SQL,
         "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
@@ -797,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mix": UNIMAX_MIX_SQL,
         "ngram_novelty": NGRAM_NOVELTY_SQL,
         "rank_blend": RANK_BLEND_SQL,
+        "dict_encode_ordered": DICT_ENCODE_ORDERED_SQL,
         "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,

@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     # FastSS similarity join + leading-digit audit
     "edit_distance_pairs",
     "benford_digits",
+    # TWAP integral, sort-free ordered dictionary, feature variance
+    "time_weighted_value",
+    "dict_encode_ordered",
+    "dim_variance",
 ]
 
 

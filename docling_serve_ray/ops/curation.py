@@ -2956,3 +2956,92 @@ def signal_correlation(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Order-preserving dictionary encode of the corpus vocabulary: every
+# distinct token gets a contiguous id in LEXICOGRAPHIC order — the
+# dictionary layout columnar formats and FST-backed term indexes want
+# (range scans over encoded ids = range scans over terms). The classic way
+# is a global sort; here the ids come from a SORT-FREE range partition:
+# the big-endian first-8-bytes of the UTF-8 token are a uint64 whose order
+# embeds string order (zero-padding preserves <=, UTF-8 preserves code
+# point order), so its top bits are an ORDER-PRESERVING bucket key. Local
+# sorts inside complete buckets + an O(num_buckets) driver prefix sum give
+# exact global ordinals.
+
+DICT_ENCODE_ORDERED_SQL = """
+WITH d AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS token FROM documents)
+SELECT token,
+       CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+FROM d
+"""
+
+
+def dict_encode_ordered(sf_dir: str) -> ray.data.Dataset:
+    """(token, token_id) with ids dense and ascending in token order.
+
+    Scale shape: per-batch distinct tokens tagged with the prefix bucket;
+    shuffle #1 (the only corpus-scale one) dedupes tokens inside complete
+    prefix-range buckets and emits per-bucket distinct counts; the
+    bucket-count histogram (bounded: 2^bucket_bits cells) prefix-sums on
+    the driver; shuffle #2 re-groups the SAME deduped rows and assigns
+    token_id = bucket offset + local sorted rank. Skew note: buckets are
+    ranges of the 8-byte-prefix space — a vocabulary concentrated in one
+    shared 8-byte prefix (pathological) lands in one bucket; the fix is
+    deepening the prefix (bytes 9..16) for the hot bucket, which the
+    guard in bucketed_group_agg would surface as a group-size error
+    rather than silently stalling."""
+    from .shuffle import bucketed_group_agg, histogram_merge, scaled_num_buckets
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+    want = scaled_num_buckets(docs.size_bytes(), lo=64)
+    bbits = max(6, int(want - 1).bit_length())
+    nb = 1 << bbits
+
+    def prefix_key(tokens: np.ndarray) -> np.ndarray:
+        raw = np.zeros(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            b = t.encode("utf-8")[:8]
+            raw[i] = int.from_bytes(b.ljust(8, b"\x00"), "big")
+        return raw
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.unique(b["text"].str.split(" ").explode())
+        toks = np.asarray(toks, dtype=object)
+        rb = (prefix_key(toks) >> np.uint64(64 - bbits)).astype("int64")
+        return pd.DataFrame({"rb": rb, "token": toks})
+
+    tagged = docs.map_batches(explode, batch_format="pandas")
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    distinct = bucketed_group_agg(
+        tagged, ["rb"], dedupe, num_buckets=min(nb, 512)
+    ).materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["rb"].value_counts()
+        return pd.DataFrame(
+            {"rb": s.index.astype("int64"), "c": s.to_numpy().astype("int64")}
+        )
+
+    merged = histogram_merge(
+        distinct.map_batches(count_partial, batch_format="pandas"), "rb", "c"
+    ).to_pandas()
+    full = np.zeros(nb, dtype="int64")
+    full[merged["rb"].to_numpy()] = merged["c"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["rb", "token"], kind="mergesort")
+        local = g.groupby("rb", sort=False).cumcount().to_numpy() + 1
+        ids = offs[g["rb"].to_numpy(dtype="int64")] + local
+        return pd.DataFrame(
+            {"token": g["token"].to_numpy(), "token_id": ids.astype("int64")}
+        )
+
+    return bucketed_group_agg(distinct, ["rb"], assign, num_buckets=min(nb, 512))

@@ -3854,3 +3854,194 @@ def gap_fill_locf(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(day_partial, batch_format="pandas"),
         ["user_id"], fill, num_buckets=nb,
     )
+
+
+# --- time-weighted average value (TWAP) per user ------------------------------------
+#
+# The financial/feature-store step-function integral: each event's value is
+# in effect until the user's next event; TWAP = ∫value dt / span. Carried as
+# the exact INTEGER pair (cents·µs numerator, µs denominator) — the division
+# is the consumer's. Same keyed-log contract as event_deltas: the default
+# path shuffles whole users (guarded), and slice_width= gives the skew-proof
+# time-sliced path whose carry is the previous slice's last (ts, value) —
+# LAG state, ONE row per (user, slice).
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL
+             THEN cents * (epoch_us(nxt) - epoch_us(ts)) END), 0) AS BIGINT)
+         AS twap_num,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS twap_den
+FROM o GROUP BY user_id
+"""
+
+
+def _twap_local(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-(user[, slice]) step integral on sorted rows; carry rows
+    (event_id == -1) contribute their segment but are not counted as
+    span endpoints (the span is a separate exact combiner)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    cents = g["cents"].to_numpy()
+    seg = cents[:-1] * (ts_us[1:] - ts_us[:-1])
+    same = uid[1:] == uid[:-1]
+    out = pd.DataFrame({"user_id": uid[:-1][same], "num": seg[same]})
+    return out.groupby("user_id", as_index=False)["num"].sum()
+
+
+def time_weighted_value(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
+    """(user_id, twap_num, twap_den): exact integer time-weighted value.
+
+    Scale shape: the numerator is slice-decomposable (each inter-event
+    segment belongs to exactly one (user, slice) once the previous
+    slice's last (ts, value) is carried in — the identical carry shape
+    as _event_deltas_sliced), so the sliced path never co-locates a hot
+    user's full history; the denominator is a plain per-user (min, max)
+    combiner. Default path shuffles whole users with the group-size
+    guard."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/events.parquet"))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"],
+                "cents": np.floor(
+                    b["value"].to_numpy(dtype="float64") * 100 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    events = ds.map_batches(to_cents, batch_format="pandas")
+
+    # exact per-user span: plain (min, max) combiner, never skew-bound
+    def span_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(
+            lo=("ts", "min"), hi=("ts", "max")
+        )
+
+    def span_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", as_index=False).agg(lo=("lo", "min"), hi=("hi", "max"))
+        den = (
+            s["hi"].to_numpy().astype("datetime64[us]").astype("int64")
+            - s["lo"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {"user_id": s["user_id"].astype("int64"), "twap_den": den}
+        )
+
+    spans = bucketed_group_agg(
+        events, ["user_id"], span_final, partial_fn=span_partial,
+        num_buckets=min(nb, 64),
+    )
+
+    if slice_width is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id"], max_group_rows, "time_weighted_value")
+            return _twap_local(g)
+
+        nums = bucketed_group_agg(events, ["user_id"], per_user, num_buckets=nb)
+    else:
+        width = pd.Timedelta(slice_width)
+        sliced = events.map_batches(
+            lambda b: b.assign(_slice=b["ts"].dt.floor(width)),
+            batch_format="pandas",
+        )
+
+        def last_partial(b: pd.DataFrame) -> pd.DataFrame:
+            p = b.sort_values(["user_id", "_slice", "ts", "event_id"],
+                              kind="stable")
+            return p.drop_duplicates(["user_id", "_slice"], keep="last")
+
+        def carry_final(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.sort_values(["user_id", "_slice", "ts", "event_id"],
+                              kind="stable")
+            a = a.drop_duplicates(["user_id", "_slice"], keep="last")
+            nxt_slice = a.groupby("user_id", sort=False)["_slice"].shift(-1)
+            take = nxt_slice.notna().to_numpy()
+            return pd.DataFrame(
+                {
+                    "event_id": np.full(int(take.sum()), -1, dtype="int64"),
+                    "user_id": a["user_id"].to_numpy()[take],
+                    "ts": pd.Series(a["ts"].to_numpy()[take]),
+                    "cents": a["cents"].to_numpy()[take],
+                    "_slice": nxt_slice.to_numpy()[take],
+                }
+            )
+
+        carry = bucketed_group_agg(
+            sliced, ["user_id"], carry_final, partial_fn=last_partial,
+            num_buckets=min(nb, 64),
+        )
+        full = sliced.union(carry)
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(
+                g, ["user_id", "_slice"], max_group_rows, "time_weighted_value"
+            )
+            # the carry's segment (prev slice's last event -> this slice's
+            # first) lands here; its ts < every in-slice ts by construction
+            return _twap_local(g)
+
+        partials = bucketed_group_agg(
+            full, ["user_id", "_slice"], per_group, num_buckets=nb
+        )
+
+        def num_final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("user_id", as_index=False)["num"].sum()
+
+        nums = bucketed_group_agg(
+            partials, ["user_id"], num_final, num_buckets=min(nb, 64)
+        )
+
+    # span rows exist for every user; numerator rows only for multi-event
+    # users — tag-union merge keyed on user_id
+    def to_tagged_num(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"),
+             "num": b["num"].astype("int64"),
+             "den": np.int64(-1)}
+        )
+
+    def to_tagged_span(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"),
+             "num": np.int64(0),
+             "den": b["twap_den"].astype("int64")}
+        )
+
+    tagged = nums.map_batches(to_tagged_num, batch_format="pandas").union(
+        spans.map_batches(to_tagged_span, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(
+            twap_num=("num", "sum"), den=("den", "max")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "twap_num": out["twap_num"].astype("int64"),
+                "twap_den": out["den"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(tagged, ["user_id"], merge, num_buckets=min(nb, 64))

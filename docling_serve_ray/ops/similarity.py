@@ -1265,3 +1265,66 @@ def embedding_norm_histogram(sf_dir: str) -> ray.data.Dataset:
         partial, batch_format="pyarrow"
     )
     return histogram_merge(parts, "band", "n_vecs")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension variance ranking (feature selection): dimensions whose
+# values barely move carry no signal — this ranks all dims by exact
+# integer variance of the ×1000 fixed-point components (same quantization
+# and explicit FLOAT→DOUBLE contract as embedding_norm_histogram).
+
+DIM_VARIANCE_SQL = """
+WITH u AS (
+  SELECT UNNEST(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS q,
+         UNNEST(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+),
+s AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, SUM(q) AS sq, SUM(q * q) AS sqq
+  FROM u GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(n * sqq - sq * sq AS BIGINT) AS var_num,
+       CAST(row_number() OVER (ORDER BY n * sqq - sq * sq DESC, dim)
+            AS BIGINT) AS var_rank
+FROM s
+"""
+
+
+def dim_variance(sf_dir: str) -> pd.DataFrame:
+    """(dim, n, var_num, var_rank): var_num = n·Σq² − (Σq)² per
+    dimension (variance × n²; the scale-free RANK is what feature
+    selection consumes). Scale shape: each batch collapses to 3×dim
+    partial sums via columnwise vectorized reductions on the zero-copy
+    matrix; the dim-bounded merge accumulates in Python ints (HUGEINT
+    parity) and ranks on the driver — no shuffle at all."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, X = _batch_matrix(batch)
+        q = np.floor(X * 1000.0 + 0.5).astype(np.int64)
+        dim = X.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, dim + 1, dtype="int64"),
+                "n": np.full(dim, len(q), dtype="int64"),
+                "sq": q.sum(axis=0),
+                "sqq": (q * q).sum(axis=0),
+            }
+        )
+
+    parts = (
+        _emb(sf_dir, columns=("vec_id", "embedding"))
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .to_pandas()
+    )
+    rows = []
+    for d, g in parts.groupby("dim"):
+        n = int(g["n"].sum())
+        sq, sqq = int(g["sq"].sum()), int(g["sqq"].sum())
+        rows.append({"dim": int(d), "n": n, "var_num": n * sqq - sq * sq})
+    out = pd.DataFrame(rows).astype({"dim": "int64", "n": "int64", "var_num": "int64"})
+    out = out.sort_values(["var_num", "dim"], ascending=[False, True])
+    out["var_rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out.sort_values("dim").reset_index(drop=True)

@@ -2737,3 +2737,101 @@ def test_benford_digits_leading_digit_cascade(ray_session, tmp_path):
     got = dict(zip(out["digit"], out["n"]))
     # cents: 1, 9, 999, 12345, 90000000, 20 -> digits 1,9,9,1,9,2
     assert got == {1: 2, 2: 1, 9: 3}
+
+
+def test_time_weighted_value_exact_and_sliced(ray_session, tmp_path):
+    """Step-integral semantics: each value holds until the next event;
+    single-event users report (0, 0). The time-sliced path must be
+    bit-identical even when a segment spans an EMPTY slice (carry jumps
+    to the user's next present slice)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import time_weighted_value
+
+    H = 3_600_000_000  # one hour in us
+    t = lambda h: pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)
+    ev = [  # (event_id, ts, user_id, value)
+        (1, t(0), 7, 2.00),    # 200c for 1h
+        (2, t(1), 7, 1.00),    # 100c for 25h, crossing an empty day slice
+        (3, t(26), 7, 5.00),   # last -> no segment
+        (4, t(5), 8, 3.00),    # single event -> (0, 0)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([e[0] for e in ev], pa.int64()),
+                "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+                "user_id": pa.array([e[2] for e in ev], pa.int64()),
+                "value": pa.array([e[3] for e in ev], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    want = {7: (200 * H + 100 * 25 * H, 26 * H), 8: (0, 0)}
+    for kw in ({}, {"slice_width": "1D"}, {"slice_width": "2h"}):
+        out = time_weighted_value(str(tmp_path), **kw).to_pandas()
+        got = {
+            int(r.user_id): (int(r.twap_num), int(r.twap_den))
+            for r in out.itertuples()
+        }
+        assert got == want, kw
+
+
+def test_dict_encode_ordered_lexicographic_ids(ray_session, tmp_path):
+    """Ids are dense 1..V in exact lexicographic (UTF-8 byte) order,
+    including tokens that SHARE an 8-byte prefix (same range bucket, local
+    sort decides) and tokens longer than the prefix window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import dict_encode_ordered
+
+    toks = [
+        "aardvark", "aardvarks",  # identical first 8 bytes -> same bucket
+        "zebra", "apple", "zebr", "Zebra",  # 'Z' < 'a' in bytes
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [" ".join(toks[:3]), " ".join(toks[3:]) + " apple"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = dict_encode_ordered(str(tmp_path)).to_pandas().sort_values("token_id")
+    assert list(out["token"]) == sorted(set(toks))
+    assert list(out["token_id"]) == list(range(1, len(set(toks)) + 1))
+
+
+def test_dim_variance_exact_ranking(ray_session, tmp_path):
+    """var_num = n·Σq² − (Σq)² on quantized components: a constant
+    dimension ranks last with var_num 0; ranking ties break by dim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.similarity import dim_variance
+
+    vecs = [  # dim1 varies a lot, dim2 constant, dim3 = dim4 (tied)
+        [0.0, 0.5, 0.1, 0.1],
+        [1.0, 0.5, 0.2, 0.2],
+        [2.0, 0.5, 0.3, 0.3],
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(3), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 3, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = dim_variance(str(tmp_path)).set_index("dim")
+    # dim1: q = 0,1000,2000 -> 3*5e6 - 3000^2 = 6e6
+    assert out.loc[1, "var_num"] == 6_000_000 and out.loc[1, "var_rank"] == 1
+    assert out.loc[2, "var_num"] == 0 and out.loc[2, "var_rank"] == 4
+    assert out.loc[3, "var_num"] == out.loc[4, "var_num"]
+    assert (out.loc[3, "var_rank"], out.loc[4, "var_rank"]) == (2, 3)
