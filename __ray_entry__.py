@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": curation.ngram_novelty,
         "rank_blend": curation.rank_blend,
         "dict_encode_ordered": curation.dict_encode_ordered,
+        "source_ks_distance": curation.source_ks_distance,
+        "systematic_weight_sample": curation.systematic_weight_sample,
         "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
@@ -470,6 +472,8 @@ def oracle_sql() -> dict[str, str]:
         NGRAM_NOVELTY_SQL,
         RANK_BLEND_SQL,
         DICT_ENCODE_ORDERED_SQL,
+        SOURCE_KS_DISTANCE_SQL,
+        SYSTEMATIC_WEIGHT_SAMPLE_SQL,
         SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
@@ -806,6 +810,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": NGRAM_NOVELTY_SQL,
         "rank_blend": RANK_BLEND_SQL,
         "dict_encode_ordered": DICT_ENCODE_ORDERED_SQL,
+        "source_ks_distance": SOURCE_KS_DISTANCE_SQL,
+        "systematic_weight_sample": SYSTEMATIC_WEIGHT_SAMPLE_SQL,
         "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,

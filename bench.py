@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "time_weighted_value",
     "dict_encode_ordered",
     "dim_variance",
+    # distribution drift + deterministic weighted sampling
+    "source_ks_distance",
+    "systematic_weight_sample",
 ]
 
 

@@ -3045,3 +3045,129 @@ def dict_encode_ordered(sf_dir: str) -> ray.data.Dataset:
         )
 
     return bucketed_group_agg(distinct, ["rb"], assign, num_buckets=min(nb, 512))
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov distance between every pair of
+# sources over the doc-length distribution — the drift / homogeneity screen
+# a multi-source corpus publishes before mixing. KS = max |ECDF_a − ECDF_b|
+# carried as the exact integer pair (max |cum_a·n_b − cum_b·n_a|, n_a·n_b).
+
+SOURCE_KS_DISTANCE_SQL = """
+WITH h AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+grid AS (SELECT n.source, g.v FROM n, (SELECT DISTINCT v FROM h) g),
+j AS (
+  SELECT grid.source, grid.v, COALESCE(h.c, 0) AS c
+  FROM grid LEFT JOIN h ON h.source = grid.source AND h.v = grid.v
+),
+cum AS (
+  SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum
+  FROM j
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(MAX(ABS(a.cum * nb.n - b.cum * na.n)) AS BIGINT) AS ks_num,
+       CAST(na.n * nb.n AS BIGINT) AS ks_den
+FROM cum a
+JOIN cum b ON a.v = b.v AND a.source < b.source
+JOIN n na ON na.source = a.source
+JOIN n nb ON nb.source = b.source
+GROUP BY a.source, b.source, na.n, nb.n
+"""
+
+
+def source_ks_distance(sf_dir: str) -> pd.DataFrame:
+    """(source_a < source_b, ks_num, ks_den) with
+    KS = ks_num / ks_den exactly. Scale shape: ONE combiner pass reduces
+    the corpus to a (source × length-value) count table — both axes
+    structurally bounded (sources ~10², lengths ≤ max doc length), so the
+    table reaches the driver safely; the pairwise max-gap scan is a
+    vectorized cumsum matrix sweep over |S|²/2 pairs. No shuffle at all."""
+    docs = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "c"}).astype({"n_chars": "int64", "c": "int64"})
+
+    h = (
+        docs.map_batches(cpart, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby(["source", "n_chars"], as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    sources = sorted(h["source"].unique())
+    values = np.sort(h["n_chars"].unique())
+    vpos = {v: i for i, v in enumerate(values)}
+    spos = {s: i for i, s in enumerate(sources)}
+    C = np.zeros((len(sources), len(values)), dtype="int64")
+    C[
+        h["source"].map(spos).to_numpy(), h["n_chars"].map(vpos).to_numpy()
+    ] = h["c"].to_numpy()
+    cum = C.cumsum(axis=1)
+    n = cum[:, -1]
+    rows = []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            num = int(np.abs(cum[i] * n[j] - cum[j] * n[i]).max())
+            rows.append(
+                {
+                    "source_a": sources[i],
+                    "source_b": sources[j],
+                    "ks_num": np.int64(num),
+                    "ks_den": np.int64(n[i] * n[j]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic length-proportional systematic sample: lay the corpus on
+# the packed token line (pack_sequences' exact offsets) and pick every doc
+# containing a multiple-of-step token boundary — inclusion probability
+# proportional to length, exactly ~SAMPLE_TARGET picks, zero randomness.
+
+SAMPLE_TARGET = 100
+
+SYSTEMATIC_WEIGHT_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+),
+s AS (SELECT GREATEST(1, SUM(n_tokens) // {SAMPLE_TARGET}) AS step FROM t)
+SELECT doc_id, n_tokens, tok_offset
+FROM o, s
+WHERE (tok_offset + n_tokens) // step > tok_offset // step
+"""
+
+
+def systematic_weight_sample(sf_dir: str) -> ray.data.Dataset:
+    """Docs straddling a step boundary on the packed token line (step =
+    total_tokens // SAMPLE_TARGET). Scale shape: the offsets come from
+    pack_sequences' order-preserving range-bucket prefix machinery (no
+    sort); the total is an exact Dataset.sum over the thin int column;
+    the pick filter is a stateless vectorized map — the selection is
+    reproducible across cluster shapes because it depends only on data."""
+    packed = pack_sequences(sf_dir).materialize()
+    total = packed.sum("n_tokens")
+    step = max(1, int(total) // SAMPLE_TARGET)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        off = b["tok_offset"].to_numpy(dtype="int64")
+        n = b["n_tokens"].to_numpy(dtype="int64")
+        keep = (off + n) // step > off // step
+        return b.loc[keep, ["doc_id", "n_tokens", "tok_offset"]]
+
+    return packed.map_batches(pick, batch_format="pandas")

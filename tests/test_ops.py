@@ -2835,3 +2835,72 @@ def test_dim_variance_exact_ranking(ray_session, tmp_path):
     assert out.loc[2, "var_num"] == 0 and out.loc[2, "var_rank"] == 4
     assert out.loc[3, "var_num"] == out.loc[4, "var_num"]
     assert (out.loc[3, "var_rank"], out.loc[4, "var_rank"]) == (2, 3)
+
+
+def test_source_ks_distance_known_distributions(ray_session, tmp_path):
+    """KS on crafted length distributions: identical sources give 0,
+    disjoint supports give 1 (num == den), and a half-shifted pair gives
+    exactly 1/2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import source_ks_distance
+
+    rows = []  # (doc_id, n_chars, source)
+    did = 0
+    for v in (10, 20):          # A and B identical
+        for s in ("A", "B"):
+            rows.append((did := did + 1, v, s))
+    for v in (100, 200):        # C disjoint from A/B
+        rows.append((did := did + 1, v, "C"))
+    rows += [(did := did + 1, 10, "D"), (did := did + 1, 100, "D")]  # half-overlap with A
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": ["x"] * len(rows),
+                "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+                "source": [r[2] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = source_ks_distance(str(tmp_path)).set_index(["source_a", "source_b"])
+    assert out.loc[("A", "B"), "ks_num"] == 0
+    ac = out.loc[("A", "C")]
+    assert ac["ks_num"] == ac["ks_den"]  # KS = 1
+    ad = out.loc[("A", "D")]
+    assert 2 * ad["ks_num"] == ad["ks_den"]  # KS = 1/2
+
+
+def test_systematic_weight_sample_boundary_semantics(ray_session, tmp_path):
+    """A doc is picked iff a step multiple falls in (off, off+n]: with
+    total=100 tokens and SAMPLE_TARGET=100, step=1 picks every doc; with
+    crafted lengths a zero-probability... rather, a short doc strictly
+    inside a step interval is skipped while its long neighbor is picked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import (
+        SAMPLE_TARGET,
+        systematic_weight_sample,
+    )
+
+    assert SAMPLE_TARGET == 100
+    # total tokens = 100*50 = 5000 -> step = 50.
+    # doc 1: off 0, n 49  -> (0+49)//50 == 0 -> skipped
+    # doc 2: off 49, n 1  -> 50//50=1 > 0    -> picked (boundary inclusive)
+    # doc 3: off 50, n 60 -> 110//50=2 > 1   -> picked
+    # doc 4: off 110, n 4890 -> picks the rest
+    counts = {1: 49, 2: 1, 3: 60, 4: 4890}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(counts), pa.int64()),
+                "text": [" ".join(["w"] * counts[d]) for d in sorted(counts)],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = systematic_weight_sample(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 4]
