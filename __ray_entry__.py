@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": dedup.ngram_containment,
         "fuzzy_prefix_pairs": dedup.fuzzy_prefix_pairs,
         "edit_distance_pairs": dedup.edit_distance_pairs,
+        "minhash_calibration": dedup.minhash_calibration,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
@@ -440,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
         EDIT_DISTANCE_PAIRS_SQL,
+        MINHASH_CALIBRATION_SQL,
     )
     from docling_serve_ray.ops.cluster import (
         DUP_CLUSTER_SIZES_SQL,
@@ -684,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": NGRAM_CONTAINMENT_SQL,
         "fuzzy_prefix_pairs": FUZZY_PREFIX_PAIRS_SQL,
         "edit_distance_pairs": EDIT_DISTANCE_PAIRS_SQL,
+        "minhash_calibration": MINHASH_CALIBRATION_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,

@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     # distribution drift + deterministic weighted sampling
     "source_ks_distance",
     "systematic_weight_sample",
+    # sketch-quality audit
+    "minhash_calibration",
 ]
 
 

@@ -1601,3 +1601,162 @@ def edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
         return g.drop_duplicates()
 
     return bucketed_group_agg(pairs, ["name_a", "name_b"], dedupe, num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration audit: for every TRUE near-dup pair (exact Jaccard
+# >= 0.5 over 3-word shingles, copy-augmented corpus as in
+# JACCARD_PAIRS_SQL), the 16-permutation salted-minhash signature
+# agreement next to the exact intersection/union — the report that tells
+# you whether your sketch's estimate tracks truth before you trust its
+# bands at 100 TB. E[est_matches / n_perms] = true Jaccard.
+
+MINHASH_CAL_PERMS = 16
+
+MINHASH_CALIBRATION_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra token appended'
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+  FROM w, LATERAL (SELECT UNNEST(generate_series(0, len(words)-3)) AS i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, inter_n, ca.n + cb.n - inter_n AS union_n
+  FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+             JOIN cnt cb ON cb.doc_id = inter.doc_b
+  WHERE inter_n * 1.0 / (ca.n + cb.n - inter_n) >= 0.5
+),
+pd AS (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs),
+perms AS (SELECT UNNEST(generate_series(0, 15)) AS p),
+sig AS (
+  SELECT sh.doc_id, perms.p,
+         MIN(md5_number_upper(sh.shingle || '|' || perms.p)) AS mh
+  FROM sh JOIN pd USING (doc_id), perms
+  GROUP BY sh.doc_id, perms.p
+),
+est AS (
+  SELECT pr.doc_a, pr.doc_b,
+         CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS est_matches
+  FROM pairs pr JOIN sig sa ON sa.doc_id = pr.doc_a
+                JOIN sig sb ON sb.doc_id = pr.doc_b AND sb.p = sa.p
+  GROUP BY pr.doc_a, pr.doc_b
+)
+SELECT p.doc_a, p.doc_b, e.est_matches,
+       CAST(16 AS BIGINT) AS n_perms,
+       CAST(p.inter_n AS BIGINT) AS inter_n,
+       CAST(p.union_n AS BIGINT) AS union_n
+FROM pairs p JOIN est e USING (doc_a, doc_b)
+"""
+
+
+def minhash_calibration(sf_dir: str) -> ray.data.Dataset:
+    """(doc_a, doc_b, est_matches, n_perms, inter_n, union_n) for every
+    exact-Jaccard >= 0.5 pair.
+
+    Scale shape: TWO independent runs of the bucketed inverted-index
+    self-join machinery (_pair_intersections) — once over shingle rows
+    (exact side), once over 16 signature SLOT rows per doc (a doc's
+    signature collapses its whole shingle set to 16 uint64s, so the
+    estimate side is radically thinner) — merged by a tag-union bucketed
+    reduce on the pair key. Slot equality is keyed by md5(p|minhash):
+    the same 64-bit collision budget as every hash-keyed op here; a true
+    pair sharing ZERO slots (p ≈ (1-J)^16) still reports, with
+    est_matches = 0, because the exact side anchors the merge."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    sh = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    exact = _pair_intersections(sh)
+
+    def exact_rows(b: pd.DataFrame) -> pd.DataFrame:
+        union = b["n_a"].astype("int64") + b["n_b"] - b["inter_n"]
+        keep = b["inter_n"] / union >= JACCARD_THRESHOLD
+        return pd.DataFrame(
+            {
+                "doc_a": b.loc[keep, "doc_a"].astype("int64"),
+                "doc_b": b.loc[keep, "doc_b"].astype("int64"),
+                "inter_n": b.loc[keep, "inter_n"].astype("int64"),
+                "union_n": union[keep].astype("int64"),
+                "est": np.zeros(int(keep.sum()), dtype="int64"),
+                "tag": np.ones(int(keep.sum()), dtype="int64"),
+            }
+        )
+
+    exact_t = exact.map_batches(exact_rows, batch_format="pandas")
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        aug = _augment_neardup(batch)
+        out_h: list[int] = []
+        out_d: list[int] = []
+        for d, t in zip(aug["doc_id"].to_pylist(), aug["text"].to_pylist()):
+            words = t.split(" ")
+            shingles = {
+                " ".join(words[i : i + SHINGLE_K])
+                for i in range(len(words) - SHINGLE_K + 1)
+            }
+            if not shingles:
+                continue
+            for p in range(MINHASH_CAL_PERMS):
+                mh = min(_md5_64_memo(f"{s}|{p}") for s in shingles)
+                out_h.append(_md5_64_memo(f"{p}|{mh}"))
+                out_d.append(d)
+        return pa.table(
+            {
+                "shingle_h": pa.array(np.array(out_h, dtype=np.uint64)),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n": pa.array(
+                    np.full(len(out_d), MINHASH_CAL_PERMS, dtype=np.int32)
+                ),
+            }
+        )
+
+    slots = _docs(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
+    est = _pair_intersections(slots)
+
+    def est_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": b["doc_a"].astype("int64"),
+                "doc_b": b["doc_b"].astype("int64"),
+                "inter_n": np.zeros(len(b), dtype="int64"),
+                "union_n": np.zeros(len(b), dtype="int64"),
+                "est": b["inter_n"].astype("int64"),
+                "tag": np.zeros(len(b), dtype="int64"),
+            }
+        )
+
+    est_t = est.map_batches(est_rows, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter_n=("inter_n", "max"), union_n=("union_n", "max"),
+            est_matches=("est", "sum"), tag=("tag", "max"),
+        )
+        out = out[out["tag"] == 1]
+        return pd.DataFrame(
+            {
+                "doc_a": out["doc_a"].astype("int64"),
+                "doc_b": out["doc_b"].astype("int64"),
+                "est_matches": out["est_matches"].astype("int64"),
+                "n_perms": np.full(len(out), MINHASH_CAL_PERMS, dtype="int64"),
+                "inter_n": out["inter_n"].astype("int64"),
+                "union_n": out["union_n"].astype("int64"),
+            }
+        )
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    return bucketed_group_agg(
+        exact_t.union(est_t), ["doc_a", "doc_b"], merge, num_buckets=nb
+    )

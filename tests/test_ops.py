@@ -2904,3 +2904,59 @@ def test_systematic_weight_sample_boundary_semantics(ray_session, tmp_path):
     )
     out = systematic_weight_sample(str(tmp_path)).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3, 4]
+
+
+def test_minhash_calibration_exact_and_signature_agreement(ray_session, tmp_path):
+    """Identical shingle sets give est_matches == n_perms exactly; a
+    partial-overlap pair's est matches a brute-force recompute of the
+    same salted-minhash definition; inter/union are the exact set sizes.
+    doc_ids chosen % 10 != 0 so the corpus augment adds no copies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import (
+        MINHASH_CAL_PERMS,
+        _md5_64,
+        minhash_calibration,
+    )
+
+    base = "a b c d e f g h"          # 6 shingles
+    half = "a b c d e f x y"          # shares 4 of its 6 (jaccard 4/8 = 0.5)
+    rows = [(1, base), (2, base), (3, half)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        minhash_calibration(str(tmp_path))
+        .to_pandas()
+        .set_index(["doc_a", "doc_b"])
+        .sort_index()
+    )
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def sig(t):
+        return [
+            min(_md5_64(f"{s}|{p}") for s in shingles(t))
+            for p in range(MINHASH_CAL_PERMS)
+        ]
+
+    sa, sb = shingles(base), shingles(half)
+    inter, union = len(sa & sb), len(sa | sb)
+    assert inter * 2 >= union  # the pair qualifies (jaccard = 0.5 exactly... )
+    exp_est = sum(x == y for x, y in zip(sig(base), sig(half)))
+
+    assert out.loc[(1, 2), "est_matches"] == MINHASH_CAL_PERMS  # identical sets
+    assert out.loc[(1, 2), ["inter_n", "union_n"]].tolist() == [6, 6]
+    for a in (1, 2):
+        r = out.loc[(a, 3)]
+        assert r["inter_n"] == inter and r["union_n"] == union
+        assert r["est_matches"] == exp_est
