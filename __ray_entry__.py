@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
+        "audio_chunk_plan": media_ops.audio_chunk_plan,
         "media_dedup": media_ops.media_dedup,
         "video_frame_sample": media_ops.video_frame_sample,
     }
@@ -531,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         FRAME_SAMPLE_SQL,
         MEDIA_DEDUP_SQL,
         MEDIA_META_SQL,
+        AUDIO_CHUNK_PLAN_SQL,
     )
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
@@ -822,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": KNN_GRAPH_SQL,
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
+        "audio_chunk_plan": AUDIO_CHUNK_PLAN_SQL,
         "media_dedup": MEDIA_DEDUP_SQL,
         "video_frame_sample": FRAME_SAMPLE_SQL,
     }

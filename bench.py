@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "systematic_weight_sample",
     # sketch-quality audit
     "minhash_calibration",
+    # multimodal decode-window planning
+    "audio_chunk_plan",
 ]
 
 

@@ -11,6 +11,8 @@ whole pipeline has an exact SQL twin (MEDIA_META_SQL) — the plumbing
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -211,3 +213,72 @@ def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
         )
 
     return frames.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# audio_chunk_plan: fixed-window chunking plan for audio/video assets — the
+# placement step an ASR / caption pipeline runs before decoding: every
+# asset becomes ceil((dur-W)/S)+1 windows of width W at stride S (overlap
+# W-S), each a decode-actor work unit. The duration is derived
+# deterministically from the payload byte length (no codecs in this
+# container — the plan arithmetic and plumbing are the real part, the
+# probe is the stub, same boundary as media_meta's dimensions).
+# ---------------------------------------------------------------------------
+
+CHUNK_W_MS = 30_000
+CHUNK_S_MS = 25_000
+
+AUDIO_CHUNK_PLAN_SQL = f"""
+WITH m AS (
+  SELECT 'm-' || doc_id AS media_ref,
+         CAST((strlen(text) * 7) % 120000 + 1000 AS BIGINT) AS dur
+  FROM documents
+),
+g AS (
+  SELECT media_ref, dur,
+         UNNEST(generate_series(0, dur - 1, {CHUNK_S_MS})) AS start_ms
+  FROM m
+)
+SELECT media_ref,
+       CAST(start_ms // {CHUNK_S_MS} AS BIGINT) AS chunk_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(LEAST(start_ms + {CHUNK_W_MS}, dur) AS BIGINT) AS end_ms
+FROM g
+"""
+
+
+def audio_chunk_plan(sf_dir: str) -> ray.data.Dataset:
+    """(media_ref, chunk_idx, start_ms, end_ms) decode windows.
+
+    Scale shape: stateless per-batch arithmetic expansion (repeat +
+    offset arange — no Python loop); output rows ∝ total media DURATION,
+    not asset count, so the plan streams straight into the decode actor
+    pool with chunk-sized work units regardless of how skewed individual
+    asset lengths are — the skew defusal IS the op."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plan(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_pylist()
+        L = np.array(
+            [len(t.encode("utf-8")) for t in b["text"].to_pylist()], dtype="int64"
+        )
+        dur = (L * 7) % 120_000 + 1000
+        n = (dur + CHUNK_S_MS - 1) // CHUNK_S_MS  # = |starts in [0, dur)|
+        total = int(n.sum())
+        ref = np.repeat(np.array([f"m-{d}" for d in ids], dtype=object), n)
+        starts_base = np.repeat(np.concatenate([[0], np.cumsum(n)[:-1]]), n)
+        idx = np.arange(total) - starts_base
+        start = idx * CHUNK_S_MS
+        end = np.minimum(start + CHUNK_W_MS, np.repeat(dur, n))
+        return pd.DataFrame(
+            {
+                "media_ref": ref,
+                "chunk_idx": idx.astype("int64"),
+                "start_ms": start.astype("int64"),
+                "end_ms": end.astype("int64"),
+            }
+        )
+
+    return docs.map_batches(plan, batch_format="pyarrow")

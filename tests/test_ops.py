@@ -2960,3 +2960,38 @@ def test_minhash_calibration_exact_and_signature_agreement(ray_session, tmp_path
         r = out.loc[(a, 3)]
         assert r["inter_n"] == inter and r["union_n"] == union
         assert r["est_matches"] == exp_est
+
+
+def test_audio_chunk_plan_window_arithmetic(ray_session, tmp_path):
+    """Window plan on crafted durations: a short asset yields one clamped
+    chunk; a long one yields stride-25s windows of width 30s with a final
+    partial window; chunk_idx is dense from 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.media_ops import audio_chunk_plan
+
+    # dur = (L*7) % 120000 + 1000.  L=100 -> 1700ms (1 chunk).
+    # L=10100 -> 70700+1000 = 71700ms -> starts 0,25000,50000 (3 chunks).
+    texts = {1: "x" * 100, 2: "y" * 10100}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[d] for d in sorted(texts)],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        audio_chunk_plan(str(tmp_path))
+        .to_pandas()
+        .sort_values(["media_ref", "chunk_idx"])
+    )
+    rows = [tuple(r) for r in out.to_numpy()]
+    assert rows == [
+        ("m-1", 0, 0, 1700),
+        ("m-2", 0, 0, 30000),
+        ("m-2", 1, 25000, 55000),
+        ("m-2", 2, 50000, 71700),
+    ]
