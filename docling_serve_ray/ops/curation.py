@@ -2810,70 +2810,76 @@ def rank_blend(sf_dir: str) -> ray.data.Dataset:
     """Per-doc (rank_chars, rank_words, blend) — two exact global
     rankings fused without ANY all-to-all sort.
 
-    Scale shape: each signal ranks via the global_rank machinery (its
-    value domain is bounded, so a tiny histogram → driver cumulative
-    offsets → one bucketed reduce with complete value groups assigns
-    exact ranks); the two tagged (doc_id, rank) streams union and a
-    third thin bucketed reduce on doc_id pivots them side by side. Three
-    shuffles, each carrying two int64s per doc; the text is read once
-    and dropped at the first map."""
+    Scale shape: the two signals MELT into one (doc_id, tag, v) stream
+    so both rank via the global_rank machinery in SHARED passes (the
+    per-shuffle fixed tax dominates thin exchanges on this Ray — TODO
+    lesson #3 — so 2 signals × 2 passes fold into 2): one bucketed
+    histogram over the bounded (tag, value) domain → per-tag driver
+    cumulative offsets → one bucketed reduce with complete (tag, value)
+    groups assigns exact ranks; a third thin reduce on doc_id pivots the
+    tagged ranks side by side. Three shuffles total, each carrying three
+    int64s per doc; the text is read once and dropped at the first map."""
     from .shuffle import bucketed_group_agg
 
     docs = _docs(sf_dir, columns=("doc_id", "n_chars", "text"))
 
-    def feats(b: pd.DataFrame) -> pd.DataFrame:
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64").to_numpy()
+        chars = b["n_chars"].astype("int64").to_numpy()
+        words = b["text"].str.split(" ").str.len().astype("int64").to_numpy()
         return pd.DataFrame(
             {
-                "doc_id": b["doc_id"].astype("int64"),
-                "n_chars": b["n_chars"].astype("int64"),
-                "n_words": b["text"].str.split(" ").str.len().astype("int64"),
+                "doc_id": np.concatenate([ids, ids]),
+                "tag": np.repeat(np.array([0, 1], dtype="int64"), len(ids)),
+                "v": np.concatenate([chars, words]),
             }
         )
 
-    features = docs.map_batches(feats, batch_format="pandas").materialize()
+    melted = docs.map_batches(melt, batch_format="pandas").materialize()
 
-    def rank_stream(col: str, tag: int) -> ray.data.Dataset:
-        def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
-            out = b.groupby(col, as_index=False).size()
-            return out.rename(columns={"size": "cnt"}).astype(
-                {col: "int64", "cnt": "int64"}
-            )
-
-        def hist_final(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby(col, as_index=False)["cnt"].sum()
-            return out.astype({col: "int64", "cnt": "int64"})
-
-        hist = (
-            bucketed_group_agg(
-                features.select_columns(["doc_id", col]),
-                [col], hist_final, partial_fn=hist_partial, num_buckets=16,
-            )
-            .to_pandas()
-            .sort_values(col, ascending=False)
-        )
-        offs = dict(
-            zip(hist[col].to_numpy(), (hist["cnt"].cumsum() - hist["cnt"]).to_numpy())
-        )
-        offs_ref = ray.put(offs)
-
-        def per_value(g: pd.DataFrame) -> pd.DataFrame:
-            offs_ = ray.get(offs_ref)
-            g = g.sort_values([col, "doc_id"], ascending=[False, True])
-            local = g.groupby(col, sort=False).cumcount() + 1
-            base = g[col].map(offs_).to_numpy()
-            return pd.DataFrame(
-                {
-                    "doc_id": g["doc_id"].astype("int64").to_numpy(),
-                    "tag": np.full(len(g), tag, dtype="int64"),
-                    "rank": (base + local.to_numpy()).astype("int64"),
-                }
-            )
-
-        return bucketed_group_agg(
-            features.select_columns(["doc_id", col]), [col], per_value
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["tag", "v"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype(
+            {"tag": "int64", "v": "int64", "cnt": "int64"}
         )
 
-    tagged = rank_stream("n_chars", 0).union(rank_stream("n_words", 1))
+    def hist_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["tag", "v"], as_index=False)["cnt"].sum()
+        return out.astype({"tag": "int64", "v": "int64", "cnt": "int64"})
+
+    hist = (
+        bucketed_group_agg(
+            melted, ["tag", "v"], hist_final, partial_fn=hist_partial,
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["tag", "v"], ascending=[True, False])
+    )
+    offs = {}
+    for tag, g in hist.groupby("tag"):
+        offs[int(tag)] = dict(
+            zip(g["v"].to_numpy(), (g["cnt"].cumsum() - g["cnt"]).to_numpy())
+        )
+    offs_ref = ray.put(offs)
+
+    def per_value(g: pd.DataFrame) -> pd.DataFrame:
+        offs_ = ray.get(offs_ref)
+        g = g.sort_values(["tag", "v", "doc_id"], ascending=[True, False, True])
+        local = g.groupby(["tag", "v"], sort=False).cumcount() + 1
+        base = np.fromiter(
+            (offs_[t][v] for t, v in zip(g["tag"].to_numpy(), g["v"].to_numpy())),
+            dtype="int64",
+            count=len(g),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "tag": g["tag"].astype("int64").to_numpy(),
+                "rank": (base + local.to_numpy()).astype("int64"),
+            }
+        )
+
+    tagged = bucketed_group_agg(melted, ["tag", "v"], per_value)
 
     def pivot(g: pd.DataFrame) -> pd.DataFrame:
         p = g.pivot(index="doc_id", columns="tag", values="rank").reset_index()

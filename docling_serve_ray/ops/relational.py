@@ -3932,6 +3932,28 @@ def time_weighted_value(
 
     events = ds.map_batches(to_cents, batch_format="pandas")
 
+    if slice_width is None:
+        # whole users co-locate anyway -> numerator AND span in ONE pass
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id"], max_group_rows, "time_weighted_value")
+            num = _twap_local(g)
+            ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            span = (
+                pd.DataFrame({"user_id": g["user_id"].to_numpy(), "t": ts_us})
+                .groupby("user_id", as_index=False)
+                .agg(lo=("t", "min"), hi=("t", "max"))
+            )
+            out = span.merge(num, on="user_id", how="left")
+            return pd.DataFrame(
+                {
+                    "user_id": out["user_id"].astype("int64"),
+                    "twap_num": out["num"].fillna(0).astype("int64"),
+                    "twap_den": (out["hi"] - out["lo"]).astype("int64"),
+                }
+            )
+
+        return bucketed_group_agg(events, ["user_id"], per_user, num_buckets=nb)
+
     # exact per-user span: plain (min, max) combiner, never skew-bound
     def span_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("user_id", as_index=False).agg(
@@ -3953,64 +3975,57 @@ def time_weighted_value(
         num_buckets=min(nb, 64),
     )
 
-    if slice_width is None:
-        def per_user(g: pd.DataFrame) -> pd.DataFrame:
-            _guard_group_rows(g, ["user_id"], max_group_rows, "time_weighted_value")
-            return _twap_local(g)
+    width = pd.Timedelta(slice_width)
+    sliced = events.map_batches(
+        lambda b: b.assign(_slice=b["ts"].dt.floor(width)),
+        batch_format="pandas",
+    )
 
-        nums = bucketed_group_agg(events, ["user_id"], per_user, num_buckets=nb)
-    else:
-        width = pd.Timedelta(slice_width)
-        sliced = events.map_batches(
-            lambda b: b.assign(_slice=b["ts"].dt.floor(width)),
-            batch_format="pandas",
+    def last_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.sort_values(["user_id", "_slice", "ts", "event_id"],
+                          kind="stable")
+        return p.drop_duplicates(["user_id", "_slice"], keep="last")
+
+    def carry_final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.sort_values(["user_id", "_slice", "ts", "event_id"],
+                          kind="stable")
+        a = a.drop_duplicates(["user_id", "_slice"], keep="last")
+        nxt_slice = a.groupby("user_id", sort=False)["_slice"].shift(-1)
+        take = nxt_slice.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": np.full(int(take.sum()), -1, dtype="int64"),
+                "user_id": a["user_id"].to_numpy()[take],
+                "ts": pd.Series(a["ts"].to_numpy()[take]),
+                "cents": a["cents"].to_numpy()[take],
+                "_slice": nxt_slice.to_numpy()[take],
+            }
         )
 
-        def last_partial(b: pd.DataFrame) -> pd.DataFrame:
-            p = b.sort_values(["user_id", "_slice", "ts", "event_id"],
-                              kind="stable")
-            return p.drop_duplicates(["user_id", "_slice"], keep="last")
+    carry = bucketed_group_agg(
+        sliced, ["user_id"], carry_final, partial_fn=last_partial,
+        num_buckets=min(nb, 64),
+    )
+    full = sliced.union(carry)
 
-        def carry_final(g: pd.DataFrame) -> pd.DataFrame:
-            a = g.sort_values(["user_id", "_slice", "ts", "event_id"],
-                              kind="stable")
-            a = a.drop_duplicates(["user_id", "_slice"], keep="last")
-            nxt_slice = a.groupby("user_id", sort=False)["_slice"].shift(-1)
-            take = nxt_slice.notna().to_numpy()
-            return pd.DataFrame(
-                {
-                    "event_id": np.full(int(take.sum()), -1, dtype="int64"),
-                    "user_id": a["user_id"].to_numpy()[take],
-                    "ts": pd.Series(a["ts"].to_numpy()[take]),
-                    "cents": a["cents"].to_numpy()[take],
-                    "_slice": nxt_slice.to_numpy()[take],
-                }
-            )
-
-        carry = bucketed_group_agg(
-            sliced, ["user_id"], carry_final, partial_fn=last_partial,
-            num_buckets=min(nb, 64),
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(
+            g, ["user_id", "_slice"], max_group_rows, "time_weighted_value"
         )
-        full = sliced.union(carry)
+        # the carry's segment (prev slice's last event -> this slice's
+        # first) lands here; its ts < every in-slice ts by construction
+        return _twap_local(g)
 
-        def per_group(g: pd.DataFrame) -> pd.DataFrame:
-            _guard_group_rows(
-                g, ["user_id", "_slice"], max_group_rows, "time_weighted_value"
-            )
-            # the carry's segment (prev slice's last event -> this slice's
-            # first) lands here; its ts < every in-slice ts by construction
-            return _twap_local(g)
+    partials = bucketed_group_agg(
+        full, ["user_id", "_slice"], per_group, num_buckets=nb
+    )
 
-        partials = bucketed_group_agg(
-            full, ["user_id", "_slice"], per_group, num_buckets=nb
-        )
+    def num_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["num"].sum()
 
-        def num_final(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("user_id", as_index=False)["num"].sum()
-
-        nums = bucketed_group_agg(
-            partials, ["user_id"], num_final, num_buckets=min(nb, 64)
-        )
+    nums = bucketed_group_agg(
+        partials, ["user_id"], num_final, num_buckets=min(nb, 64)
+    )
 
     # span rows exist for every user; numerator rows only for multi-event
     # users — tag-union merge keyed on user_id
