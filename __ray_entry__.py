@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_ma": relational.monthly_revenue_ma,
         "json_props_stats": relational.json_props_stats,
         "value_outliers": relational.value_outliers,
+        "mad_outliers": relational.mad_outliers,
         "weekly_active_users": relational.weekly_active_users,
         "sliding_window_counts": relational.sliding_window_counts,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -191,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue": analytics.discount_revenue,
         "brand_qty_revenue": analytics.brand_qty_revenue,
         "benford_digits": analytics.benford_digits,
+        "brand_itemsets3": analytics.brand_itemsets3,
         "segment_repeat_customers": analytics.segment_repeat_customers,
         "global_sales_opportunity": analytics.global_sales_opportunity,
         "sole_return_supplier": analytics.sole_return_supplier,
@@ -232,11 +234,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_encode_ordered": curation.dict_encode_ordered,
         "source_ks_distance": curation.source_ks_distance,
         "systematic_weight_sample": curation.systematic_weight_sample,
+        "lang_source_independence": curation.lang_source_independence,
         "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
         "media_meta": media_ops.media_meta,
         "audio_chunk_plan": media_ops.audio_chunk_plan,
+        "aspect_bucket_plan": media_ops.aspect_bucket_plan,
         "media_dedup": media_ops.media_dedup,
         "video_frame_sample": media_ops.video_frame_sample,
     }
@@ -477,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         DICT_ENCODE_ORDERED_SQL,
         SOURCE_KS_DISTANCE_SQL,
         SYSTEMATIC_WEIGHT_SAMPLE_SQL,
+        LANG_SOURCE_INDEPENDENCE_SQL,
         SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
@@ -503,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         DISCOUNT_REVENUE_SQL,
         BRAND_QTY_REVENUE_SQL,
         BENFORD_DIGITS_SQL,
+        BRAND_ITEMSETS3_SQL,
         SEGMENT_REPEAT_CUSTOMERS_SQL,
         GLOBAL_SALES_OPPORTUNITY_SQL,
         SOLE_RETURN_SUPPLIER_SQL,
@@ -533,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         MEDIA_DEDUP_SQL,
         MEDIA_META_SQL,
         AUDIO_CHUNK_PLAN_SQL,
+        ASPECT_BUCKET_PLAN_SQL,
     )
     from docling_serve_ray.ops.relational import (
         AGG_PRICING_SQL,
@@ -559,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         MONTHLY_REVENUE_MA_SQL,
         JSON_PROPS_STATS_SQL,
         VALUE_OUTLIERS_SQL,
+        MAD_OUTLIERS_SQL,
         WEEKLY_ACTIVE_USERS_SQL,
         SLIDING_WINDOW_COUNTS_SQL,
         BLOOM_SEMI_JOIN_SQL,
@@ -746,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_ma": MONTHLY_REVENUE_MA_SQL,
         "json_props_stats": JSON_PROPS_STATS_SQL,
         "value_outliers": VALUE_OUTLIERS_SQL,
+        "mad_outliers": MAD_OUTLIERS_SQL,
         "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
         "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
@@ -776,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "discount_revenue": DISCOUNT_REVENUE_SQL,
         "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
         "benford_digits": BENFORD_DIGITS_SQL,
+        "brand_itemsets3": BRAND_ITEMSETS3_SQL,
         "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
         "global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
         "sole_return_supplier": SOLE_RETURN_SUPPLIER_SQL,
@@ -817,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_encode_ordered": DICT_ENCODE_ORDERED_SQL,
         "source_ks_distance": SOURCE_KS_DISTANCE_SQL,
         "systematic_weight_sample": SYSTEMATIC_WEIGHT_SAMPLE_SQL,
+        "lang_source_independence": LANG_SOURCE_INDEPENDENCE_SQL,
         "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,
@@ -825,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_brand_types": DISTINCT_BRAND_TYPES_SQL,
         "media_meta": MEDIA_META_SQL,
         "audio_chunk_plan": AUDIO_CHUNK_PLAN_SQL,
+        "aspect_bucket_plan": ASPECT_BUCKET_PLAN_SQL,
         "media_dedup": MEDIA_DEDUP_SQL,
         "video_frame_sample": FRAME_SAMPLE_SQL,
     }

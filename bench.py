@@ -243,6 +243,11 @@ BENCH_QUERIES = [
     "minhash_calibration",
     # multimodal decode-window planning
     "audio_chunk_plan",
+    # round-5 second-continuation wave
+    "lang_source_independence",
+    "aspect_bucket_plan",
+    "mad_outliers",
+    "brand_itemsets3",
 ]
 
 

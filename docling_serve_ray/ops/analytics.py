@@ -3435,3 +3435,88 @@ def benford_digits(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"digit": dig.astype("int64"), "n": cnt.astype("int64")})
 
     return histogram_merge(ds.map_batches(partial, batch_format="pandas"), "digit", "n")
+
+
+# --- brand-level 3-itemset market baskets -------------------------------------------
+
+ITEMSETS3_TOP_K = 20
+
+BRAND_ITEMSETS3_SQL = """
+WITH d AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+t AS (
+  SELECT a.b AS b1, x.b AS b2, c.b AS b3, CAST(count(*) AS BIGINT) AS support
+  FROM d a
+  JOIN d x ON x.o = a.o AND a.b < x.b
+  JOIN d c ON c.o = a.o AND x.b < c.b
+  GROUP BY a.b, x.b, c.b
+)
+SELECT b1, b2, b3, support,
+       CAST(row_number() OVER (ORDER BY support DESC, b1, b2, b3) AS BIGINT)
+         AS rank
+FROM t
+QUALIFY row_number() OVER (ORDER BY support DESC, b1, b2, b3) <= 20
+"""
+
+
+def brand_itemsets3(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 brand 3-itemsets by basket support — category-level
+    market-basket mining (the a-priori family's frequent-triple census;
+    raw part triples are support-1 noise at every SF, while the brand
+    rollup is where co-purchase structure lives). Exact, no sampling.
+
+    Scale shape: the fact scan projects two int64 columns and attaches
+    brand via the size-gated dimension broadcast (_broadcast_dim
+    contract); ONE bucketed shuffle on l_orderkey delivers complete
+    baskets, each bucket emits its triples with two vectorized pandas
+    self-merges (basket size is bounded by order width, so the expansion
+    is C(width,3) per order, never quadratic in the corpus) and
+    collapses them to partial counts over the C(|brands|,3) — bounded —
+    triple domain; one merge task finishes and ranks. Driver state
+    O(|brands|³) worst case, in practice the observed triples."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    brand_ref = _broadcast_dim(f"{sf_dir}/part.parquet", "p_partkey", "p_brand")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o": b["l_orderkey"],
+             "b": _lookup(brand_ref, b["l_partkey"].to_numpy())}
+        ).drop_duplicates()
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()  # complete baskets: exact distinct
+        pairs = d.merge(d, on="o", suffixes=("1", "2"))
+        pairs = pairs.loc[pairs["b1"] < pairs["b2"]]
+        trip = pairs.merge(d, on="o")
+        trip = trip.loc[trip["b2"] < trip["b"]]
+        cnt = (
+            trip.groupby(["b1", "b2", "b"], as_index=False).size()
+            .rename(columns={"b": "b3", "size": "support"})
+        )
+        return cnt.astype({"support": "int64"})
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/lineitem.parquet"))
+    parts = bucketed_group_agg(
+        ds.map_batches(attach, batch_format="pandas"), ["o"], triples,
+        num_buckets=nb,
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(["b1", "b2", "b3"], as_index=False)["support"].sum()
+        s = s.sort_values(
+            ["support", "b1", "b2", "b3"], ascending=[False, True, True, True]
+        ).head(ITEMSETS3_TOP_K)
+        return s.assign(
+            support=s["support"].astype("int64"),
+            rank=pd.Series(range(1, len(s) + 1), dtype="int64").to_numpy(),
+        )
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

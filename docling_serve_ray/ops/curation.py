@@ -3177,3 +3177,83 @@ def systematic_weight_sample(sf_dir: str) -> ray.data.Dataset:
         return b.loc[keep, ["doc_id", "n_tokens", "tok_offset"]]
 
     return packed.map_batches(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# lang × source independence audit (exact-integer chi-square contingency)
+# ---------------------------------------------------------------------------
+
+LANG_SOURCE_INDEPENDENCE_SQL = """
+WITH o AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY lang),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY source),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+SELECT o.lang, o.source, o.obs AS observed,
+       CAST(CAST(r.rt AS HUGEINT) * c.ct * 1000000 // n.nn AS BIGINT)
+         AS expected_ppm,
+       CAST((CAST(n.nn AS HUGEINT) * o.obs - CAST(r.rt AS HUGEINT) * c.ct)
+            * (CAST(n.nn AS HUGEINT) * o.obs - CAST(r.rt AS HUGEINT) * c.ct)
+            * 1000000
+            // (CAST(n.nn AS HUGEINT) * r.rt * c.ct) AS BIGINT)
+         AS chi2_micro
+FROM o JOIN r ON r.lang = o.lang JOIN c ON c.source = o.source, n
+"""
+
+
+def lang_source_independence(sf_dir: str) -> ray.data.Dataset:
+    """Chi-square contingency audit of the (lang, source) taxonomy — the
+    corpus-composition drift check a curation pipeline runs to catch a
+    source whose language mix shifted (crawler regression, mislabeled
+    shard). Per observed cell: count, independence-expected count (ppm)
+    and the cell's chi-square contribution (micro-scaled) — all exact
+    integers, so the audit hash-matches the SQL twin bit-for-bit (the
+    float chi-square is one division away for a human reader).
+
+    Scale shape: the cell domain is the langs × sources taxonomy —
+    structurally bounded — so each batch collapses to a tiny crosstab
+    partial and ONE merge task finishes with exact Python-int arithmetic
+    (the HUGEINT-parity lesson: (N·o − r·c)² overflows int64 at corpus
+    scale; Python ints mirror the oracle's HUGEINT, and past HUGEINT's
+    own 2^127 ceiling — N ≳ 10^18 — only this side stays exact). No
+    shuffle, no driver state beyond the taxonomy."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["lang", "source"], as_index=False).size()
+        return pd.DataFrame(
+            {"cell": g["lang"] + "|" + g["source"],
+             "n": g["size"].astype("int64")}
+        )
+
+    merged = ds.map_batches(partial, batch_format="pandas")
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.groupby("cell", as_index=False)["n"].sum()
+        cells = b["cell"].str.split("|", n=1, expand=True)
+        o = pd.DataFrame(
+            {"lang": cells[0], "source": cells[1],
+             "obs": b["n"].astype("int64")}
+        )
+        rt = {k: int(v) for k, v in o.groupby("lang")["obs"].sum().items()}
+        ct = {k: int(v) for k, v in o.groupby("source")["obs"].sum().items()}
+        nn = sum(rt.values())
+        exp_ppm, chi_mic = [], []
+        for lang, src, obs in zip(o["lang"], o["source"], o["obs"]):
+            r, c, ob = rt[lang], ct[src], int(obs)
+            exp_ppm.append(r * c * 1_000_000 // nn)
+            d = nn * ob - r * c
+            chi_mic.append(d * d * 1_000_000 // (nn * r * c))
+        return pd.DataFrame(
+            {"lang": o["lang"], "source": o["source"], "observed": o["obs"],
+             "expected_ppm": pd.Series(exp_ppm, dtype="int64"),
+             "chi2_micro": pd.Series(chi_mic, dtype="int64")}
+        )
+
+    return merged.repartition(1).map_batches(
+        stats, batch_format="pandas", batch_size=None
+    )

@@ -282,3 +282,92 @@ def audio_chunk_plan(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(plan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# aspect_bucket_plan: NaViT/SDXL-style aspect-ratio bucket assignment — every
+# multi-resolution image-training pipeline groups images into a fixed set of
+# aspect buckets so a batch shares one tensor shape; the assignment must be
+# deterministic and skew-visible (one bucket hoarding the corpus means padding
+# waste). Dims come from the same deterministic stub rule as media_meta (no
+# image libs in this container — the probe boundary is identical).
+# ---------------------------------------------------------------------------
+
+ASPECT_BUCKETS = (
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+)
+
+ASPECT_BUCKET_PLAN_SQL = f"""
+WITH m AS (
+  SELECT doc_id, strlen(text) AS L FROM documents
+),
+d AS (
+  SELECT doc_id,
+         CAST(64 + L % 997 AS BIGINT) AS w,
+         CAST(64 + (L * 31) % 997 AS BIGINT) AS h
+  FROM m
+),
+b(idx, bw, bh) AS (VALUES {", ".join(f"({i},{w},{h})" for i, (w, h) in enumerate(ASPECT_BUCKETS))}),
+a AS (
+  SELECT d.w, d.h, b.bw, b.bh,
+         row_number() OVER (
+           PARTITION BY d.doc_id ORDER BY abs(d.w * b.bh - d.h * b.bw), b.idx
+         ) AS rn
+  FROM d CROSS JOIN b
+)
+SELECT CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w * h) AS BIGINT) AS sum_src_pixels
+FROM a WHERE rn = 1 GROUP BY bw, bh
+"""
+
+
+def aspect_bucket_plan(sf_dir: str) -> ray.data.Dataset:
+    """Per-aspect-bucket image counts + source-pixel mass. Assignment
+    minimizes the exact integer cross-product |w·bh − h·bw| (equivalent
+    to nearest aspect ratio, with no float-division boundary risk); ties
+    break to the lower bucket index. Scale shape: a stateless vectorized
+    map computes each batch's (len × |buckets|) difference matrix and
+    argmin (numpy argmin = first minimum = the tie rule), collapses to a
+    ≤|buckets|-cell partial, and ONE merge task finishes — the bucket
+    taxonomy is structurally bounded, so no shuffle at all."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    bw = np.array([b[0] for b in ASPECT_BUCKETS], dtype="int64")
+    bh = np.array([b[1] for b in ASPECT_BUCKETS], dtype="int64")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        L = np.array(
+            [len(t.encode("utf-8")) for t in b["text"].to_pylist()], dtype="int64"
+        )
+        w = 64 + L % 997
+        h = 64 + (L * 31) % 997
+        diff = np.abs(w[:, None] * bh[None, :] - h[:, None] * bw[None, :])
+        idx = diff.argmin(axis=1)
+        n = np.bincount(idx, minlength=len(ASPECT_BUCKETS))
+        px = np.zeros(len(ASPECT_BUCKETS), dtype="int64")  # exact int64,
+        np.add.at(px, idx, w * h)  # not bincount's float64 weights
+        keep = n > 0
+        return pd.DataFrame(
+            {"idx": np.flatnonzero(keep).astype("int64"),
+             "n": n[keep].astype("int64"), "px": px[keep]}
+        )
+
+    merged = docs.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("idx", as_index=False).agg(
+            n_images=("n", "sum"), sum_src_pixels=("px", "sum")
+        )
+        i = s["idx"].to_numpy()
+        return pd.DataFrame(
+            {"bucket_w": bw[i], "bucket_h": bh[i],
+             "n_images": s["n_images"].astype("int64"),
+             "sum_src_pixels": s["sum_src_pixels"].astype("int64")}
+        )
+
+    return merged.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

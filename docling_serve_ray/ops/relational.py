@@ -4060,3 +4060,137 @@ def time_weighted_value(
         )
 
     return bucketed_group_agg(tagged, ["user_id"], merge, num_buckets=min(nb, 64))
+
+
+# --- robust outliers: exact median/MAD rule in pure integer arithmetic -----------
+
+# The 2-sigma rule (value_outliers) is itself skewed by the outliers it
+# hunts; the robust form is |x - median| > 3 * MAD. Both medians can be
+# half-integers on even counts, so the whole predicate is multiplied
+# through by 4: with med2 = (two middle values summed) and dev = |2x - med2|
+# (an exact integer), MAD = median(dev)/4·2 ... precisely:
+# |x - med| = dev/2 and 3·MAD = 3·dev_med2/4, so the integer predicate is
+# 2·dev > 3·dev_med2. Both engines evaluate the SAME integers — bit-exact.
+MAD_OUTLIERS_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+m AS (
+  SELECT event_type,
+         SUM(CASE WHEN rn = (n - 1) // 2 + 1 THEN c ELSE 0 END)
+       + SUM(CASE WHEN rn = n // 2 + 1 THEN c ELSE 0 END) AS med2
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT v.event_id, v.event_type, v.c,
+         abs(2 * v.c - m.med2) AS dev
+  FROM v JOIN m USING (event_type)
+),
+dr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+dm AS (
+  SELECT event_type,
+         SUM(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev ELSE 0 END)
+       + SUM(CASE WHEN rn = n // 2 + 1 THEN dev ELSE 0 END) AS dev_med2
+  FROM dr GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, CAST(d.c AS BIGINT) AS value_c,
+       CAST(d.dev AS BIGINT) AS dev2
+FROM d JOIN dm USING (event_type)
+WHERE 2 * d.dev > 3 * dm.dev_med2
+"""
+
+
+def mad_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Median/MAD robust outliers per event_type — the outlier screen
+    that is not corrupted by its own targets (value_outliers' 2-sigma
+    threshold inflates with every extreme value; median and MAD are
+    50%-breakdown estimators). Exact by construction: the value domain
+    is 2-decimal cents, so per-(type, cents) histograms are complete
+    sufficient statistics; the deviation histogram is a pure relabeling
+    of the value histogram (dev = |2c − med2|), so BOTH medians come
+    from the same table with zero extra passes over the data.
+
+    Scale shape: per-batch (type, cents) partial counts → one bucketed
+    reduce → ONE stats task (cell domain = types × distinct cents — a
+    data-grid property, not corpus-sized) computes med2/dev_med2 per
+    type by cumsum + searchsorted; the tiny per-type table broadcasts
+    (ray.put) into a stateless vectorized filter pass. Two scans of the
+    fact table, one thin int64 shuffle, O(cells) driver state."""
+    from .shuffle import bucketed_group_agg
+
+    path = f"{sf_dir}/events.parquet"
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": b["event_id"], "event_type": b["event_type"],
+             "c": np.floor(b["value"].to_numpy() * 100 + 0.5).astype("int64")}
+        )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["event_type", "c"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    ds = ray.data.read_parquet(path, columns=["event_id", "event_type", "value"])
+    cells = bucketed_group_agg(
+        ds.map_batches(cents, batch_format="pandas").map_batches(
+            hist_partial, batch_format="pandas"
+        ),
+        ["event_type", "c"],
+        lambda g: g.groupby(["event_type", "c"], as_index=False)["n"].sum(),
+        num_buckets=64,
+    )
+
+    def per_type_stats(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in b.groupby("event_type"):
+            g = g.sort_values("c")
+            cv = g["c"].to_numpy(dtype="int64")
+            cn = g["n"].to_numpy(dtype="int64")
+            cum = np.cumsum(cn)
+            n = int(cum[-1])
+            lo, hi = (n - 1) // 2, n // 2  # 0-indexed middle positions
+            med2 = int(cv[np.searchsorted(cum, lo + 1)]) + int(
+                cv[np.searchsorted(cum, hi + 1)]
+            )
+            dev = np.abs(2 * cv - med2)
+            o = np.argsort(dev, kind="stable")
+            dcum = np.cumsum(cn[o])
+            dev_med2 = int(dev[o][np.searchsorted(dcum, lo + 1)]) + int(
+                dev[o][np.searchsorted(dcum, hi + 1)]
+            )
+            rows.append((t, med2, dev_med2))
+        return pd.DataFrame(rows, columns=["event_type", "med2", "dev_med2"])
+
+    stats = (
+        cells.repartition(1)
+        .map_batches(per_type_stats, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    ref = ray.put(
+        {r.event_type: (int(r.med2), int(r.dev_med2)) for r in stats.itertuples()}
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        b = cents(b)
+        med2 = b["event_type"].map(lambda t: st[t][0]).to_numpy(dtype="int64")
+        thr = b["event_type"].map(lambda t: st[t][1]).to_numpy(dtype="int64")
+        dev = np.abs(2 * b["c"].to_numpy() - med2)
+        out = b.loc[2 * dev > 3 * thr].copy()
+        out["dev2"] = dev[2 * dev > 3 * thr]
+        return out.rename(columns={"c": "value_c"}).astype(
+            {"value_c": "int64", "dev2": "int64"}
+        )
+
+    return ds.map_batches(pick, batch_format="pandas")

@@ -2995,3 +2995,127 @@ def test_audio_chunk_plan_window_arithmetic(ray_session, tmp_path):
         ("m-2", 1, 25000, 55000),
         ("m-2", 2, 50000, 71700),
     ]
+
+
+def test_lang_source_independence_exact_chi2(ray_session, tmp_path):
+    """Hand-computed 2x2 contingency: every cell deviates by the same
+    |N*o - r*c| = 8, so all four chi2_micro contributions are equal and
+    expected_ppm is the exact integer floor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import lang_source_independence
+
+    langs = ["en"] * 4 + ["fr"] * 4
+    srcs = ["web", "web", "web", "wiki", "web", "wiki", "wiki", "wiki"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "lang": pa.array(langs), "source": pa.array(srcs)}),
+        tmp_path / "documents.parquet",
+    )
+    out = lang_source_independence(str(tmp_path)).to_pandas()
+    got = {
+        (r.lang, r.source): (r.observed, r.expected_ppm, r.chi2_micro)
+        for r in out.itertuples()
+    }
+    # N=8, every row/col total 4 -> expected = 2 (2_000_000 ppm);
+    # |8*obs - 16| = 8 for every cell -> 64*1e6 // 128 = 500_000
+    assert got == {
+        ("en", "web"): (3, 2_000_000, 500_000),
+        ("en", "wiki"): (1, 2_000_000, 500_000),
+        ("fr", "web"): (1, 2_000_000, 500_000),
+        ("fr", "wiki"): (3, 2_000_000, 500_000),
+    }
+
+
+def test_aspect_bucket_plan_exact_ratio_and_square(ray_session, tmp_path):
+    """The integer cross-product assignment: byte length 1 gives dims
+    65x95 whose ratio EXACTLY matches the 832x1216 bucket (diff 0);
+    length 997 gives the 64x64 square -> the 1024x1024 bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.media_ops import aspect_bucket_plan
+
+    texts = ["x", "y" * 997]  # L=1 -> (65, 95); L=997 -> (64, 64)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(2), pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    out = aspect_bucket_plan(str(tmp_path)).to_pandas()
+    got = {
+        (r.bucket_w, r.bucket_h): (r.n_images, r.sum_src_pixels)
+        for r in out.itertuples()
+    }
+    assert got == {(832, 1216): (1, 65 * 95), (1024, 1024): (1, 64 * 64)}
+
+
+def test_mad_outliers_median_breakdown(ray_session, tmp_path):
+    """MAD ignores the outlier it flags (dev_med2=0 when >half the values
+    sit on the median), and the even/odd middle-position arithmetic is
+    exact: [1,2,3,4,10] -> med2=6, dev_med2=4 -> only 10 is out."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import mad_outliers
+
+    rows = [("a", v) for v in [1.0, 1.0, 1.0, 1.0, 100.0]] + [
+        ("b", v) for v in [1.0, 2.0, 3.0, 4.0, 10.0]
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([pd.Timestamp("2020-01-01")] * len(rows)),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    out = mad_outliers(str(tmp_path)).to_pandas()
+    got = sorted(zip(out["event_type"], out["value_c"]))
+    assert got == [("a", 10000), ("b", 1000)]
+
+
+def test_brand_itemsets3_basket_support(ray_session, tmp_path):
+    """Distinct-brand baskets: duplicate parts of one brand in an order
+    count once; support sums across orders; rank ties break on the
+    brand triple."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import brand_itemsets3
+
+    # parts 1..5 -> brands A A B C D (part 2 duplicates brand A)
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "p_brand": pa.array(["A", "A", "B", "C", "D"]),
+        }),
+        tmp_path / "part.parquet",
+    )
+    baskets = {10: [1, 2, 3, 4], 20: [1, 3, 4, 5], 30: [1, 3]}
+    ok, pk = [], []
+    for o, ps in baskets.items():
+        for p in ps:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                  "l_partkey": pa.array(pk, pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    out = brand_itemsets3(str(tmp_path)).to_pandas()
+    got = [
+        ((r.b1, r.b2, r.b3), r.support, r.rank) for r in out.itertuples()
+    ]
+    # o10 brands {A,B,C} -> ABC; o20 {A,B,C,D} -> ABC ABD ACD BCD
+    assert got == [
+        (("A", "B", "C"), 2, 1),
+        (("A", "B", "D"), 1, 2),
+        (("A", "C", "D"), 1, 3),
+        (("B", "C", "D"), 1, 4),
+    ]
