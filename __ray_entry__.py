@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": relational.json_props_stats,
         "value_outliers": relational.value_outliers,
         "mad_outliers": relational.mad_outliers,
+        "linear_attribution": relational.linear_attribution,
         "weekly_active_users": relational.weekly_active_users,
         "sliding_window_counts": relational.sliding_window_counts,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -235,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ks_distance": curation.source_ks_distance,
         "systematic_weight_sample": curation.systematic_weight_sample,
         "lang_source_independence": curation.lang_source_independence,
+        "ccnet_bucket": curation.ccnet_bucket,
+        "shard_balance": curation.shard_balance,
         "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
@@ -482,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
         SOURCE_KS_DISTANCE_SQL,
         SYSTEMATIC_WEIGHT_SAMPLE_SQL,
         LANG_SOURCE_INDEPENDENCE_SQL,
+        CCNET_BUCKET_SQL,
+        SHARD_BALANCE_SQL,
         SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
@@ -567,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         JSON_PROPS_STATS_SQL,
         VALUE_OUTLIERS_SQL,
         MAD_OUTLIERS_SQL,
+        LINEAR_ATTRIBUTION_SQL,
         WEEKLY_ACTIVE_USERS_SQL,
         SLIDING_WINDOW_COUNTS_SQL,
         BLOOM_SEMI_JOIN_SQL,
@@ -755,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": JSON_PROPS_STATS_SQL,
         "value_outliers": VALUE_OUTLIERS_SQL,
         "mad_outliers": MAD_OUTLIERS_SQL,
+        "linear_attribution": LINEAR_ATTRIBUTION_SQL,
         "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
         "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
@@ -828,6 +835,8 @@ def oracle_sql() -> dict[str, str]:
         "source_ks_distance": SOURCE_KS_DISTANCE_SQL,
         "systematic_weight_sample": SYSTEMATIC_WEIGHT_SAMPLE_SQL,
         "lang_source_independence": LANG_SOURCE_INDEPENDENCE_SQL,
+        "ccnet_bucket": CCNET_BUCKET_SQL,
+        "shard_balance": SHARD_BALANCE_SQL,
         "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,

@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "aspect_bucket_plan",
     "mad_outliers",
     "brand_itemsets3",
+    "ccnet_bucket",
+    "shard_balance",
+    "linear_attribution",
 ]
 
 

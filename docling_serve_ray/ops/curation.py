@@ -3257,3 +3257,195 @@ def lang_source_independence(sf_dir: str) -> ray.data.Dataset:
     return merged.repartition(1).map_batches(
         stats, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets: per-language LM-quality tertiles
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKET_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+g AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w),
+s AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(g.c) * 1000000000
+              // (CAST(count(*) AS HUGEINT) * (SELECT n_total FROM n))
+           AS BIGINT) AS ppb
+  FROM w JOIN g ON w.token = g.token GROUP BY w.doc_id
+),
+j AS (
+  SELECT d.lang, s.doc_id, s.n_tokens, s.ppb
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+),
+r AS (
+  SELECT lang, n_tokens, ppb,
+         row_number() OVER (PARTITION BY lang ORDER BY ppb DESC, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT lang,
+       CASE (rn - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(ppb) AS BIGINT) AS min_ppb,
+       CAST(max(ppb) AS BIGINT) AS max_ppb
+FROM r GROUP BY lang, (rn - 1) * 3 // n
+"""
+
+_CCNET_NAMES = {0: "head", 1: "middle", 2: "tail"}
+
+
+def ccnet_bucket(sf_dir: str) -> ray.data.Dataset:
+    """CCNet's head/middle/tail split, per language: documents ranked by
+    the unigram LM quality score (descending — head = most-fluent third)
+    and cut into exact tertiles (the NTILE identity: bucket =
+    (rn−1)·3 // n). CCNet trains its LM per language and splits each
+    language independently; the report is the per-(lang, bucket) doc and
+    token mass a mixing stage consumes.
+
+    Scale shape: scoring reuses unigram_prob_score end-to-end (broadcast-
+    gated counts, tag-union fallback); the lang attach is ONE bucketed
+    tag-union join on doc_id (both sides thin int/short-string rows —
+    doc_id→lang is corpus-sized, never broadcast); ranking is
+    shuffle.grouped_rank (bounded lang taxonomy, O(langs × ranges) driver
+    state, no sort); the final (lang, bucket) rollup is structurally
+    bounded so one merge task finishes."""
+    from .shuffle import bucketed_group_agg, grouped_rank, input_bytes_estimate, scaled_num_buckets
+    from .text import unigram_prob_score
+
+    scores = unigram_prob_score(sf_dir)
+    langs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def tag_score(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "lang": pd.Series([None] * len(b), dtype="object"),
+             "n_tokens": b["n_tokens"].astype("int64"),
+             "ppb": b["mean_prob_ppb"].astype("int64")}
+        )
+
+    def tag_lang(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "lang": b["lang"],
+             "n_tokens": pd.Series([-1] * len(b), dtype="int64"),
+             "ppb": pd.Series([-1] * len(b), dtype="int64")}
+        )
+
+    tagged = scores.map_batches(tag_score, batch_format="pandas").union(
+        langs.map_batches(tag_lang, batch_format="pandas")
+    )
+
+    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_tokens", "max"), ppb=("ppb", "max"),
+        )
+        lng = g.dropna(subset=["lang"]).groupby("doc_id")["lang"].first()
+        a["lang"] = a["doc_id"].map(lng)
+        return a.dropna(subset=["lang"])
+
+    nb = scaled_num_buckets(input_bytes_estimate(f"{sf_dir}/documents.parquet"))
+    joined = bucketed_group_agg(
+        tagged, ["doc_id"], merge_doc, num_buckets=min(nb, 128)
+    ).materialize()
+
+    ranked = grouped_rank(joined, "lang", "ppb", "doc_id", descending=True)
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        t = ((b["rn"] - 1) * 3 // b["n_part"]).astype("int64")
+        out = b.assign(bucket=t.map(_CCNET_NAMES))
+        return out.groupby(["lang", "bucket"], as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum"),
+            min_ppb=("ppb", "min"), max_ppb=("ppb", "max"),
+        )
+
+    parts = ranked.map_batches(rollup, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "bucket"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+            min_ppb=("min_ppb", "min"), max_ppb=("max_ppb", "max"),
+        ).astype({"n_docs": "int64", "sum_tokens": "int64",
+                  "min_ppb": "int64", "max_ppb": "int64"})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_balance: token-balanced round-robin shard assignment
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+
+SHARD_BALANCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM t
+)
+SELECT CAST((rn - 1) % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM r GROUP BY (rn - 1) % {N_SHARDS}
+"""
+
+
+def shard_balance(sf_dir: str) -> ray.data.Dataset:
+    """Token-balanced shard assignment: docs ranked by size (descending,
+    doc_id tiebreak) and dealt round-robin into N_SHARDS — the classic
+    sorted-round-robin deal whose imbalance is bounded by ONE document's
+    tokens per lap (the serpentine/LPT variants tighten the constant but
+    lose the closed-form rank rule an oracle can check). The per-shard
+    (n_docs, sum_tokens) report is what a training launcher reads to size
+    its data-parallel groups.
+
+    Scale shape: token counting is a stateless projection map; the global
+    rank is shuffle.grouped_rank over a CONSTANT part (value-range
+    buckets, driver state O(ranges)); the shard rollup domain is
+    N_SHARDS so one merge task finishes."""
+    from .shuffle import grouped_rank
+
+    docs = _docs(sf_dir)
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "n_tokens": b["text"].str.split(" ").str.len().astype("int64"),
+             "g": pd.Series([0] * len(b), dtype="int64")}
+        )
+
+    thin = docs.map_batches(toks, batch_format="pandas").materialize()
+    ranked = grouped_rank(thin, "g", "n_tokens", "doc_id", descending=True)
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        shard = ((b["rn"] - 1) % N_SHARDS).astype("int64")
+        return b.assign(shard=shard).groupby("shard", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum")
+        )
+
+    parts = ranked.map_batches(rollup, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("shard", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum")
+        )
+        return out.astype(
+            {"shard": "int64", "n_docs": "int64", "sum_tokens": "int64"}
+        )
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

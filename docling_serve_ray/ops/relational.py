@@ -4194,3 +4194,259 @@ def mad_outliers(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+# --- linear multi-touch attribution ------------------------------------------------
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS v_micro,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (SELECT user_id, ts AS cts, v_micro FROM p WHERE rn = 1),
+t AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id, c.v_micro
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.ts < c.cts AND e.event_type <> 'purchase'
+),
+tn AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM t
+)
+SELECT event_type,
+       CAST(SUM(v_micro // n
+                + CASE WHEN rn = 1 THEN v_micro % n ELSE 0 END) AS BIGINT)
+         AS credit_micro,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM tn GROUP BY event_type
+"""
+
+
+def _la_vmicro(value) -> np.ndarray:
+    return (np.floor(np.asarray(value, dtype="float64") * 100 + 0.5)
+            .astype("int64") * 10_000)
+
+
+def _la_credit(f: pd.DataFrame) -> pd.DataFrame:
+    """Per-user credit split, vectorized over a frame of touch summaries:
+    columns user_id, event_type, cnt, v_micro, n (per-user total), is_first
+    (this row's type holds the user's earliest touch)."""
+    base = (f["v_micro"] // f["n"]) * f["cnt"]
+    rem = np.where(f["is_first"].to_numpy(), (f["v_micro"] % f["n"]).to_numpy(), 0)
+    out = pd.DataFrame(
+        {"event_type": f["event_type"],
+         "credit_micro": (base.to_numpy() + rem).astype("int64"),
+         "p_touches": f["cnt"].astype("int64")}
+    )
+    return out.groupby("event_type", as_index=False).agg(
+        credit_micro=("credit_micro", "sum"), p_touches=("p_touches", "sum")
+    )
+
+
+def linear_attribution(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
+    """Linear multi-touch attribution: each converting user's FIRST
+    purchase (by ts, event_id) distributes its value equally over the
+    user's touches — the non-purchase events strictly before the
+    conversion ts — in exact integer micro-units (v//n per touch, the
+    division remainder to the earliest touch by (ts, event_id), so the
+    per-user credits sum to v exactly and both engines agree bit-for-bit).
+    Output: per event_type total credit + touch count.
+
+    Default path: ONE bucketed shuffle on user_id over thin projected
+    rows (conversion detection and credit split happen inside the
+    complete-user group); single-key guard raises past ``max_group_rows``.
+
+    slice_width (or "auto"): the skew-proof exact path. Every per-user
+    quantity decomposes over time slices: slices strictly before the
+    conversion slice contribute ALL their non-purchase events (any event
+    there is < the conversion ts by slice disjointness), the conversion
+    slice contributes its locally-compared prefix, later slices nothing —
+    so shuffle #1 groups (user, slice) and emits bounded per-slice
+    summaries (local first purchase, per-type all/before counts,
+    slice-earliest touches), and shuffle #2 reduces each user over
+    O(slices × types) summary rows, never raw events."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(
+        ev_path, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(ev_path))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
+
+    def thin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"),
+             "ts": b["ts"], "event_id": b["event_id"].astype("int64"),
+             "event_type": b["event_type"],
+             "v_micro": _la_vmicro(b["value"])}
+        )
+
+    if slice_width is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id"], max_group_rows,
+                              "linear_attribution")
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            conv = g.loc[g["event_type"] == "purchase"].drop_duplicates(
+                "user_id", keep="first"
+            )[["user_id", "ts", "v_micro"]].rename(
+                columns={"ts": "cts", "v_micro": "cv"}
+            )
+            t = g.loc[g["event_type"] != "purchase"].merge(conv, on="user_id")
+            t = t.loc[t["ts"] < t["cts"]].sort_values(
+                ["user_id", "ts", "event_id"], kind="stable"
+            )
+            if t.empty:
+                return pd.DataFrame(
+                    {"event_type": pd.Series(dtype="object"),
+                     "credit_micro": pd.Series(dtype="int64"),
+                     "p_touches": pd.Series(dtype="int64")}
+                )
+            # t is still (ts, event_id)-sorted within user
+            t["n"] = t.groupby("user_id")["event_id"].transform("size")
+            first = t.drop_duplicates("user_id", keep="first")[
+                ["user_id", "event_id"]
+            ].assign(is_first=True)
+            cnt = t.groupby(
+                ["user_id", "event_type"], as_index=False
+            ).agg(cnt=("event_id", "size"), v_micro=("cv", "first"),
+                  n=("n", "first"), first_eid=("event_id", "first"))
+            cnt = cnt.merge(
+                first.rename(columns={"event_id": "first_eid"}),
+                on=["user_id", "first_eid"], how="left",
+            )
+            cnt["is_first"] = cnt["is_first"].fillna(False)
+            return _la_credit(cnt)
+
+        def pre(b: pd.DataFrame) -> pd.DataFrame:
+            t = thin(b)
+            # purchases keep their own value; touches ride with the value
+            # of their CONVERSION, attached inside the complete-user group
+            t.loc[t["event_type"] != "purchase", "v_micro"] = 0
+            return t
+
+        partials = bucketed_group_agg(
+            ds.map_batches(pre, batch_format="pandas"), ["user_id"], per_user,
+            num_buckets=nb,
+        )
+    else:
+        width = pd.Timedelta(slice_width)
+
+        def slice_partial(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id", "_slice"], max_group_rows,
+                              "linear_attribution")
+            g = g.sort_values(["user_id", "_slice", "ts", "event_id"],
+                              kind="stable")
+            key = ["user_id", "_slice"]
+            is_p = g["event_type"] == "purchase"
+            p = g.loc[is_p].drop_duplicates(key, keep="first")
+            t = g.loc[~is_p]
+            rows = [
+                p[key + ["ts", "event_id", "v_micro"]].assign(
+                    kind="p", event_type="", n=np.int64(0)
+                )
+            ]
+            if len(t):
+                a = t.groupby(key + ["event_type"], as_index=False).agg(
+                    n=("event_id", "size")
+                ).assign(kind="a", ts=pd.NaT, event_id=np.int64(0),
+                         v_micro=np.int64(0))
+                ea = t.drop_duplicates(key, keep="first")[
+                    key + ["ts", "event_id", "event_type"]
+                ].assign(kind="ea", n=np.int64(0), v_micro=np.int64(0))
+                rows += [a, ea]
+                m = t.merge(
+                    p[key + ["ts"]].rename(columns={"ts": "pts"}), on=key
+                )
+                m = m.loc[m["ts"] < m["pts"]]
+                if len(m):
+                    bcnt = m.groupby(key + ["event_type"], as_index=False).agg(
+                        n=("event_id", "size")
+                    ).assign(kind="b", ts=pd.NaT, event_id=np.int64(0),
+                             v_micro=np.int64(0))
+                    eb = m.drop_duplicates(key, keep="first")[
+                        key + ["ts", "event_id", "event_type"]
+                    ].assign(kind="eb", n=np.int64(0), v_micro=np.int64(0))
+                    rows += [bcnt, eb]
+            cols = key + ["kind", "event_type", "ts", "event_id", "v_micro", "n"]
+            rows = [r for r in rows if len(r)]  # empty frames poison concat dtypes
+            if not rows:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=d) for c, d in zip(
+                        cols, ["int64", "datetime64[us]", "object", "object",
+                               "datetime64[us]", "int64", "int64", "int64"])}
+                )
+            return pd.concat(rows, ignore_index=True)[cols]
+
+        def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+            t = thin(b)
+            t.loc[t["event_type"] != "purchase", "v_micro"] = 0
+            return t.assign(_slice=t["ts"].dt.floor(width))
+
+        summaries = bucketed_group_agg(
+            ds.map_batches(add_slice, batch_format="pandas"),
+            ["user_id", "_slice"], slice_partial, num_buckets=nb,
+        )
+
+        def per_user_summary(g: pd.DataFrame) -> pd.DataFrame:
+            p = g.loc[g["kind"] == "p"].sort_values(
+                ["user_id", "ts", "event_id"], kind="stable"
+            ).drop_duplicates("user_id", keep="first")[
+                ["user_id", "_slice", "v_micro"]
+            ].rename(columns={"_slice": "cslice"})
+            if p.empty:
+                return pd.DataFrame(
+                    {"event_type": pd.Series(dtype="object"),
+                     "credit_micro": pd.Series(dtype="int64"),
+                     "p_touches": pd.Series(dtype="int64")}
+                )
+            m = g.merge(p, on="user_id", suffixes=("", "_c"))
+            use = ((m["kind"] == "a") & (m["_slice"] < m["cslice"])) | (
+                (m["kind"] == "b") & (m["_slice"] == m["cslice"])
+            )
+            cnt = m.loc[use].groupby(
+                ["user_id", "event_type"], as_index=False
+            ).agg(cnt=("n", "sum"), v_micro=("v_micro_c", "first"))
+            if cnt.empty:
+                return pd.DataFrame(
+                    {"event_type": pd.Series(dtype="object"),
+                     "credit_micro": pd.Series(dtype="int64"),
+                     "p_touches": pd.Series(dtype="int64")}
+                )
+            cnt["n"] = cnt.groupby("user_id")["cnt"].transform("sum")
+            euse = ((m["kind"] == "ea") & (m["_slice"] < m["cslice"])) | (
+                (m["kind"] == "eb") & (m["_slice"] == m["cslice"])
+            )
+            e = m.loc[euse].sort_values(
+                ["user_id", "ts", "event_id"], kind="stable"
+            ).drop_duplicates("user_id", keep="first")[["user_id", "event_type"]]
+            cnt = cnt.merge(
+                e.assign(is_first=True), on=["user_id", "event_type"], how="left"
+            )
+            cnt["is_first"] = cnt["is_first"].fillna(False)
+            return _la_credit(cnt)
+
+        partials = bucketed_group_agg(
+            summaries, ["user_id"], per_user_summary, num_buckets=min(nb, 64)
+        )
+
+    agg = partials.groupby("event_type").aggregate(
+        Sum("credit_micro", alias_name="credit_micro_s"),
+        Sum("p_touches", alias_name="n_touches"),
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {"event_type": b["event_type"],
+             "credit_micro": b["credit_micro_s"].astype("int64"),
+             "n_touches": b["n_touches"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

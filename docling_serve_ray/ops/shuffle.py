@@ -497,3 +497,123 @@ def _refine_cut(
         if step == 1:
             return (lo + int(hit.i), pre_cnt, pre_sum, int(hit.c), int(hit.s))
         lo, hi = lo + int(hit.i) * step, min(hi, lo + (int(hit.i) + 1) * step - 1)
+
+
+_GR_RB_BASE = 1_000_000  # composite (part_idx, range_id) int key
+
+
+def grouped_rank(
+    mat: ray.data.Dataset,
+    part_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    descending: bool = False,
+    num_buckets_cap: int = 512,
+) -> ray.data.Dataset:
+    """Exact ``ROW_NUMBER() OVER (PARTITION BY part ORDER BY value [DESC],
+    id)`` with NO global (or per-partition) sort — the generalized form of
+    segment_value_quintiles' range-offset rank machinery, factored so new
+    ranking ops stop re-rolling it.
+
+    ``mat`` must be a MATERIALIZED thin Dataset (the helper scans it three
+    times: candidate bounds, range counts, assignment); ``part_col``'s
+    domain must be a bounded taxonomy (langs, segments, a constant) —
+    driver state is O(parts × ranges), never O(rows). ``id_col`` must be
+    unique within a part (the deterministic tiebreak). Returns ``mat``'s
+    columns plus ``rn`` (1-based rank within part) and ``n_part``.
+
+    How: per-part value-range boundaries come from per-block quantile
+    candidates; one histogram pass counts each (part, range) cell; the
+    driver prefix-sums the cells into range offsets; one bucketed shuffle
+    on the composite key delivers complete (part, range) groups whose
+    local sorted position + offset IS the global rank."""
+    v2col = "_gr_v2"
+
+    def add_v2(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = b[value_col].to_numpy()
+        return b.assign(**{v2col: -v if descending else v})
+
+    mat2 = mat.map_batches(add_v2, batch_format="pandas").materialize()
+
+    parts = sorted(
+        mat2.map_batches(
+            lambda b: pd.DataFrame({"p": b[part_col].unique()}),
+            batch_format="pandas",
+        ).to_pandas()["p"].unique()
+    )
+    part_idx = {p: i for i, p in enumerate(parts)}
+    import numpy as np
+    import ray
+
+    n_rb = max(8, scaled_num_buckets(mat2.size_bytes(), lo=64) // max(1, len(parts)))
+
+    def block_quantiles(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for p, grp in b.groupby(part_col):
+            v = np.sort(grp[v2col].to_numpy())
+            pick = v[np.linspace(0, len(v) - 1, num=min(len(v), 32)).astype(int)]
+            outs.append(pd.DataFrame({"p": p, "q": pick.astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"p": pd.Series(dtype="object"),
+                                 "q": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = mat2.map_batches(block_quantiles, batch_format="pandas").to_pandas()
+    bounds_of = {}
+    for p in parts:
+        v = cand.loc[cand["p"] == p, "q"].to_numpy()
+        cuts = np.quantile(v, np.linspace(0, 1, n_rb + 1)[1:-1]) if len(v) else []
+        bounds_of[p] = np.unique(np.asarray(cuts, dtype="int64"))
+    bounds_ref = ray.put(bounds_of)
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bounds_ref)
+        rb = np.empty(len(b), dtype="int64")
+        pa_ = b[part_col].to_numpy()
+        v = b[v2col].to_numpy()
+        for p in pd.unique(pa_):
+            m = pa_ == p
+            rb[m] = np.searchsorted(bd[p], v[m], side="right")
+        key = np.array([part_idx[p] for p in pa_], dtype="int64")
+        return b.assign(_gr_key=key * _GR_RB_BASE + rb)
+
+    def key_counts(b: pd.DataFrame) -> pd.DataFrame:
+        s = add_key(b)["_gr_key"].value_counts()
+        return pd.DataFrame({"key": s.index.astype("int64"),
+                             "c": s.to_numpy().astype("int64")})
+
+    merged = histogram_merge(
+        mat2.map_batches(key_counts, batch_format="pandas"), "key", "c"
+    ).to_pandas()
+    offsets: dict[int, np.ndarray] = {}
+    n_of: dict[int, int] = {}
+    for p in parts:
+        i = part_idx[p]
+        full = np.zeros(len(bounds_of[p]) + 1, dtype="int64")
+        rows = merged.loc[merged["key"] // _GR_RB_BASE == i]
+        full[(rows["key"] % _GR_RB_BASE).to_numpy()] = rows["c"].to_numpy()
+        n_of[i] = int(full.sum())
+        offsets[i] = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put((n_of, offsets))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        nf, offs = ray.get(off_ref)
+        g = g.sort_values(["_gr_key", v2col, id_col])
+        local = g.groupby("_gr_key", sort=False).cumcount().to_numpy() + 1
+        ki = g["_gr_key"].to_numpy()
+        base = np.empty(len(g), dtype="int64")
+        npart = np.empty(len(g), dtype="int64")
+        for k in np.unique(ki):
+            m = ki == k
+            base[m] = offs[int(k // _GR_RB_BASE)][int(k % _GR_RB_BASE)]
+            npart[m] = nf[int(k // _GR_RB_BASE)]
+        out = g.drop(columns=["_gr_key", v2col])
+        return out.assign(rn=base + local, n_part=npart)
+
+    return bucketed_group_agg(
+        mat2.map_batches(add_key, batch_format="pandas"), ["_gr_key"], assign,
+        num_buckets=min(n_rb * max(1, len(parts)), num_buckets_cap),
+    )

@@ -3119,3 +3119,135 @@ def test_brand_itemsets3_basket_support(ray_session, tmp_path):
         (("A", "C", "D"), 1, 3),
         (("B", "C", "D"), 1, 4),
     ]
+
+
+def test_grouped_rank_matches_brute_force(ray_session):
+    """The range-offset rank helper == ROW_NUMBER() OVER (PARTITION BY p
+    ORDER BY v [DESC], i) on a 3-part, heavily-tied value domain, both
+    directions."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from docling_serve_ray.ops.shuffle import grouped_rank
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    df = pd.DataFrame({
+        "p": rng.choice(["a", "b", "c"], n),
+        "v": rng.randint(0, 40, n).astype("int64"),
+        "i": np.arange(n, dtype="int64"),
+    })
+    for desc in (False, True):
+        ds = ray.data.from_pandas(df).repartition(8).materialize()
+        out = grouped_rank(ds, "p", "v", "i", descending=desc).to_pandas()
+        exp = df.sort_values(["p", "v", "i"], ascending=[True, not desc, True])
+        exp = exp.assign(
+            rn=exp.groupby("p").cumcount() + 1,
+            n_part=exp.groupby("p")["v"].transform("size"),
+        )
+        m = out.sort_values("i").reset_index(drop=True)
+        e = exp.sort_values("i").reset_index(drop=True)
+        assert (m["rn"].to_numpy() == e["rn"].to_numpy()).all()
+        assert (m["n_part"].to_numpy() == e["n_part"].to_numpy()).all()
+
+
+def test_ccnet_bucket_tertiles(ray_session, tmp_path):
+    """Six docs, one language: the three unigram-score levels land in
+    head/middle/tail by the exact NTILE identity (rn-1)*3//n, ordered by
+    score DESC with doc_id tiebreak."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import ccnet_bucket
+
+    texts = ["a", "a", "a", "b", "b", "z"]  # counts a:3 b:2 z:1, N=6
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["w"] * 6),
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = ccnet_bucket(str(tmp_path)).to_pandas()
+    got = {r.bucket: (r.n_docs, r.min_ppb, r.max_ppb) for r in out.itertuples()}
+    # scores ppb: a-docs 3e9//6=500M, b-docs 2e9//6=333_333_333, z 166_666_666
+    assert got == {
+        "head": (2, 500_000_000, 500_000_000),
+        "middle": (2, 333_333_333, 500_000_000),
+        "tail": (2, 166_666_666, 333_333_333),
+    }
+
+
+def test_shard_balance_round_robin_by_size(ray_session, tmp_path):
+    """Docs dealt to shards in descending token order: rank r lands in
+    shard (r-1) % 64, so with 5 docs the 5 largest-first shards each get
+    exactly one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import shard_balance
+
+    texts = ["w " * k + "w" for k in [4, 3, 2, 1, 0]]  # 5,4,3,2,1 tokens
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    out = shard_balance(str(tmp_path)).to_pandas()
+    got = {r.shard: (r.n_docs, r.sum_tokens) for r in out.itertuples()}
+    assert got == {0: (1, 5), 1: (1, 4), 2: (1, 3), 3: (1, 2), 4: (1, 1)}
+
+
+def test_linear_attribution_exact_and_sliced(ray_session, tmp_path):
+    """Credit split is exact micro-integer: remainder goes to the
+    earliest touch; events after the first purchase earn nothing; users
+    with no purchase or no prior touches contribute nothing. The sliced
+    path must be bit-identical even when the conversion sits slices away
+    from the touches."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import linear_attribution
+
+    t0 = pd.Timestamp("2020-01-01")
+    rows = [
+        # user 1: view, click, purchase 3.00, late view (ignored)
+        (1, 1, t0, "view", 0.0),
+        (2, 1, t0 + pd.Timedelta("1h"), "click", 0.0),
+        (3, 1, t0 + pd.Timedelta("2h"), "purchase", 3.0),
+        (4, 1, t0 + pd.Timedelta("3h"), "view", 0.0),
+        # user 2: click, click, view, purchase 1.00 (remainder 1 -> click)
+        (5, 2, t0, "click", 0.0),
+        (6, 2, t0 + pd.Timedelta("40d"), "click", 0.0),
+        (7, 2, t0 + pd.Timedelta("80d"), "view", 0.0),
+        (8, 2, t0 + pd.Timedelta("120d"), "purchase", 1.0),
+        # user 3: purchase with no prior touches
+        (9, 3, t0, "purchase", 9.0),
+        # user 4: touches but never converts
+        (10, 4, t0, "view", 0.0),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows]),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    expected = {
+        "view": (1_500_000 + 333_333, 2),
+        "click": (1_500_000 + 2 * 333_333 + 1, 3),
+    }
+    for w in (None, "30d"):
+        out = linear_attribution(str(tmp_path), slice_width=w).to_pandas()
+        got = {r.event_type: (r.credit_micro, r.n_touches)
+               for r in out.itertuples()}
+        assert got == expected, (w, got)
