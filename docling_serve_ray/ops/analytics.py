@@ -2178,89 +2178,46 @@ def value_migration(
     pop = bucketed_group_agg(ds, ["o_custkey"], pop_final, partial_fn=partial,
                              num_buckets=nb).materialize()
 
-    def rank_labels(col: str) -> ray.data.Dataset:
-        """Exact quintile of ``col`` over pop via range-partitioned
-        offsets (customer_value_deciles' machinery, one metric)."""
-        n_rb = scaled_num_buckets(pop.size_bytes(), lo=64)
+    # Quintile labels WITHOUT per-metric assign shuffles: label(rn) =
+    # #{k in 1..4 : rn > ceil(k*n/5)}, and "rn > c_k" is decided per ROW by
+    # comparing (value, custkey) against the exact BOUNDARY ELEMENT at
+    # position c_k (shuffle.ascending_rank_cuts — a handful of batched
+    # histogram-refinement scans, O(positions × nsplits) driver state).
+    # One stateless labeling scan then produces per-batch 5×5 partials;
+    # one merge task finishes. Replaces 3 bucketed exchanges (two assigns
+    # + the custkey rejoin) measured at ~6 s of fixed tax at sf0.1×32.
+    from .shuffle import ascending_rank_cuts_multi
 
-        def block_q(b: pd.DataFrame) -> pd.DataFrame:
-            v = np.sort(b[col].to_numpy())
-            if len(v) == 0:
-                return pd.DataFrame({"q": pd.Series(dtype="int64")})
-            pick = v[np.linspace(0, len(v) - 1, num=min(len(v), 32)).astype(int)]
-            return pd.DataFrame({"q": pick.astype("int64")})
-
-        cand = pop.map_batches(block_q, batch_format="pandas").to_pandas()["q"]
-        cuts = (np.quantile(cand.to_numpy(), np.linspace(0, 1, n_rb + 1)[1:-1])
-                if len(cand) else [])
-        bounds = np.unique(np.asarray(cuts, dtype="int64"))
-        bref = ray.put(bounds)
-
-        def add_rb(b: pd.DataFrame) -> pd.DataFrame:
-            rbv = np.searchsorted(ray.get(bref), b[col].to_numpy(), side="right")
-            return b[["o_custkey", col]].assign(rrb=rbv.astype("int64"))
-
-        def rb_counts(b: pd.DataFrame) -> pd.DataFrame:
-            s = add_rb(b)["rrb"].value_counts()
-            return pd.DataFrame({"rrb": s.index.astype("int64"),
-                                 "c": s.to_numpy().astype("int64")})
-
-        merged = histogram_merge(
-            pop.map_batches(rb_counts, batch_format="pandas"), "rrb", "c"
-        ).to_pandas()
-        full = np.zeros(len(bounds) + 1, dtype="int64")
-        full[merged["rrb"].to_numpy()] = merged["c"].to_numpy()
-        n_total = int(full.sum())
-        offs = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
-        oref = ray.put(offs)
-
-        def assign(g: pd.DataFrame) -> pd.DataFrame:
-            o = ray.get(oref)
-            g = g.sort_values(["rrb", col, "o_custkey"])
-            local = g.groupby("rrb", sort=False).cumcount().to_numpy() + 1
-            rn = o[g["rrb"].to_numpy()] + local
-            return pd.DataFrame(
-                {"o_custkey": g["o_custkey"].astype("int64").to_numpy(),
-                 "q": ((rn - 1) * 5 // n_total).astype("int64")}
-            )
-
-        return bucketed_group_agg(
-            pop.map_batches(add_rb, batch_format="pandas"), ["rrb"], assign,
-            num_buckets=min(n_rb, 512),
-        )
-
-    qa = rank_labels("ra").map_batches(
-        lambda b: b.rename(columns={"q": "q_from"}), batch_format="pandas"
+    n_total = pop.count()
+    if n_total == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"q_from": pd.Series(dtype="int64"),
+             "q_to": pd.Series(dtype="int64"),
+             "n_customers": pd.Series(dtype="int64")}
+        ))
+    posns = [-(-k * n_total // 5) for k in range(1, 5)]  # ceil(k*n/5)
+    cuts_a, cuts_b = ascending_rank_cuts_multi(
+        pop, [("ra", posns), ("rb", posns)], "o_custkey"
     )
-    qb = rank_labels("rb").map_batches(
-        lambda b: b.rename(columns={"q": "q_to"}), batch_format="pandas"
-    )
+    cuts_ref = ray.put((cuts_a, cuts_b))
 
-    # rejoin the two labels per customer: tag-union bucketed on custkey
-    def tag(which: int, cname: str):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"o_custkey": b["o_custkey"].astype("int64"),
-                 "w": np.int64(which), "q": b[cname].astype("int64")}
-            )
-        return f
+    def label_cells(b: pd.DataFrame) -> pd.DataFrame:
+        ca, cb = ray.get(cuts_ref)
+        ck = b["o_custkey"].to_numpy()
 
-    def matrix(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.pivot_table(index="o_custkey", columns="w", values="q",
-                          aggfunc="first")
-        p = p.dropna()
-        out = pd.DataFrame(
-            {"q_from": p[0].astype("int64").to_numpy(),
-             "q_to": p[1].astype("int64").to_numpy()}
+        def lab(vals: np.ndarray, cuts) -> np.ndarray:
+            q = np.zeros(len(vals), dtype="int64")
+            for v_star, id_star in cuts:
+                q += (vals > v_star) | ((vals == v_star) & (ck > id_star))
+            return q
+
+        f = pd.DataFrame(
+            {"q_from": lab(b["ra"].to_numpy(), ca),
+             "q_to": lab(b["rb"].to_numpy(), cb)}
         ).groupby(["q_from", "q_to"], as_index=False).size()
-        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+        return f.rename(columns={"size": "pn"}).astype({"pn": "int64"})
 
-    cells = bucketed_group_agg(
-        qa.map_batches(tag(0, "q_from"), batch_format="pandas").union(
-            qb.map_batches(tag(1, "q_to"), batch_format="pandas")
-        ),
-        ["o_custkey"], matrix, num_buckets=min(nb, 64),
-    )
+    cells = pop.map_batches(label_cells, batch_format="pandas")
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         s = b.groupby(["q_from", "q_to"], as_index=False)["pn"].sum()

@@ -1240,25 +1240,28 @@ def fuzzy_prefix_pairs(
     """(doc_a, doc_b, dist) pairs with prefix Hamming distance ≤ 2 (see
     module comment: pigeonhole-complete 3-segment blocking).
 
-    Scale shape: segment rows ride the shared LSH machinery
-    (shuffle.band_pair_candidates — complete band groups per bucket,
-    vectorized self-merge, pre-verification pair dedupe), the prefix
-    payload moves ONLY for candidate pairs (join_pair_payloads' sentinel-
-    seeded two-sided hash join), and verification is one vectorized
-    (n, 18) char-matrix compare per batch. ``max_band_df`` caps a
-    segment's posting list for boilerplate-heavy corpora (default None =
-    exact, matching the oracle; capping trades recall for the quadratic
-    bound exactly like minhash's knob)."""
+    Scale shape: the 18-char prefix payload RIDES the segment rows into
+    the band shuffle (3 rows × 18 chars per doc — thinner than one
+    payload-join partition), so each complete-band bucket self-merges,
+    Hamming-verifies inline with one vectorized (n, 18) char-matrix
+    compare, and emits only true pairs; the former two-sided
+    join_pair_payloads hash join (two Dataset.joins ≈ 1 s fixed tax per
+    partition — TODO #3) is gone. A pair matching in k ≤ 3 segments is
+    verified k times (bounded, cheap — the r03 #8 pre-verify-dedupe
+    lesson inverts when the dup factor is 3 and the payload is 18 bytes);
+    the final bucketed reduce dedupes verified pairs. ``max_band_df``
+    caps a segment's posting list for boilerplate-heavy corpora (default
+    None = exact, matching the oracle; capping trades recall for the
+    quadratic bound exactly like minhash's knob)."""
     from .shuffle import (
-        band_pair_candidates,
+        add_bucket_column,
+        bucketed_group_agg,
         input_bytes_estimate,
-        join_pair_payloads,
         scaled_num_buckets,
     )
 
     doc_path = f"{sf_dir}/documents.parquet"
-    docs_bytes = input_bytes_estimate(doc_path)
-    nb = scaled_num_buckets(docs_bytes)
+    nb = scaled_num_buckets(input_bytes_estimate(doc_path))
 
     def prefix(series: pd.Series) -> pd.Series:
         return (
@@ -1274,54 +1277,55 @@ def fuzzy_prefix_pairs(
                     "idx": np.int64(i + 1),
                     "seg": pref.str.slice(i * FUZZY_SEG_LEN, (i + 1) * FUZZY_SEG_LEN),
                     "doc_id": b["doc_id"].astype("int64"),
+                    "pref": pref,
                 }
             )
             for i in range(3)
         ]
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        return add_bucket_column(out, ["idx", "seg"], nb)
 
-    rows = _docs(sf_dir).map_batches(seg_rows, batch_format="pandas")
-    cand = band_pair_candidates(
-        rows, ["idx", "seg"], "doc_id", num_buckets=nb, max_band_df=max_band_df
-    )
-
-    def payload_rows(b: pd.DataFrame) -> pa.Table:
-        # Arrow-backed blocks: join_pair_payloads reads the schema to seed
-        # its typed sentinel row (pandas blocks carry numpy dtypes there)
-        return pa.table(
-            {
-                "id": pa.array(b["doc_id"].astype("int64"), pa.int64()),
-                "pref": pa.array(prefix(b["text"]), pa.string()),
-            }
-        )
-
-    payload = _docs(sf_dir).map_batches(payload_rows, batch_format="pandas")
-    joined = join_pair_payloads(
-        cand, payload, a_col="id_a", b_col="id_b", id_col="id",
-        size_bytes=docs_bytes,
-    )
-
-    def verify(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        if df.empty:
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        if max_band_df is not None:
+            sizes = g.groupby(["idx", "seg"], sort=False)["doc_id"].transform(
+                "size"
+            )
+            g = g[sizes <= max_band_df]
+        m = g.merge(g, on=["idx", "seg"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        if m.empty:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
                  "doc_b": pd.Series([], dtype="int64"),
                  "dist": pd.Series([], dtype="int64")}
             )
-        a = np.array([list(s) for s in df["pref"]])
-        b = np.array([list(s) for s in df["pref_b"]])
+        a = np.array([list(x) for x in m["pref_x"]])
+        b = np.array([list(x) for x in m["pref_y"]])
         dist = (a != b).sum(axis=1).astype("int64")
         keep = dist <= FUZZY_MAX_HAMMING
         return pd.DataFrame(
             {
-                "doc_a": df["id_a"].to_numpy()[keep].astype("int64"),
-                "doc_b": df["id_b"].to_numpy()[keep].astype("int64"),
+                "doc_a": m["doc_id_x"].to_numpy()[keep],
+                "doc_b": m["doc_id_y"].to_numpy()[keep],
                 "dist": dist[keep],
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(seg_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+    return bucketed_group_agg(
+        pairs,
+        ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+        partial_fn=lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
+        num_buckets=64,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2542,7 +2542,8 @@ _BLOOM_JOIN_SEEDS = np.uint64(
 
 
 def bloom_semi_join(
-    sf_dir: str, *, bloom_bits: int = BLOOM_JOIN_BITS, bloom_k: int = BLOOM_JOIN_K
+    sf_dir: str, *, bloom_bits: int = BLOOM_JOIN_BITS, bloom_k: int = BLOOM_JOIN_K,
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Semi-join with a Bloom-filter pushdown: revenue of lineitems whose
     order is URGENT, where the fact scan is pre-filtered by a compact
@@ -2561,12 +2562,16 @@ def bloom_semi_join(
          splitmix64 probes and drops non-members immediately: the ×(1/σ)
          bulk of the fact table never leaves the scan stage (no false
          negatives, so nothing true is lost).
-      3. verify — Bloom false positives are removed EXACTLY by the
-         tag-union semi-join (priority_with_returns' core) over the
-         surviving thin rows only; per-returnflag partials ride the same
-         bucketed reduce. Output is therefore bit-exact vs the oracle at
-         ANY bloom_bits (tested down to 64 bits where almost everything
-         is a false positive).
+      3. verify — Bloom false positives are removed EXACTLY. When the
+         build-side dimension passes the broadcast gate (the
+         _customer_small_enough convention), the exact orderkey set ships
+         once via ray.put and membership is a vectorized searchsorted
+         inside the SAME probe map — zero shuffles end-to-end. Past the
+         gate (``verify="shuffle"`` forces it; tests do), the tag-union
+         semi-join (priority_with_returns' core) runs over the surviving
+         thin rows only. Either way the output is bit-exact vs the
+         oracle at ANY bloom_bits (tested down to 64 bits where almost
+         everything is a false positive).
     """
     from .dedup import _splitmix64
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
@@ -2585,6 +2590,10 @@ def bloom_semi_join(
     ord_path = f"{sf_dir}/orders.parquet"
     li_path = f"{sf_dir}/lineitem.parquet"
 
+    use_broadcast = verify == "auto" and input_bytes_estimate(
+        ord_path
+    ) <= BROADCAST_MAX_BYTES
+
     def build_partial(b: pd.DataFrame) -> pd.DataFrame:
         ks = b["o_orderkey"].drop_duplicates().to_numpy(dtype="uint64")
         p = _splitmix64(ks[None, :] ^ seeds[:, None]).ravel() % m
@@ -2598,19 +2607,49 @@ def bloom_semi_join(
             np.bitwise_or.reduce
         )
 
-    build = ray.data.read_parquet(
-        ord_path,
-        columns=["o_orderkey"],
-        filter=pc.field("o_orderpriority") == "1-URGENT",
-    ).map_batches(build_partial, batch_format="pandas")
+    exact = None
+    if use_broadcast:
+        # broadcast mode: the build side passed the gate, so ONE read
+        # yields the exact key set AND the bitset (built driver-side with
+        # the identical splitmix64 probes) — no build pipeline at all
+        exact = np.sort(
+            ray.data.read_parquet(
+                ord_path,
+                columns=["o_orderkey"],
+                filter=pc.field("o_orderpriority") == "1-URGENT",
+            ).to_pandas()["o_orderkey"].to_numpy(dtype="int64")
+        )
+        pos = _splitmix64(
+            exact.astype("uint64")[None, :] ^ seeds[:, None]
+        ).ravel() % m
+        dense = np.zeros(bloom_bits >> 6, dtype="uint64")
+        np.bitwise_or.at(
+            dense, (pos >> np.uint64(6)).astype("int64"),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    else:
+        build = ray.data.read_parquet(
+            ord_path,
+            columns=["o_orderkey"],
+            filter=pc.field("o_orderpriority") == "1-URGENT",
+        ).map_batches(build_partial, batch_format="pandas")
 
-    def or_words(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("word", as_index=False)["bits"].agg(np.bitwise_or.reduce)
-        return out.astype({"word": "int64"})
+        def or_words(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("word", as_index=False)["bits"].agg(
+                np.bitwise_or.reduce
+            )
+            return out.astype({"word": "int64"})
 
-    sparse = bucketed_group_agg(build, ["word"], or_words, num_buckets=64).to_pandas()
-    dense = np.zeros(bloom_bits >> 6, dtype="uint64")
-    dense[sparse["word"].to_numpy()] = sparse["bits"].to_numpy(dtype="uint64")
+        # word domain ≤ bloom_bits/64 (131k at the default) and per-batch
+        # partials are already OR-collapsed — one merge task beats a
+        # bucketed exchange (the per-shuffle fixed-tax lesson, TODO #3)
+        sparse = (
+            build.repartition(1)
+            .map_batches(or_words, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        dense = np.zeros(bloom_bits >> 6, dtype="uint64")
+        dense[sparse["word"].to_numpy()] = sparse["bits"].to_numpy(dtype="uint64")
     bloom_ref = ray.put(dense)
 
     def probe(b: pd.DataFrame) -> pd.DataFrame:
@@ -2635,10 +2674,39 @@ def bloom_semi_join(
             }
         )
 
-    survivors = ray.data.read_parquet(
+    fact = ray.data.read_parquet(
         li_path, columns=["l_orderkey", "l_extendedprice", "l_discount",
                           "l_returnflag"]
-    ).map_batches(probe, batch_format="pandas")
+    )
+
+    if use_broadcast:
+        exact_ref = ray.put(exact)
+
+        def probe_exact(b: pd.DataFrame) -> pd.DataFrame:
+            t = probe(b)  # bloom pass first — the scan-reduction layer
+            keys = ray.get(exact_ref)
+            pos = np.searchsorted(keys, t["key"].to_numpy())
+            ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                                      == t["key"].to_numpy())
+            kept = t.loc[ok]
+            out = kept.groupby("flag", as_index=False).agg(
+                revenue_c=("cents", "sum"), n_lines=("cents", "size")
+            )
+            return out.rename(columns={"flag": "l_returnflag"}).astype(
+                {"revenue_c": "int64", "n_lines": "int64"}
+            )
+
+        partials = fact.map_batches(probe_exact, batch_format="pandas")
+
+        def merge(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.groupby("l_returnflag", as_index=False).agg(
+                revenue_c=("revenue_c", "sum"), n_lines=("n_lines", "sum")
+            )
+            return out.astype({"revenue_c": "int64", "n_lines": "int64"})
+
+        return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+    survivors = fact.map_batches(probe, batch_format="pandas")
 
     def order_tags(b: pd.DataFrame) -> pd.DataFrame:
         ks = b["o_orderkey"].drop_duplicates().astype("int64")

@@ -617,3 +617,193 @@ def grouped_rank(
         mat2.map_batches(add_key, batch_format="pandas"), ["_gr_key"], assign,
         num_buckets=min(n_rb * max(1, len(parts)), num_buckets_cap),
     )
+
+
+def ascending_rank_cuts(
+    mat: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    positions: list,
+    *,
+    nsplits: int = 1024,
+) -> list:
+    """Single-column convenience wrapper over ascending_rank_cuts_multi
+    (same contract, one value column)."""
+    return ascending_rank_cuts_multi(
+        mat, [(value_col, positions)], id_col, nsplits=nsplits
+    )[0]
+
+
+def ascending_rank_cuts_multi(
+    mat: ray.data.Dataset,
+    specs: list,
+    id_col: str,
+    *,
+    nsplits: int = 1024,
+) -> list:
+    """Exact order-statistic ELEMENTS: for each 1-based position p in
+    ``positions``, the (value, id) pair at position p of the ascending
+    (value, id) lexicographic order — descending_value_cut's refinement
+    generalized to MANY positions per scan (every level services every
+    still-pending position with one tagged-histogram pass, so the whole
+    batch costs ~log_nsplits(domain) scans, not positions × levels) and
+    to the tie dimension (positions landing inside a tie run refine a
+    second window over ``id_col`` restricted to value == v*).
+
+    ``specs`` is a list of (value_col, positions). Returns one list of
+    ``(v_star, id_star)`` per spec with the labeling contract: row (v, i)
+    is at-or-before position p iff
+    ``v < v_star or (v == v_star and i <= id_star)`` — id_star is the
+    tie id at the position, or +inf (np.iinfo.max) when the whole tie
+    run sits at-or-before p. Every refinement level services EVERY
+    pending (column, position) job in one tagged-histogram scan. Driver
+    state O(jobs × nsplits); no gather. ``mat`` must be materialized
+    (multi-pass)."""
+    import numpy as np
+    import ray
+
+    BIG = np.iinfo("int64").max
+    cols = [c for c, _ in specs]
+
+    # --- phase 0: shared extremes scan (all value columns at once) ---------
+    def ext_partial(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in set(cols):
+            v = b[c].to_numpy()
+            if len(v):
+                outs.append((c, int(v.min()), int(v.max())))
+        return pd.DataFrame(outs, columns=["c", "lo", "hi"])
+
+    ext = (
+        mat.map_batches(ext_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("c", as_index=False).agg(
+                lo=("lo", "min"), hi=("hi", "max")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .set_index("c")
+    )
+
+    # jobs: jid -> dict(col, eq (value filter or None), target, lo, hi, pre)
+    jobs = {}
+    jmap = []  # spec index -> list of jids in position order
+    j = 0
+    for c, positions in specs:
+        ids = []
+        for p in positions:
+            jobs[j] = {"col": c, "eq": None, "target": int(p),
+                       "lo": int(ext.loc[c, "lo"]), "hi": int(ext.loc[c, "hi"]),
+                       "pre": 0}
+            ids.append(j)
+            j += 1
+        jmap.append(ids)
+    done: dict = {}
+
+    def run_levels(active: dict) -> dict:
+        """Iterate refinement levels until every job pins its value;
+        returns jid -> (star, x, eq_cnt)."""
+        out = {}
+        while active:
+            spec = {
+                j: (d["col"], d["eq"], d["lo"],
+                    max(1, (d["hi"] - d["lo"] + nsplits) // nsplits))
+                for j, d in active.items()
+            }
+            sref = ray.put(spec)
+
+            def prof(b: pd.DataFrame) -> pd.DataFrame:
+                sp = ray.get(sref)
+                outs = []
+                for j, (col, eq, jlo, jstep) in sp.items():
+                    v = b[col].to_numpy()
+                    m = (v >= jlo)
+                    if eq is not None:
+                        m &= b[eq[0]].to_numpy() == eq[1]
+                    vm = v[m]
+                    vm = vm[vm < jlo + jstep * nsplits]
+                    if len(vm) == 0:
+                        continue
+                    idx, cnt = np.unique((vm - jlo) // jstep,
+                                         return_counts=True)
+                    outs.append(pd.DataFrame(
+                        {"j": np.int64(j), "i": idx.astype("int64"),
+                         "c": cnt.astype("int64")}))
+                if not outs:
+                    return pd.DataFrame({"j": pd.Series(dtype="int64"),
+                                         "i": pd.Series(dtype="int64"),
+                                         "c": pd.Series(dtype="int64")})
+                return pd.concat(outs, ignore_index=True)
+
+            hist = (
+                mat.map_batches(prof, batch_format="pandas")
+                .repartition(1)
+                .map_batches(
+                    lambda b: b.groupby(["j", "i"], as_index=False)["c"].sum(),
+                    batch_format="pandas",
+                )
+                .to_pandas()
+            )
+            nxt = {}
+            for j, d in active.items():
+                g = hist.loc[hist["j"] == j].sort_values("i")
+                step = max(1, (d["hi"] - d["lo"] + nsplits) // nsplits)
+                pre = d["pre"]
+                hit_i = hit_c = None
+                for r in g.itertuples():
+                    if pre + int(r.c) >= d["target"]:
+                        hit_i, hit_c = int(r.i), int(r.c)
+                        break
+                    pre += int(r.c)
+                assert hit_i is not None, "target beyond total weight"
+                if step == 1:
+                    out[j] = (d["lo"] + hit_i, d["target"] - pre, hit_c)
+                else:
+                    nxt[j] = {**d, "pre": pre, "lo": d["lo"] + hit_i * step,
+                              "hi": min(d["hi"], d["lo"] + (hit_i + 1) * step - 1)}
+            active = nxt
+        return out
+
+    vres = run_levels(jobs)
+
+    # --- tie phase: positions inside a tie run cut the id dimension --------
+    tie_jobs = {}
+    for j, (v_star, x, eq_cnt) in vres.items():
+        if x >= eq_cnt:
+            done[j] = (v_star, BIG)
+        else:
+            tie_jobs[j] = {"col": id_col, "eq": (jobs[j]["col"], v_star),
+                           "target": x, "lo": None, "hi": None, "pre": 0}
+    if tie_jobs:
+        # id extremes per tie value — one scan for all
+        eqref = ray.put({j: d["eq"] for j, d in tie_jobs.items()})
+
+        def tie_ext(b: pd.DataFrame) -> pd.DataFrame:
+            eqs = ray.get(eqref)
+            outs = []
+            for j, (col, val) in eqs.items():
+                ids = b.loc[b[col].to_numpy() == val, id_col].to_numpy()
+                if len(ids):
+                    outs.append((j, int(ids.min()), int(ids.max())))
+            return pd.DataFrame(outs, columns=["j", "lo", "hi"])
+
+        te = (
+            mat.map_batches(tie_ext, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: b.groupby("j", as_index=False).agg(
+                    lo=("lo", "min"), hi=("hi", "max")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .set_index("j")
+        )
+        for j, d in tie_jobs.items():
+            d["lo"], d["hi"] = int(te.loc[j, "lo"]), int(te.loc[j, "hi"])
+        tres = run_levels(tie_jobs)
+        for j, (id_star, _, _) in tres.items():
+            done[j] = (vres[j][0], id_star)
+    return [[done[j] for j in ids] for ids in jmap]

@@ -1739,6 +1739,12 @@ def test_bloom_semi_join_fp_storm_still_exact(ray_session, duck):
     got = _canon(bloom_semi_join(SF, bloom_bits=64).to_pandas())
     want = _canon(duck.sql(entrymod.oracle_sql()["bloom_semi_join"]).df())
     assert _hash(got) == _hash(want) and len(got) == len(want)
+    # force the past-the-gate tag-union verify (the path a corpus-scaled
+    # build side takes): identical output, distributed bloom build
+    got_sh = _canon(
+        bloom_semi_join(SF, bloom_bits=64, verify="shuffle").to_pandas()
+    )
+    assert _hash(got_sh) == _hash(want)
 
 
 def test_bloom_semi_join_bitset_gate_refuses_loudly(ray_session):
@@ -3251,3 +3257,36 @@ def test_linear_attribution_exact_and_sliced(ray_session, tmp_path):
         got = {r.event_type: (r.credit_micro, r.n_touches)
                for r in out.itertuples()}
         assert got == expected, (w, got)
+
+
+def test_ascending_rank_cuts_brute_force_with_ties(ray_session):
+    """Boundary elements from the batched histogram refinement must match
+    a brute-force sort at every position, including positions landing
+    INSIDE a tie run (id_star cuts the run) and at its end (id_star =
+    +inf sentinel)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from docling_serve_ray.ops.shuffle import ascending_rank_cuts_multi
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    df = pd.DataFrame({
+        "v": rng.randint(0, 25, n).astype("int64"),  # heavy ties
+        "w": rng.randint(0, 10**9, n).astype("int64"),  # wide domain
+        "i": rng.permutation(n).astype("int64"),
+    })
+    mat = ray.data.from_pandas(df).repartition(8).materialize()
+    positions = [1, 7, n // 3, n // 2, n - 1, n]
+    cuts_v, cuts_w = ascending_rank_cuts_multi(
+        mat, [("v", positions), ("w", positions)], "i"
+    )
+    for col, cuts in (("v", cuts_v), ("w", cuts_w)):
+        o = df.sort_values([col, "i"]).reset_index(drop=True)
+        for p, (v_star, id_star) in zip(positions, cuts):
+            at = o.iloc[p - 1]
+            assert v_star == at[col], (col, p)
+            # labeling contract: exactly p rows are at-or-before position p
+            sel = (df[col] < v_star) | ((df[col] == v_star) & (df["i"] <= id_star))
+            assert int(sel.sum()) == p, (col, p)
