@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_paragraphs": dedup.boilerplate_paragraphs,
         "paragraph_dedup": dedup.paragraph_dedup,
         "paragraph_dedup_apply": dedup.paragraph_dedup_apply,
+        "c4_line_filter": dedup.c4_line_filter,
         "dup_span_removal": dedup.dup_span_removal,
         "prefix_dup": dedup.prefix_dup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,
         "ann_topk_filtered": similarity.ann_topk_filtered,
         "ivf_topk_filtered": similarity.ivf_topk_filtered,
+        "ivf_recall": similarity.ivf_recall,
         "quantize_embeddings": similarity.quantize_embeddings,
         "cluster_label_histogram": similarity.cluster_label_histogram,
         "knn_graph": similarity.knn_graph,
@@ -162,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": relational.value_outliers,
         "mad_outliers": relational.mad_outliers,
         "linear_attribution": relational.linear_attribution,
+        "scd2_intervals": relational.scd2_intervals,
         "weekly_active_users": relational.weekly_active_users,
         "sliding_window_counts": relational.sliding_window_counts,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -194,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_qty_revenue": analytics.brand_qty_revenue,
         "benford_digits": analytics.benford_digits,
         "brand_itemsets3": analytics.brand_itemsets3,
+        "histogram2d": analytics.histogram2d,
         "segment_repeat_customers": analytics.segment_repeat_customers,
         "global_sales_opportunity": analytics.global_sales_opportunity,
         "sole_return_supplier": analytics.sole_return_supplier,
@@ -445,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         FUZZY_PREFIX_PAIRS_SQL,
         PARAGRAPH_DEDUP_SQL,
         PARAGRAPH_DEDUP_APPLY_SQL,
+        C4_LINE_FILTER_SQL,
         DUP_SPAN_REMOVAL_SQL,
         PREFIX_DUP_SQL,
         SIMHASH_PAIRS_SQL,
@@ -514,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         BRAND_QTY_REVENUE_SQL,
         BENFORD_DIGITS_SQL,
         BRAND_ITEMSETS3_SQL,
+        HISTOGRAM2D_SQL,
         SEGMENT_REPEAT_CUSTOMERS_SQL,
         GLOBAL_SALES_OPPORTUNITY_SQL,
         SOLE_RETURN_SUPPLIER_SQL,
@@ -573,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         VALUE_OUTLIERS_SQL,
         MAD_OUTLIERS_SQL,
         LINEAR_ATTRIBUTION_SQL,
+        SCD2_INTERVALS_SQL,
         WEEKLY_ACTIVE_USERS_SQL,
         SLIDING_WINDOW_COUNTS_SQL,
         BLOOM_SEMI_JOIN_SQL,
@@ -603,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         CLUSTER_LABEL_HISTOGRAM_SQL,
         KNN_GRAPH_SQL,
         QUANTIZE_EMBEDDINGS_SQL,
+        IVF_RECALL_SQL,
     )
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
@@ -695,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_paragraphs": BOILERPLATE_PARAGRAPHS_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "paragraph_dedup_apply": PARAGRAPH_DEDUP_APPLY_SQL,
+        "c4_line_filter": C4_LINE_FILTER_SQL,
         "dup_span_removal": DUP_SPAN_REMOVAL_SQL,
         "prefix_dup": PREFIX_DUP_SQL,
         "minhash_dedup": MINHASH_PAIRS_SQL,  # LSH+verify == exact pairs at τ=0.7
@@ -737,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_filtered": ANN_TOPK_FILTERED_SQL,
         # nprobe == nlist ⇒ the filtered IVF result equals exact filtered search
         "ivf_topk_filtered": ANN_TOPK_FILTERED_SQL,
+        "ivf_recall": IVF_RECALL_SQL,
         "agg_pricing": AGG_PRICING_SQL,
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,
@@ -762,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers": VALUE_OUTLIERS_SQL,
         "mad_outliers": MAD_OUTLIERS_SQL,
         "linear_attribution": LINEAR_ATTRIBUTION_SQL,
+        "scd2_intervals": SCD2_INTERVALS_SQL,
         "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
         "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
@@ -793,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_qty_revenue": BRAND_QTY_REVENUE_SQL,
         "benford_digits": BENFORD_DIGITS_SQL,
         "brand_itemsets3": BRAND_ITEMSETS3_SQL,
+        "histogram2d": HISTOGRAM2D_SQL,
         "segment_repeat_customers": SEGMENT_REPEAT_CUSTOMERS_SQL,
         "global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
         "sole_return_supplier": SOLE_RETURN_SUPPLIER_SQL,

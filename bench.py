@@ -251,6 +251,10 @@ BENCH_QUERIES = [
     "ccnet_bucket",
     "shard_balance",
     "linear_attribution",
+    "c4_line_filter",
+    "histogram2d",
+    "ivf_recall",
+    "scd2_intervals",
 ]
 
 

@@ -3477,3 +3477,54 @@ def brand_itemsets3(sf_dir: str) -> ray.data.Dataset:
     return parts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
     )
+
+
+# --- 2-D histogram: quantity × discount joint distribution --------------------------
+
+HISTOGRAM2D_SQL = """
+SELECT CAST(l_quantity AS BIGINT) AS qty,
+       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def histogram2d(sf_dir: str) -> ray.data.Dataset:
+    """Joint (quantity, discount) distribution with revenue mass — the
+    2-D histogram a pricing analyst reads as a heat grid (and the shape
+    behind any pair-of-bounded-columns density estimate). Scale shape:
+    the cell domain is the data grid (≤ |qty levels| × |discount
+    levels|, structurally bounded), so per-batch crosstab partials
+    collapse each batch to the grid and ONE merge task finishes — no
+    shuffle, no driver state beyond the grid."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents(b["l_extendedprice"] * (1 - b["l_discount"]))
+        f = pd.DataFrame(
+            {"qty": b["l_quantity"].to_numpy().astype("int64"),
+             "disc_pct": np.floor(
+                 b["l_discount"].to_numpy() * 100 + 0.5).astype("int64"),
+             "n": np.int64(1), "revenue_c": rev}
+        )
+        return f.groupby(["qty", "disc_pct"], as_index=False).agg(
+            n=("n", "sum"), revenue_c=("revenue_c", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["qty", "disc_pct"], as_index=False).agg(
+            n=("n", "sum"), revenue_c=("revenue_c", "sum")
+        )
+        return out.astype({"qty": "int64", "disc_pct": "int64",
+                           "n": "int64", "revenue_c": "int64"})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

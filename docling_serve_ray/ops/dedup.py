@@ -1764,3 +1764,135 @@ def minhash_calibration(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         exact_t.union(est_t), ["doc_a", "doc_b"], merge, num_buckets=nb
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter: drop EVERY occurrence of a ≥3-times-repeated paragraph
+# ---------------------------------------------------------------------------
+
+C4_LINE_MIN_COPIES = 3
+
+C4_LINE_FILTER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+p AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+         array_to_string(words[i*20+1 : (i+1)*20], ' ') AS ptext,
+         md5(array_to_string(words[i*20+1 : (i+1)*20], ' ')) AS fp
+  FROM w, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(floor((len(words)-1)/20.0) AS BIGINT))) AS i
+  )
+),
+c AS (SELECT fp, count(*) AS n FROM p GROUP BY fp),
+t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tot FROM p GROUP BY doc_id),
+k AS (
+  SELECT p.doc_id, p.para_idx, p.ptext
+  FROM p JOIN c ON c.fp = p.fp WHERE c.n < {C4_LINE_MIN_COPIES}
+)
+SELECT k.doc_id,
+       string_agg(k.ptext, ' ' ORDER BY k.para_idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(t.tot - count(*) AS BIGINT) AS n_dropped
+FROM k JOIN t ON t.doc_id = k.doc_id
+GROUP BY k.doc_id, t.tot
+"""
+
+
+def c4_line_filter(sf_dir: str) -> ray.data.Dataset:
+    """C4's line-repetition rule APPLIED (Raffel et al. 2020: any line
+    occurring ≥ 3 times in the corpus is removed EVERYWHERE — unlike
+    paragraph_dedup_apply's keep-first rule, the repeat's first occurrence
+    dies too, which is what kills navigation chrome and cookie banners).
+    Same 20-word paragraph units and md5 fingerprints as the paragraph
+    suite; documents reduced to nothing vanish; n_dropped per doc is the
+    audit column.
+
+    Scale shape, three byte-scaled exchanges none of which carries text
+    twice: (1) thin (fp) partial counts reduce to the banned-or-not
+    verdict per fingerprint; (2) paragraph text rows and (fp, n) count
+    rows tag-union on fp — complete fp groups keep text rows only where
+    the group's count stays under the threshold (text crosses HERE,
+    once); (3) survivors stitch per doc_id in paragraph order. Per-doc
+    totals ride pass 2's text rows, so the n_dropped audit needs no
+    extra pass."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    docs_bytes = input_bytes_estimate(f"{sf_dir}/documents.parquet")
+    nb = scaled_num_buckets(docs_bytes)
+
+    def explode_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        fps: list = []
+        for text in batch["text"]:
+            words = text.split(" ")
+            n_paras = (len(words) - 1) // PARA_WORDS + 1
+            for i in range(n_paras):
+                seg = " ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS])
+                fps.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+        f = pd.DataFrame({"fp": fps})
+        g = f.groupby("fp", as_index=False).size()
+        return g.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+    def count_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("fp", as_index=False)["pn"].sum()
+        # only fingerprints at/over the threshold matter downstream: the
+        # ban list is the (rare) boilerplate set, so the union stays thin
+        s = s.loc[s["pn"] >= C4_LINE_MIN_COPIES]
+        return pd.DataFrame({"fp": s["fp"], "banned": np.int64(1)})
+
+    banned = bucketed_group_agg(
+        _docs(sf_dir).map_batches(explode_counts, batch_format="pandas"),
+        ["fp"], count_final, partial_fn=lambda b: b, num_buckets=nb,
+    )
+
+    def explode_text(batch: pd.DataFrame) -> pd.DataFrame:
+        out_d: list = []
+        out_i: list = []
+        out_t: list = []
+        out_n: list = []
+        fps: list = []
+        for d, text in zip(batch["doc_id"], batch["text"]):
+            words = text.split(" ")
+            n_paras = (len(words) - 1) // PARA_WORDS + 1
+            for i in range(n_paras):
+                out_d.append(int(d))
+                out_i.append(i)
+                out_n.append(n_paras)
+                seg = " ".join(words[i * PARA_WORDS : (i + 1) * PARA_WORDS])
+                out_t.append(seg)
+                fps.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {"fp": fps, "doc_id": pd.Series(out_d, dtype="int64"),
+             "para_idx": pd.Series(out_i, dtype="int64"),
+             "tot": pd.Series(out_n, dtype="int64"), "ptext": out_t,
+             "banned": np.int64(0)}
+        )
+
+    paras = _docs(sf_dir).map_batches(explode_text, batch_format="pandas")
+
+    def keep_unbanned(g: pd.DataFrame) -> pd.DataFrame:
+        bad = g.groupby("fp")["banned"].transform("max") == 1
+        kept = g.loc[(g["banned"] == 0) & ~bad]
+        return kept[["doc_id", "para_idx", "tot", "ptext"]]
+
+    def pad_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            doc_id=np.int64(-1), para_idx=np.int64(-1), tot=np.int64(0),
+            ptext="",
+        )[["fp", "doc_id", "para_idx", "tot", "ptext", "banned"]]
+
+    survivors = bucketed_group_agg(
+        paras.union(banned.map_batches(pad_tag, batch_format="pandas")),
+        ["fp"], keep_unbanned, num_buckets=nb,
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["doc_id", "para_idx"])
+        out = s.groupby("doc_id", as_index=False).agg(
+            clean_text=("ptext", " ".join), n_kept=("ptext", "size"),
+            tot=("tot", "first"),
+        )
+        out["n_dropped"] = (out["tot"] - out["n_kept"]).astype("int64")
+        return out.drop(columns=["tot"]).astype({"n_kept": "int64"})
+
+    return bucketed_group_agg(survivors, ["doc_id"], rebuild, num_buckets=nb)

@@ -4518,3 +4518,168 @@ def linear_attribution(
         ),
         batch_format="pandas",
     )
+
+
+# --- SCD-2 history build: per-user event-type validity intervals -------------------
+
+SCD2_INTERVALS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+g AS (
+  SELECT *, SUM(chg) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS seg
+  FROM s
+)
+SELECT user_id, event_type,
+       min(ts) AS valid_from, max(ts) AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, event_type, seg
+"""
+
+
+def scd2_intervals(
+    sf_dir: str,
+    *,
+    slice_width: str | None = None,
+    max_group_rows: int = DEFAULT_MAX_GROUP_ROWS,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension (type 2) history build: each user's
+    event stream, ordered by (ts, event_id), collapses into maximal runs
+    of one event_type — (user_id, event_type, valid_from, valid_to,
+    n_events) rows, the CDC-style validity table a warehouse keeps for
+    every mutable attribute. Gaps-and-islands with a LAG change flag.
+
+    Default path: one bucketed shuffle on user_id (complete-user groups;
+    vectorized shift + cumsum segments); single-key guard raises past
+    ``max_group_rows``. slice_width (or "auto"): the skew-proof exact
+    path — runs interior to a (user, slice) group are FINAL (adjacent
+    segments differ in type by construction, so a slice's first and last
+    run never merge with each other); only each slice's edge runs (≤ 2
+    rows per present slice) enter a per-user stitch, which chains a
+    slice's last run into the next present slice's first run when the
+    type persists — event_transitions' boundary-stitch shape, group size
+    bounded by the calendar."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    ev_path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(
+        ev_path, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = scaled_num_buckets(input_bytes_estimate(ev_path))
+    slice_width = _resolve_slice_width(slice_width, sf_dir, max_group_rows)
+
+    OUT = ["user_id", "event_type", "valid_from", "valid_to", "n_events"]
+
+    def segs_of(g: pd.DataFrame, keys: list) -> pd.DataFrame:
+        """Vectorized run segmentation of a (keys, ts, event_id)-sorted
+        frame; returns one row per run with pos flags within keys."""
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "event_type": pd.Series(dtype="object"),
+                 "valid_from": pd.Series(dtype="datetime64[us]"),
+                 "valid_to": pd.Series(dtype="datetime64[us]"),
+                 "n_events": pd.Series(dtype="int64"),
+                 "_slice": pd.Series(dtype="int64"),
+                 "first_of": pd.Series(dtype="bool"),
+                 "last_of": pd.Series(dtype="bool")}
+            )
+        same_key = np.ones(len(g), dtype=bool)
+        same_key[0] = False
+        for c in keys:
+            v = g[c].to_numpy()
+            same_key[1:] &= v[1:] == v[:-1]
+        et = g["event_type"].to_numpy()
+        chg = np.ones(len(g), dtype=bool)
+        chg[1:] = et[1:] != et[:-1]
+        new_seg = ~same_key | chg
+        seg = np.cumsum(new_seg)
+        f = g.assign(_seg=seg)
+        runs = f.groupby("_seg", as_index=False).agg(
+            user_id=("user_id", "first"), event_type=("event_type", "first"),
+            valid_from=("ts", "min"), valid_to=("ts", "max"),
+            n_events=("ts", "size"),
+            _slice=("_slice", "first") if "_slice" in f.columns else ("user_id", "size"),
+        )
+        # pos flags: run index within its (keys) group
+        grp = runs.groupby([c for c in ("user_id", "_slice") if c in runs],
+                           sort=False)
+        idx = grp.cumcount().to_numpy()
+        cnt = grp["n_events"].transform("size").to_numpy()
+        return runs.assign(
+            first_of=idx == 0, last_of=idx == cnt - 1,
+            n_events=runs["n_events"].astype("int64"),
+        )
+
+    if slice_width is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            _guard_group_rows(g, ["user_id"], max_group_rows, "scd2_intervals")
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            return segs_of(g, ["user_id"])[OUT]
+
+        return bucketed_group_agg(ds, ["user_id"], per_user, num_buckets=nb)
+
+    width = pd.Timedelta(slice_width)
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _slice=b["ts"].dt.floor(width).to_numpy().astype("int64")
+        )
+
+    sliced = ds.map_batches(add_slice, batch_format="pandas")
+
+    def slice_runs(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group_rows(g, ["user_id", "_slice"], max_group_rows,
+                          "scd2_intervals")
+        g = g.sort_values(["user_id", "_slice", "ts", "event_id"], kind="stable")
+        return segs_of(g, ["user_id", "_slice"])
+
+    runs = bucketed_group_agg(
+        sliced, ["user_id", "_slice"], slice_runs, num_buckets=nb
+    )
+
+    def keep_interior(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[~(b["first_of"] | b["last_of"]), OUT]
+
+    def keep_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["first_of"] | b["last_of"]]
+
+    runs = runs.materialize()
+    interior = runs.map_batches(keep_interior, batch_format="pandas")
+    edges = runs.map_batches(keep_edges, batch_format="pandas")
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "valid_from", "_slice", "first_of"],
+                          kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        # prev row may extend iff it closed its slice; cur may accept iff
+        # it opens its slice (same-slice first/last never merge: adjacent
+        # runs differ in type, non-adjacent are separated by interior runs)
+        prev_open = np.roll(g["last_of"].to_numpy(), 1)
+        cur_accept = g["first_of"].to_numpy()
+        same_slice = np.roll(g["_slice"].to_numpy(), 1) == g["_slice"].to_numpy()
+        merge = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            merge[1:] = (
+                (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+                & prev_open[1:] & cur_accept[1:] & ~same_slice[1:]
+            )
+        chain = np.cumsum(~merge)
+        f = g.assign(_chain=chain)
+        out = f.groupby("_chain", as_index=False).agg(
+            user_id=("user_id", "first"), event_type=("event_type", "first"),
+            valid_from=("valid_from", "min"), valid_to=("valid_to", "max"),
+            n_events=("n_events", "sum"),
+        )
+        return out[OUT].astype({"n_events": "int64"})
+
+    stitched = bucketed_group_agg(
+        edges, ["user_id"], stitch, num_buckets=min(nb, 64)
+    )
+    return interior.union(stitched)

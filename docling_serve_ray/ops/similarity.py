@@ -1328,3 +1328,104 @@ def dim_variance(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["var_num", "dim"], ascending=[False, True])
     out["var_rank"] = np.arange(1, len(out) + 1, dtype="int64")
     return out.sort_values("dim").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall: recall@k of the IVF index at nprobe < nlist vs brute force
+# ---------------------------------------------------------------------------
+
+IVF_RECALL_NPROBE = 4
+
+IVF_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+           ) AS rn
+    FROM q, embeddings e WHERE e.vec_id <> q.qid
+  ) WHERE rn <= 5
+),
+cent AS (
+  SELECT label, list(avg_val ORDER BY pos) AS c FROM (
+    SELECT label, i AS pos, avg(CAST(embedding[i+1] AS DOUBLE)) AS avg_val
+    FROM embeddings, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
+    GROUP BY label, i
+  ) GROUP BY label
+),
+vcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.label AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.label
+           ) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.label AS cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qe, c.c) DESC, c.label
+           ) AS rn
+    FROM q, cent c
+  ) WHERE rn <= {IVF_RECALL_NPROBE}
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+           ) AS rn
+    FROM q
+    JOIN probed p ON p.qid = q.qid
+    JOIN vcell v ON v.cell = p.cell
+    JOIN embeddings e ON e.vec_id = v.vec_id
+    WHERE e.vec_id <> q.qid
+  ) WHERE rn <= 5
+)
+SELECT ex.qid,
+       CAST(count(iv.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(iv.vec_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+FROM exact ex
+LEFT JOIN ivf iv ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
+GROUP BY ex.qid
+"""
+
+
+def ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@5 of the IVF index probing {nprobe}/{nlist} cells against
+    exact brute-force cosine search — THE eval every ANN deployment runs
+    before trusting an index (at nprobe == nlist IVF is exact by
+    construction, so the interesting number is the recall/IO trade at
+    nprobe < nlist; this is the measurement for it). Exact-integer
+    recall_ppm keeps the oracle hashable.
+
+    Scale shape: both sides ARE the existing scale paths (ann_topk's
+    broadcast-query matmul scan, ivf_topk's cell-pruned probe over the
+    partitioned index) — the eval adds only a driver-side merge of two
+    (queries × k)-row results, bounded by the query set, never the
+    corpus. The oracle replicates the index arithmetic relationally:
+    per-label mean centroids, nearest-cell assignment (ties to the lower
+    cell — numpy argmax's rule), top-nprobe probe choice, candidate
+    restriction, and the same (sim DESC, vec_id) top-k order.""".format(
+        nprobe=IVF_RECALL_NPROBE, nlist=IVF_NLIST
+    )
+    exact = ann_topk(sf_dir).to_pandas()
+    approx = ivf_topk(sf_dir, nprobe=IVF_RECALL_NPROBE).to_pandas()
+    m = exact.merge(
+        approx[["qid", "vec_id"]].assign(hit=np.int64(1)),
+        on=["qid", "vec_id"], how="left",
+    )
+    m["hit"] = m["hit"].fillna(0).astype("int64")
+    per = m.groupby("qid", as_index=False).agg(n_hits=("hit", "sum"))
+    per["recall_ppm"] = per["n_hits"] * 1_000_000 // TOPK_K
+    return per.astype({"qid": "int64", "n_hits": "int64",
+                       "recall_ppm": "int64"})

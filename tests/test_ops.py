@@ -3290,3 +3290,106 @@ def test_ascending_rank_cuts_brute_force_with_ties(ray_session):
             # labeling contract: exactly p rows are at-or-before position p
             sel = (df[col] < v_star) | ((df[col] == v_star) & (df["i"] <= id_star))
             assert int(sel.sum()) == p, (col, p)
+
+
+def test_c4_line_filter_drops_all_copies(ray_session, tmp_path):
+    """C4's rule kills EVERY occurrence of a >=3x paragraph (including
+    the first — contrast paragraph_dedup_apply's keep-first), keeps <3x
+    ones, and a doc made only of banned paragraphs vanishes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import c4_line_filter
+
+    banner = " ".join(["cookie"] * 20)   # 1 exact 20-word paragraph
+    rare = " ".join(["fact"] * 20)
+    texts = [
+        banner + " " + rare,     # doc 0: banner dropped, rare kept
+        banner + " unique tail", # doc 1: banner dropped, tail kept
+        banner,                  # doc 2: only banner -> vanishes
+        rare,                    # doc 3: rare (2 copies total) kept
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    out = c4_line_filter(str(tmp_path)).to_pandas()
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in out.itertuples()}
+    assert got == {
+        0: (rare, 1, 1),
+        1: ("unique tail", 1, 1),
+        3: (rare, 1, 0),
+    }
+
+
+def test_histogram2d_grid_partials(ray_session, tmp_path):
+    """Cells are exact: counts and half-up cent revenue sum per (qty,
+    disc_pct) pair across batch partials."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.analytics import histogram2d
+
+    rows = [(1.0, 0.05, 100.0), (1.0, 0.05, 50.0), (2.0, 0.00, 10.0)]
+    pq.write_table(
+        pa.table({
+            "l_quantity": pa.array([r[0] for r in rows], pa.float64()),
+            "l_discount": pa.array([r[1] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    out = histogram2d(str(tmp_path)).to_pandas()
+    got = {(r.qty, r.disc_pct): (r.n, r.revenue_c) for r in out.itertuples()}
+    assert got == {(1, 5): (2, 9500 + 4750), (2, 0): (1, 1000)}
+
+
+def test_scd2_intervals_runs_and_sliced_stitch(ray_session, tmp_path):
+    """Run segmentation: a type flip opens a new validity interval even
+    at identical ts (event_id breaks the tie); the sliced path must
+    stitch a run spanning three slices (incl. an empty middle slice)
+    back into one interval."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import scd2_intervals
+
+    t0 = pd.Timestamp("2020-01-01")
+    rows = [
+        (1, 1, t0, "view"),
+        (2, 1, t0 + pd.Timedelta("1h"), "view"),
+        (3, 1, t0 + pd.Timedelta("2h"), "click"),
+        (4, 1, t0 + pd.Timedelta("25d"), "click"),   # same run, 25d later
+        (5, 1, t0 + pd.Timedelta("26d"), "view"),
+        (6, 2, t0, "buy"),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows]),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    expected = {
+        (1, "view", str(t0), str(t0 + pd.Timedelta("1h"))): 2,
+        (1, "click", str(t0 + pd.Timedelta("2h")),
+         str(t0 + pd.Timedelta("25d"))): 2,
+        (1, "view", str(t0 + pd.Timedelta("26d")),
+         str(t0 + pd.Timedelta("26d"))): 1,
+        (2, "buy", str(t0), str(t0)): 1,
+    }
+    for w in (None, "7d"):
+        out = scd2_intervals(str(tmp_path), slice_width=w).to_pandas()
+        got = {
+            (r.user_id, r.event_type, str(r.valid_from), str(r.valid_to)):
+                r.n_events
+            for r in out.itertuples()
+        }
+        assert got == expected, (w, got)
