@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_independence": curation.lang_source_independence,
         "ccnet_bucket": curation.ccnet_bucket,
         "shard_balance": curation.shard_balance,
+        "webdataset_manifest": curation.webdataset_manifest,
         "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         LANG_SOURCE_INDEPENDENCE_SQL,
         CCNET_BUCKET_SQL,
         SHARD_BALANCE_SQL,
+        WEBDATASET_MANIFEST_SQL,
         SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
@@ -849,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_independence": LANG_SOURCE_INDEPENDENCE_SQL,
         "ccnet_bucket": CCNET_BUCKET_SQL,
         "shard_balance": SHARD_BALANCE_SQL,
+        "webdataset_manifest": WEBDATASET_MANIFEST_SQL,
         "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,

@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "histogram2d",
     "ivf_recall",
     "scd2_intervals",
+    "webdataset_manifest",
 ]
 
 

@@ -3449,3 +3449,167 @@ def shard_balance(sf_dir: str) -> ray.data.Dataset:
     return parts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# webdataset_manifest: shard-tar training-data sink with a deterministic
+# manifest (the WebDataset layout: shard-NNNNNN.tar of per-sample members)
+# ---------------------------------------------------------------------------
+
+WDS_SHARD_BYTES = 65536  # payload budget per shard (64 KiB at test scale;
+# a production corpus sets ~1 GiB — the machinery is size-agnostic)
+
+WEBDATASET_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb FROM documents
+),
+o AS (
+  SELECT doc_id, nb,
+         COALESCE(SUM(nb) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT CAST(off // {WDS_SHARD_BYTES} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS payload_bytes
+FROM o GROUP BY off // {WDS_SHARD_BYTES}
+"""
+
+
+def webdataset_manifest(
+    sf_dir: str, *, out_dir: str | None = None
+) -> ray.data.Dataset:
+    """WebDataset-style shard sink: documents packed in doc_id order into
+    byte-budgeted shards (shard = exclusive-prefix-bytes // budget — a
+    doc belongs to the shard its first byte lands in), each shard written
+    as one deterministic tar (members ``<doc_id>.txt`` in id order,
+    zeroed mtime/uid — byte-reproducible) and published ATOMICALLY
+    (tmp + os.replace, the checkpoint module's contract). Returns the
+    manifest (shard_id, n_docs, payload_bytes) — the unit a training
+    launcher shuffles and a resume skips by.
+
+    Scale shape: pass 1 is pack_sequences' thin order-preserving
+    range-bucket prefix machinery over BYTE lengths (no text moves);
+    because offsets are monotone in doc_id, every shard is a CONTIGUOUS
+    doc_id range, so the boundary docs (one per shard — systematic_
+    weight_sample's straddle rule) broadcast as a sorted array of
+    O(#shards) driver state (the manifest itself is that size) and pass
+    2 maps text rows to shards statelessly via searchsorted; ONE
+    text-bearing shuffle groups complete shards at the tar writers."""
+    import hashlib as _hl
+    import io
+    import os
+    import tarfile
+
+    from .shuffle import bucketed_group_agg, histogram_merge, scaled_num_buckets
+
+    if out_dir is None:
+        key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        out_dir = f"/tmp/docling_ray_wds/{key}"
+    os.makedirs(out_dir, exist_ok=True)
+    webdataset_manifest.last_out_dir = out_dir
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def count_bytes(b: pd.DataFrame) -> pd.DataFrame:
+        nb_ = b["text"].str.encode("utf-8").str.len().astype("int64")
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "nb": nb_})
+
+    counts = docs.map_batches(count_bytes, batch_format="pandas").materialize()
+
+    def extremes(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"lo": [], "hi": []})
+        d = b["doc_id"].to_numpy()
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    ext = counts.map_batches(extremes, batch_format="pandas").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    span = hi - lo + 1
+    nrb = min(scaled_num_buckets(counts.size_bytes(), lo=64), span)
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(dtype="int64")
+        return b.assign(rb=((d - lo) * nrb // span).astype("int64"))
+
+    bucketed = counts.map_batches(add_rb, batch_format="pandas")
+    sums = histogram_merge(
+        bucketed.map_batches(
+            lambda b: b.groupby("rb", as_index=False)["nb"].sum(),
+            batch_format="pandas",
+        ),
+        "rb", "nb",
+    ).to_pandas()
+    full = np.zeros(nrb, dtype="int64")
+    full[sums["rb"].to_numpy()] = sums["nb"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    off_ref = ray.put(offsets)
+
+    # boundary docs: the first doc of every shard. A bucket emits its
+    # WITHIN-bucket shard transitions (shifted-prev compare) plus its
+    # first doc (whose predecessor lives in another bucket) — O(#shards
+    # + #buckets) candidate rows; since shard is monotone in doc_id, the
+    # true firsts are exactly the min-doc_id row per shard, a driver
+    # dedupe over manifest-sized state.
+    def firsts_of(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["rb", "doc_id"])
+        n = g["nb"].to_numpy(dtype="int64")
+        local = g.groupby("rb", sort=False)["nb"].cumsum().to_numpy() - n
+        off = offs[g["rb"].to_numpy(dtype="int64")] + local
+        shard = off // WDS_SHARD_BYTES
+        rb = g["rb"].to_numpy(dtype="int64")
+        cand = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            cand[1:] = (shard[1:] != shard[:-1]) | (rb[1:] != rb[:-1])
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy()[cand],
+             "shard_id": shard[cand].astype("int64")}
+        )
+
+    bounds = (
+        bucketed_group_agg(bucketed, ["rb"], firsts_of, num_buckets=min(nrb, 512))
+        .to_pandas()
+        .sort_values("doc_id")
+        .drop_duplicates("shard_id", keep="first")
+    )
+    first_ids = bounds["doc_id"].to_numpy(dtype="int64")
+    shard_ids = bounds["shard_id"].to_numpy(dtype="int64")
+    bref = ray.put((first_ids, shard_ids))
+
+    def tag_shard(b: pd.DataFrame) -> pd.DataFrame:
+        fids, sids = ray.get(bref)
+        d = b["doc_id"].to_numpy(dtype="int64")
+        pos = np.searchsorted(fids, d, side="right") - 1
+        return pd.DataFrame(
+            {"shard_id": sids[pos], "doc_id": d, "text": b["text"]}
+        )
+
+    def write_shards(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid, grp in g.groupby("shard_id"):
+            grp = grp.sort_values("doc_id")
+            final = os.path.join(out_dir, f"shard-{int(sid):06d}.tar")
+            tmp = final + ".tmp"
+            payload = 0
+            with tarfile.open(tmp, "w") as tf:
+                for d, t in zip(grp["doc_id"], grp["text"]):
+                    data = t.encode("utf-8")
+                    payload += len(data)
+                    ti = tarfile.TarInfo(name=f"{int(d):012d}.txt")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(data))
+            os.replace(tmp, final)  # atomic publish per shard
+            rows.append((int(sid), len(grp), payload))
+        return pd.DataFrame(
+            rows, columns=["shard_id", "n_docs", "payload_bytes"]
+        ).astype({"shard_id": "int64", "n_docs": "int64",
+                  "payload_bytes": "int64"})
+
+    tagged = docs.map_batches(tag_shard, batch_format="pandas")
+    return bucketed_group_agg(
+        tagged, ["shard_id"], write_shards,
+        num_buckets=min(max(64, len(first_ids)), 512),
+    )

@@ -3393,3 +3393,48 @@ def test_scd2_intervals_runs_and_sliced_stitch(ray_session, tmp_path):
             for r in out.itertuples()
         }
         assert got == expected, (w, got)
+
+
+def test_webdataset_manifest_tars_and_gap_boundary(ray_session, tmp_path):
+    """Shard = exclusive-prefix-bytes // budget: a doc SPANNING the
+    budget boundary stays in the shard its first byte lands in and the
+    NEXT doc opens the new shard (the gap case a naive off%B==0 rule
+    misses). The tars must round-trip: members named <doc_id>.txt in id
+    order, bytes equal to the text."""
+    import io
+    import tarfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import WDS_SHARD_BYTES, webdataset_manifest
+
+    B = WDS_SHARD_BYTES
+    texts = {
+        0: "a" * (B - 10),   # shard 0 (off 0)
+        1: "b" * 100,        # off B-10 -> still shard 0, spans into 1
+        2: "c" * 5,          # off B+90 -> first of shard 1
+        3: "d" * (3 * B),    # off B+95 -> shard 1, spans 2,3,4
+        4: "e" * 7,          # off 4B+95 -> first of shard 4 (2,3 empty)
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[d] for d in sorted(texts)])}),
+        tmp_path / "documents.parquet",
+    )
+    out_dir = str(tmp_path / "wds")
+    man = webdataset_manifest(str(tmp_path), out_dir=out_dir).to_pandas()
+    got = {r.shard_id: (r.n_docs, r.payload_bytes) for r in man.itertuples()}
+    assert got == {
+        0: (2, (B - 10) + 100),
+        1: (2, 5 + 3 * B),
+        4: (1, 7),
+    }
+    import os
+    names = sorted(os.listdir(out_dir))
+    assert names == ["shard-000000.tar", "shard-000001.tar", "shard-000004.tar"]
+    with tarfile.open(os.path.join(out_dir, "shard-000001.tar")) as tf:
+        members = tf.getmembers()
+        assert [m.name for m in members] == ["000000000002.txt", "000000000003.txt"]
+        assert tf.extractfile(members[0]).read() == texts[2].encode()
+        assert all(m.mtime == 0 for m in members)
