@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": cluster.pagerank,
         "triangle_count": cluster.triangle_count,
         "degree_histogram": cluster.degree_histogram,
+        "node_clustering": cluster.node_clustering,
+        "jaccard_item_similarity": cluster.jaccard_item_similarity,
         "dedup_apply": curation.dedup_apply,
         "curation_report": curation.curation_report,
         "cross_source_dups": curation.cross_source_dups,
@@ -134,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": similarity.ann_topk_filtered,
         "ivf_topk_filtered": similarity.ivf_topk_filtered,
         "ivf_recall": similarity.ivf_recall,
+        "embedding_power_iteration": similarity.embedding_power_iteration,
         "quantize_embeddings": similarity.quantize_embeddings,
         "cluster_label_histogram": similarity.cluster_label_histogram,
         "knn_graph": similarity.knn_graph,
@@ -464,6 +467,8 @@ def oracle_sql() -> dict[str, str]:
         PAGERANK_SQL,
         TRIANGLE_COUNT_SQL,
         DEGREE_HISTOGRAM_SQL,
+        NODE_CLUSTERING_SQL,
+        JACCARD_ITEM_SIMILARITY_SQL,
     )
     from docling_serve_ray.ops.curation import (
         CORPUS_STATS_SQL,
@@ -613,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         KNN_GRAPH_SQL,
         QUANTIZE_EMBEDDINGS_SQL,
         IVF_RECALL_SQL,
+        EMBEDDING_POWER_ITERATION_SQL,
     )
     from docling_serve_ray.ops.text import (
         CHUNK_DOCUMENTS_SQL,
@@ -721,6 +727,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": PAGERANK_SQL,
         "triangle_count": TRIANGLE_COUNT_SQL,
         "degree_histogram": DEGREE_HISTOGRAM_SQL,
+        "node_clustering": NODE_CLUSTERING_SQL,
+        "jaccard_item_similarity": JACCARD_ITEM_SIMILARITY_SQL,
         "dedup_apply": DEDUP_APPLY_SQL,  # exact + near dedup end to end
         "curation_report": CURATION_REPORT_SQL,
         "cross_source_dups": CROSS_SOURCE_DUPS_SQL,
@@ -749,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         # nprobe == nlist ⇒ the filtered IVF result equals exact filtered search
         "ivf_topk_filtered": ANN_TOPK_FILTERED_SQL,
         "ivf_recall": IVF_RECALL_SQL,
+        "embedding_power_iteration": EMBEDDING_POWER_ITERATION_SQL,
         "agg_pricing": AGG_PRICING_SQL,
         "join_priority_revenue": JOIN_PRIORITY_REVENUE_SQL,
         "join_revenue": JOIN_REVENUE_SQL,

@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "ivf_recall",
     "scd2_intervals",
     "webdataset_manifest",
+    "node_clustering",
+    "jaccard_item_similarity",
+    "embedding_power_iteration",
 ]
 
 

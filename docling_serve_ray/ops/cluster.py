@@ -913,3 +913,326 @@ def degree_histogram(sf_dir: str) -> ray.data.Dataset:
         return s.astype({"degree": "int64", "n_nodes": "int64"})
 
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+# --- per-node clustering coefficient (top-k report) ----------------------------------
+
+NODE_CLUSTERING_TOP_K = 20
+
+NODE_CLUSTERING_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= {{TRIANGLE_MIN_SUPPORT}}
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e) GROUP BY v
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+),
+tn AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY p
+),
+c AS (
+  SELECT d.v AS node, d.deg, COALESCE(tn.t, 0) AS n_tri,
+         CAST(COALESCE(tn.t, 0) * 2000000 // (d.deg * (d.deg - 1)) AS BIGINT)
+           AS clustering_ppm
+  FROM deg d LEFT JOIN tn ON tn.p = d.v
+  WHERE d.deg >= 2
+)
+SELECT node, deg, n_tri, clustering_ppm,
+       CAST(row_number() OVER (ORDER BY clustering_ppm DESC, node) AS BIGINT)
+         AS rank
+FROM c
+QUALIFY row_number() OVER (ORDER BY clustering_ppm DESC, node) <= {{K}}
+""".format(TRIANGLE_MIN_SUPPORT=TRIANGLE_MIN_SUPPORT, K=NODE_CLUSTERING_TOP_K)
+
+
+def node_clustering(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 nodes of the co-purchase graph by LOCAL clustering
+    coefficient (2·tri / deg·(deg−1), exact integer ppm) — the
+    community-tightness ranking behind recommender neighborhoods and
+    fraud-ring detection; triangle_count's global census, attributed
+    per node.
+
+    Scale shape: the edge derivation is triangle_count's (basket
+    co-location, in-reduce support filter); per-node attribution needs
+    the wedge SOURCE, so wedges stay explicit (u, v, w) rows — the
+    Σ C(deg_oriented, 2) enumeration cost that multiplicity compression
+    avoided, paid deliberately because closure must credit all three
+    corners. Closure is a tag-union bucketed group on (v, w) — an edge
+    tag present turns every wedge row into one triangle's three credit
+    rows (no hash join, per the join fixed-tax lesson). Credits and
+    endpoint-degree rows then share ONE node-keyed reduce; per-bucket
+    top-k candidates make the final merge k·buckets rows."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    ds = ray.data.read_parquet(path, columns=["l_orderkey", "l_partkey"])
+
+    def basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        f = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        f = f.loc[f["l_partkey_a"] < f["l_partkey_b"]]
+        out = f.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        out.columns = ["pa", "pb", "n"]
+        return out.astype({"pa": "int64", "pb": "int64", "n": "int64"})
+
+    pair_partials = bucketed_group_agg(
+        ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        ["l_orderkey"], basket_pairs, num_buckets=nb,
+    )
+
+    def support_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pa", "pb"], as_index=False).agg(n=("n", "sum"))
+        return s.loc[s["n"] >= TRIANGLE_MIN_SUPPORT, ["pa", "pb"]]
+
+    edges = bucketed_group_agg(
+        pair_partials, ["pa", "pb"], support_filter, num_buckets=nb
+    ).materialize()
+
+    # explicit oriented wedges (u, wa, wb) from per-source adjacency
+    def adj_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.merge(g, on="pa", suffixes=("_x", "_y"))
+        f = f.loc[f["pb_x"] < f["pb_y"]]
+        return pd.DataFrame(
+            {"wa": f["pb_x"].astype("int64"), "wb": f["pb_y"].astype("int64"),
+             "u": f["pa"].astype("int64"), "_t": np.int64(0)}
+        )
+
+    wedges = bucketed_group_agg(edges, ["pa"], adj_wedges, num_buckets=nb)
+    etags = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"wa": b["pa"].astype("int64"), "wb": b["pb"].astype("int64"),
+             "u": np.int64(-1), "_t": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+
+    def close_credit(g: pd.DataFrame) -> pd.DataFrame:
+        has_edge = g.groupby(["wa", "wb"])["_t"].transform("max") == 1
+        w = g.loc[(g["_t"] == 0) & has_edge]
+        if w.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64"),
+                                 "dn": pd.Series(dtype="int64")})
+        nodes = np.concatenate(
+            [w["u"].to_numpy(), w["wa"].to_numpy(), w["wb"].to_numpy()]
+        )
+        h = pd.Series(nodes).value_counts()
+        return pd.DataFrame(
+            {"node": h.index.to_numpy().astype("int64"),
+             "t": h.to_numpy().astype("int64"), "dn": np.int64(0)}
+        )
+
+    credits = bucketed_group_agg(
+        wedges.union(etags), ["wa", "wb"], close_credit, num_buckets=nb
+    )
+
+    def endpoint_rows(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([b["pa"].to_numpy(), b["pb"].to_numpy()])
+        h = pd.Series(v).value_counts()
+        return pd.DataFrame(
+            {"node": h.index.to_numpy().astype("int64"),
+             "t": np.int64(0), "dn": h.to_numpy().astype("int64")}
+        )
+
+    degs = edges.map_batches(endpoint_rows, batch_format="pandas")
+
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", as_index=False).agg(
+            n_tri=("t", "sum"), deg=("dn", "sum")
+        )
+        s = s.loc[s["deg"] >= 2]
+        s["clustering_ppm"] = (
+            s["n_tri"] * 2_000_000 // (s["deg"] * (s["deg"] - 1))
+        ).astype("int64")
+        return s.sort_values(
+            ["clustering_ppm", "node"], ascending=[False, True]
+        ).head(NODE_CLUSTERING_TOP_K)
+
+    cands = bucketed_group_agg(
+        credits.union(degs), ["node"], per_node, num_buckets=min(nb, 128)
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        top = b.sort_values(
+            ["clustering_ppm", "node"], ascending=[False, True]
+        ).head(NODE_CLUSTERING_TOP_K)
+        return pd.DataFrame(
+            {"node": top["node"].to_numpy().astype("int64"),
+             "deg": top["deg"].to_numpy().astype("int64"),
+             "n_tri": top["n_tri"].to_numpy().astype("int64"),
+             "clustering_ppm": top["clustering_ppm"].to_numpy().astype("int64"),
+             "rank": np.arange(1, len(top) + 1, dtype="int64")}
+        )
+
+    return cands.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+# --- item-item Jaccard similarity (collaborative-filtering neighbors) -----------------
+
+JACCARD_ITEMS_TOP_K = 20
+JACCARD_ITEMS_MIN_CO = 2
+
+JACCARD_ITEM_SIMILARITY_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+od AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS d FROM lp GROUP BY p),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS c
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= {JACCARD_ITEMS_MIN_CO}
+),
+j AS (
+  SELECT co.pa, co.pb, co.c,
+         CAST(co.c * 1000000 // (da.d + db.d - co.c) AS BIGINT) AS jaccard_ppm
+  FROM co JOIN od da ON da.p = co.pa JOIN od db ON db.p = co.pb
+)
+SELECT pa, pb, c AS n_co, jaccard_ppm,
+       CAST(row_number() OVER (ORDER BY jaccard_ppm DESC, pa, pb) AS BIGINT)
+         AS rank
+FROM j
+QUALIFY row_number() OVER (ORDER BY jaccard_ppm DESC, pa, pb) <= {JACCARD_ITEMS_TOP_K}
+"""
+
+
+def jaccard_item_similarity(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 item pairs by exact basket-set Jaccard (|A∩B| / |A∪B| in
+    integer ppm) — item-item collaborative filtering's similarity core
+    (the Amazon-style 'customers who bought X' neighbor table), with the
+    co-occurrence floor pruning the long tail before any ratio is taken.
+
+    Scale shape: co-occurrence counts ride the basket-pairs machinery
+    (one orderkey co-location shuffle, in-reduce min-co filter); item
+    order-degrees come from a thin per-batch value_counts reduce; the
+    degree attach is a tag-union bucketed group keyed on ITEM — each
+    surviving pair row visits the buckets of BOTH its endpoints (two
+    thin rows per pair), picks up the local degree, and a second
+    bucketed reduce on the pair key folds the two halves into the ppm —
+    no hash join, no broadcast (degrees are item-cardinality, corpus-
+    scaled). Per-bucket top-k candidates bound the final merge."""
+    from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
+
+    path = f"{sf_dir}/lineitem.parquet"
+    nb = scaled_num_buckets(input_bytes_estimate(path))
+    ds = ray.data.read_parquet(path, columns=["l_orderkey", "l_partkey"])
+
+    # ONE complete-order reduce emits both pair partials (kind 0) and
+    # EXACT per-item order-degree partials (kind 1) — degrees must come
+    # from complete orders, a per-batch value_counts would double-count
+    # an order split across input batches
+    def basket_stage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        f = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        f = f.loc[f["l_partkey_a"] < f["l_partkey_b"]]
+        pairs = f.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        pairs.columns = ["pa", "pb", "n"]
+        pairs = pairs.astype({"pa": "int64", "pb": "int64", "n": "int64"})
+        pairs["kind"] = np.int64(0)
+        pairs["item"] = np.int64(-1)
+        h = g["l_partkey"].value_counts()  # one row per (order, item)
+        degp = pd.DataFrame(
+            {"pa": np.int64(-1), "pb": np.int64(-1),
+             "n": h.to_numpy().astype("int64"), "kind": np.int64(1),
+             "item": h.index.to_numpy().astype("int64")}
+        )
+        cols = ["kind", "pa", "pb", "n", "item"]
+        return pd.concat([pairs[cols], degp[cols]], ignore_index=True)
+
+    stage1 = bucketed_group_agg(
+        ds.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        ["l_orderkey"], basket_stage, num_buckets=nb,
+    ).materialize()
+
+    pair_partials = stage1.map_batches(
+        lambda b: b.loc[b["kind"] == 0, ["pa", "pb", "n"]],
+        batch_format="pandas",
+    )
+
+    def co_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pa", "pb"], as_index=False).agg(c=("n", "sum"))
+        return s.loc[s["c"] >= JACCARD_ITEMS_MIN_CO]
+
+    co = bucketed_group_agg(
+        pair_partials, ["pa", "pb"], co_filter, num_buckets=nb
+    ).materialize()
+
+    degs = stage1.map_batches(
+        lambda b: b.loc[b["kind"] == 1, ["item", "n"]].rename(
+            columns={"n": "d"}
+        ).assign(pa=np.int64(-1), pb=np.int64(-1), c=np.int64(0),
+                 side=np.int64(-1)),
+        batch_format="pandas",
+    )
+
+    # each pair visits both endpoints' item buckets to pick up degrees
+    def pair_halves(b: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame(
+            {"item": b["pa"].astype("int64"), "d": np.int64(0),
+             "pa": b["pa"].astype("int64"), "pb": b["pb"].astype("int64"),
+             "c": b["c"].astype("int64"), "side": np.int64(0)}
+        )
+        z = a.copy()
+        z["item"] = b["pb"].to_numpy()
+        z["side"] = np.int64(1)
+        return pd.concat([a, z], ignore_index=True)
+
+    halves = co.map_batches(pair_halves, batch_format="pandas")
+
+    def attach_degree(g: pd.DataFrame) -> pd.DataFrame:
+        d_of = g.loc[g["side"] == -1].groupby("item")["d"].sum()
+        h = g.loc[g["side"] >= 0].copy()
+        h["d"] = h["item"].map(d_of).fillna(0).astype("int64")
+        return h[["pa", "pb", "c", "side", "d"]]
+
+    attached = bucketed_group_agg(
+        degs.union(halves), ["item"], attach_degree, num_buckets=nb
+    )
+
+    def fold_pair(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pa", "pb"], as_index=False).agg(
+            c=("c", "first"), dsum=("d", "sum")
+        )
+        s["jaccard_ppm"] = (
+            s["c"] * 1_000_000 // (s["dsum"] - s["c"])
+        ).astype("int64")
+        s = s.rename(columns={"c": "n_co"})
+        return s[["pa", "pb", "n_co", "jaccard_ppm"]].sort_values(
+            ["jaccard_ppm", "pa", "pb"], ascending=[False, True, True]
+        ).head(JACCARD_ITEMS_TOP_K)
+
+    cands = bucketed_group_agg(
+        attached, ["pa", "pb"], fold_pair, num_buckets=min(nb, 128)
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        top = b.sort_values(
+            ["jaccard_ppm", "pa", "pb"], ascending=[False, True, True]
+        ).head(JACCARD_ITEMS_TOP_K)
+        return pd.DataFrame(
+            {"pa": top["pa"].to_numpy().astype("int64"),
+             "pb": top["pb"].to_numpy().astype("int64"),
+             "n_co": top["n_co"].to_numpy().astype("int64"),
+             "jaccard_ppm": top["jaccard_ppm"].to_numpy().astype("int64"),
+             "rank": np.arange(1, len(top) + 1, dtype="int64")}
+        )
+
+    return cands.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

@@ -1429,3 +1429,117 @@ def ivf_recall(sf_dir: str) -> pd.DataFrame:
     per["recall_ppm"] = per["n_hits"] * 1_000_000 // TOPK_K
     return per.astype({"qid": "int64", "n_hits": "int64",
                        "recall_ppm": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# embedding_power_iteration: top principal direction of the (uncentered)
+# embedding Gram matrix via K integer fixed-point power-iteration steps
+# ---------------------------------------------------------------------------
+
+POWER_ITER_K = 3
+POWER_ITER_SCALE = 1000
+
+def _power_iter_sql() -> str:
+    q = """
+WITH q AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+         CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS qv
+  FROM embeddings, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS i)
+),
+v0 AS (
+  SELECT CAST(UNNEST(generate_series(0, 63)) AS BIGINT) AS pos,
+         CAST(1000 AS HUGEINT) AS v
+)"""
+    prev = "v0"
+    for k in range(1, POWER_ITER_K + 1):
+        q += f""",
+s{k} AS (
+  SELECT q.vec_id, SUM(CAST(q.qv AS HUGEINT) * {prev}.v) AS s
+  FROM q JOIN {prev} ON {prev}.pos = q.pos GROUP BY q.vec_id
+),
+w{k} AS (
+  SELECT q.pos, SUM(CAST(q.qv AS HUGEINT) * s{k}.s) AS w
+  FROM q JOIN s{k} ON s{k}.vec_id = q.vec_id GROUP BY q.pos
+),
+m{k} AS (SELECT GREATEST(MAX(abs(w)), 1) AS m FROM w{k}),
+v{k} AS (SELECT pos, w * 1000 // (SELECT m FROM m{k}) AS v FROM w{k})"""
+        prev = f"v{k}"
+    q += f"""
+SELECT pos, CAST(v AS BIGINT) AS component FROM v{POWER_ITER_K}
+"""
+    return q
+
+
+EMBEDDING_POWER_ITERATION_SQL = _power_iter_sql()
+
+
+def embedding_power_iteration(sf_dir: str) -> pd.DataFrame:
+    """Top principal direction of the embedding table's (uncentered)
+    Gram matrix AᵀA — three power-iteration steps in EXACT integer
+    fixed-point (embeddings quantized ×1000 half-up; each step's vector
+    renormalized to max |component| = 1000 by truncating division), so
+    both engines run the identical integer recurrence and the output
+    hashes bit-equal. The deterministic cousin of a float PCA pass —
+    dim-reduction / whitening prep a feature pipeline runs over the
+    whole vector column.
+
+    Scale shape: pagerank's iterative pattern minus the shuffle — each
+    step is ONE stateless pass (per-batch s = Q·v then a 64-row partial
+    w = Qᵀ·s, int64-safe at any batch size) plus a single 64-row merge
+    task that sums partials in PYTHON ints (the HUGEINT-parity lesson:
+    Σ over 10^12 rows overflows int64) and renormalizes; the quantized
+    matrix is materialized once and re-scanned K times. Driver state is
+    the 64-vector."""
+    mat = _emb(sf_dir).materialize()
+
+    def make_pass(v_ref):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame({"pos": pd.Series(dtype="int64"),
+                                     "w": pd.Series(dtype="int64")})
+            v = ray.get(v_ref)
+            flat = batch["embedding"].combine_chunks()
+            X = np.asarray(flat.flatten(), dtype=np.float64).reshape(
+                len(batch), -1
+            )
+            Q = np.floor(X * POWER_ITER_SCALE + 0.5).astype("int64")
+            s = Q @ v
+            w = Q.T @ s
+            return pd.DataFrame(
+                {"pos": np.arange(len(w), dtype="int64"), "w": w}
+            )
+        return partial
+
+    v = np.full(64, POWER_ITER_SCALE, dtype="int64")
+    for _ in range(POWER_ITER_K):
+        v_ref = ray.put(v)
+        parts = mat.map_batches(make_pass(v_ref), batch_format="pyarrow")
+
+        def merge(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("pos")["w"].apply(
+                lambda x: sum(int(t) for t in x)  # Python ints — no overflow
+            )
+            m = max(max(abs(int(t)) for t in g), 1)
+            comp = [
+                (1 if int(t) >= 0 else -1)
+                * (abs(int(t)) * POWER_ITER_SCALE // m)
+                for t in g
+            ]  # truncating division — DuckDB's // semantics on HUGEINT
+            return pd.DataFrame(
+                {"pos": g.index.to_numpy().astype("int64"),
+                 "component": pd.Series(comp, dtype="int64")}
+            )
+
+        out = (
+            parts.repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .to_pandas()
+            .sort_values("pos")
+        )
+        v = out["component"].to_numpy(dtype="int64")
+
+    return pd.DataFrame(
+        {"pos": np.arange(64, dtype="int64"),
+         "component": v.astype("int64")}
+    )

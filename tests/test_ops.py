@@ -3438,3 +3438,101 @@ def test_webdataset_manifest_tars_and_gap_boundary(ray_session, tmp_path):
         assert [m.name for m in members] == ["000000000002.txt", "000000000003.txt"]
         assert tf.extractfile(members[0]).read() == texts[2].encode()
         assert all(m.mtime == 0 for m in members)
+
+
+def test_node_clustering_k3_plus_pendant(ray_session, tmp_path):
+    """Triangle {1,2,3} with a pendant 4: coefficients 2t/d(d-1) exact in
+    ppm, degree-1 nodes excluded, ranking ties break on node id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.cluster import node_clustering
+
+    orders = [
+        (10, [1, 2, 3]), (11, [1, 2, 3]),   # K3, every edge support 2
+        (12, [1, 4]), (13, [1, 4]),          # pendant edge 1-4
+    ]
+    ok, pk = [], []
+    for o, ps in orders:
+        for p in ps:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                  "l_partkey": pa.array(pk, pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    out = node_clustering(str(tmp_path)).to_pandas()
+    got = [(r.node, r.deg, r.n_tri, r.clustering_ppm, r.rank)
+           for r in out.itertuples()]
+    assert got == [
+        (2, 2, 1, 1_000_000, 1),
+        (3, 2, 1, 1_000_000, 2),
+        (1, 3, 1, 333_333, 3),
+    ]
+
+
+def test_jaccard_item_similarity_exact_ratio(ray_session, tmp_path):
+    """J = c / (da + db - c) in exact ppm over complete-order degrees —
+    an order split across input batches must not double-count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.cluster import jaccard_item_similarity
+
+    orders = [(10, [1, 2]), (11, [1, 2]), (12, [1])]
+    ok, pk = [], []
+    for o, ps in orders:
+        for p in ps:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                  "l_partkey": pa.array(pk, pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    out = jaccard_item_similarity(str(tmp_path)).to_pandas()
+    got = [(r.pa, r.pb, r.n_co, r.jaccard_ppm, r.rank)
+           for r in out.itertuples()]
+    assert got == [(1, 2, 2, 2 * 1_000_000 // 3, 1)]
+
+
+def test_embedding_power_iteration_matches_integer_recurrence(
+    ray_session, tmp_path
+):
+    """The distributed op must equal a local Python-int replay of the
+    exact fixed-point recurrence (quantize x1000 half-up, w = Qt(Qv),
+    renormalize by truncating division) on a seeded random table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.similarity import (
+        POWER_ITER_K,
+        POWER_ITER_SCALE,
+        embedding_power_iteration,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(7, 64).astype("float32")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(7), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 7, pa.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    Q = np.floor(X.astype("float64") * POWER_ITER_SCALE + 0.5).astype(object)
+    v = np.array([POWER_ITER_SCALE] * 64, dtype=object)
+    for _ in range(POWER_ITER_K):
+        s = Q @ v
+        w = Q.T @ s
+        m = max(max(abs(int(t)) for t in w), 1)
+        v = np.array(
+            [(1 if int(t) >= 0 else -1) * (abs(int(t)) * POWER_ITER_SCALE // m)
+             for t in w], dtype=object,
+        )
+    out = embedding_power_iteration(str(tmp_path))
+    assert [int(x) for x in out["component"]] == [int(x) for x in v]
