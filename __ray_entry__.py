@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_prefix_pairs": dedup.fuzzy_prefix_pairs,
         "edit_distance_pairs": dedup.edit_distance_pairs,
         "minhash_calibration": dedup.minhash_calibration,
+        "simhash_calibration": dedup.simhash_calibration,
         "simhash_dedup": dedup.simhash_dedup,
         "neardup_clusters": cluster.neardup_clusters,
         "embedding_clusters": cluster.embedding_clusters,
@@ -168,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": relational.mad_outliers,
         "linear_attribution": relational.linear_attribution,
         "scd2_intervals": relational.scd2_intervals,
+        "weekday_hour_profile": relational.weekday_hour_profile,
         "weekly_active_users": relational.weekly_active_users,
         "sliding_window_counts": relational.sliding_window_counts,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -246,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_bucket": curation.ccnet_bucket,
         "shard_balance": curation.shard_balance,
         "webdataset_manifest": curation.webdataset_manifest,
+        "script_mix": curation.script_mix,
         "signal_correlation": curation.signal_correlation,
         "inverted_index": curation.inverted_index,
         # --- multimodal (stub decoder, real plumbing) ---
@@ -459,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_PAIRS_SQL,
         EDIT_DISTANCE_PAIRS_SQL,
         MINHASH_CALIBRATION_SQL,
+        SIMHASH_CALIBRATION_SQL,
     )
     from docling_serve_ray.ops.cluster import (
         DUP_CLUSTER_SIZES_SQL,
@@ -499,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         CCNET_BUCKET_SQL,
         SHARD_BALANCE_SQL,
         WEBDATASET_MANIFEST_SQL,
+        SCRIPT_MIX_SQL,
         SIGNAL_CORRELATION_SQL,
         INVERTED_INDEX_SQL,
         LENGTH_PERCENTILE_FILTER_SQL,
@@ -587,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         MAD_OUTLIERS_SQL,
         LINEAR_ATTRIBUTION_SQL,
         SCD2_INTERVALS_SQL,
+        WEEKDAY_HOUR_PROFILE_SQL,
         WEEKLY_ACTIVE_USERS_SQL,
         SLIDING_WINDOW_COUNTS_SQL,
         BLOOM_SEMI_JOIN_SQL,
@@ -720,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_prefix_pairs": FUZZY_PREFIX_PAIRS_SQL,
         "edit_distance_pairs": EDIT_DISTANCE_PAIRS_SQL,
         "minhash_calibration": MINHASH_CALIBRATION_SQL,
+        "simhash_calibration": SIMHASH_CALIBRATION_SQL,
         "simhash_dedup": SIMHASH_PAIRS_SQL,  # md5_number_upper == _md5_64's fold
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,  # recursive-CTE closure twin
         "embedding_clusters": EMBEDDING_CLUSTERS_SQL,
@@ -784,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": MAD_OUTLIERS_SQL,
         "linear_attribution": LINEAR_ATTRIBUTION_SQL,
         "scd2_intervals": SCD2_INTERVALS_SQL,
+        "weekday_hour_profile": WEEKDAY_HOUR_PROFILE_SQL,
         "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
         "sliding_window_counts": SLIDING_WINDOW_COUNTS_SQL,
         "bloom_semi_join": BLOOM_SEMI_JOIN_SQL,
@@ -861,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_bucket": CCNET_BUCKET_SQL,
         "shard_balance": SHARD_BALANCE_SQL,
         "webdataset_manifest": WEBDATASET_MANIFEST_SQL,
+        "script_mix": SCRIPT_MIX_SQL,
         "signal_correlation": SIGNAL_CORRELATION_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "quantize_embeddings": QUANTIZE_EMBEDDINGS_SQL,

@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "node_clustering",
     "jaccard_item_similarity",
     "embedding_power_iteration",
+    "simhash_calibration",
+    "script_mix",
+    "weekday_hour_profile",
 ]
 
 

@@ -3613,3 +3613,60 @@ def webdataset_manifest(
         tagged, ["shard_id"], write_shards,
         num_buckets=min(max(64, len(first_ids)), 512),
     )
+
+
+# ---------------------------------------------------------------------------
+# script_mix: byte-vs-char script audit per language
+# ---------------------------------------------------------------------------
+
+SCRIPT_MIX_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+       CAST(SUM(strlen(text) - length(text)) * 1000000
+            // SUM(strlen(text)) AS BIGINT) AS non_ascii_ppm
+FROM documents GROUP BY lang
+"""
+
+
+def script_mix(sf_dir: str) -> ray.data.Dataset:
+    """Per-language script audit: UTF-8 byte vs codepoint mass and the
+    non-ASCII byte share (ppm) — the cheap mojibake / wrong-script-label
+    detector (an 'en' shard suddenly carrying 30% multibyte bytes means
+    a crawler or charset regression upstream). Exact integers only.
+
+    Scale shape: per-batch partials over the bounded lang taxonomy, one
+    merge task; the ppm division happens once per lang at the end (the
+    merge sums the numerators first — summing per-batch ratios would be
+    wrong, which is why the partial carries both byte counts)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        chars = b["text"].str.len().astype("int64")
+        nbytes = b["text"].str.encode("utf-8").str.len().astype("int64")
+        f = pd.DataFrame({"lang": b["lang"], "n_docs": np.int64(1),
+                          "n_chars": chars, "n_bytes": nbytes})
+        return f.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"),
+            n_bytes=("n_bytes", "sum"),
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"),
+            n_bytes=("n_bytes", "sum"),
+        )
+        s["non_ascii_ppm"] = (
+            (s["n_bytes"] - s["n_chars"]) * 1_000_000 // s["n_bytes"]
+        ).astype("int64")
+        return s.astype({"n_docs": "int64", "n_chars": "int64",
+                         "n_bytes": "int64"})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

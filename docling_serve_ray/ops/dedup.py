@@ -1896,3 +1896,94 @@ def c4_line_filter(sf_dir: str) -> ray.data.Dataset:
         return out.drop(columns=["tot"]).astype({"n_kept": "int64"})
 
     return bucketed_group_agg(survivors, ["doc_id"], rebuild, num_buckets=nb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash calibration: per-true-pair hamming + chunk-band detectability
+# ---------------------------------------------------------------------------
+
+SIMHASH_CALIBRATION_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+var AS (
+  SELECT doc_id, 0 AS which, text FROM base
+  UNION ALL
+  SELECT doc_id, 1 AS which, text || ' extra token appended' FROM base
+),
+tf AS (
+  SELECT doc_id, which, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, which, UNNEST(string_split(text, ' ')) AS word
+        FROM var)
+  GROUP BY doc_id, which, word
+),
+bits AS (
+  SELECT doc_id, which, bit,
+         SUM(CASE WHEN (md5_number_upper(word) >> bit) & 1 = 1
+                  THEN c ELSE -c END) AS acc
+  FROM tf, LATERAL (SELECT UNNEST(generate_series(0, 63)) AS bit)
+  GROUP BY doc_id, which, bit
+),
+sh AS (
+  SELECT doc_id, which,
+         SUM(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                  ELSE CAST(0 AS UBIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id, which
+),
+pair AS (
+  SELECT a.doc_id, a.simhash AS s1, b.simhash AS s2
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id
+  WHERE a.which = 0 AND b.which = 1
+)
+SELECT doc_id,
+       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming,
+       CAST((CASE WHEN (s1 >> 0) & 65535 = (s2 >> 0) & 65535 THEN 1 ELSE 0 END)
+          + (CASE WHEN (s1 >> 16) & 65535 = (s2 >> 16) & 65535 THEN 1 ELSE 0 END)
+          + (CASE WHEN (s1 >> 32) & 65535 = (s2 >> 32) & 65535 THEN 1 ELSE 0 END)
+          + (CASE WHEN (s1 >> 48) & 65535 = (s2 >> 48) & 65535 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_chunks_equal,
+       CAST(CASE WHEN bit_count(xor(s1, s2)) <= 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS caught
+FROM pair
+"""
+
+
+def simhash_calibration(sf_dir: str) -> ray.data.Dataset:
+    """SimHash recall audit, the sketch-quality twin of
+    minhash_calibration: for every TRUE near-dup pair (the augment rule's
+    one-token-append variant), the exact 64-bit TF-simhash Hamming
+    distance, how many of the 4 banding chunks still agree, and whether
+    the hamming ≤ 3 detector fires — the measurement behind TODO #4's
+    "~half of 3-token-edit dups" recall note, now a first-class
+    oracle-checked report.
+
+    Scale shape: the augment constructs each pair FROM ITS BASE ROW, so
+    both variants hash inside the same batch — the whole audit is ONE
+    stateless vectorized map over the documents read, zero shuffles
+    (contrast minhash_calibration, which must self-join because its
+    ground truth is corpus-wide)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def audit(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        rows = []
+        for d, t in zip(ids, texts):
+            if d % 10 != 0:
+                continue
+            s1 = _simhash(t)
+            s2 = _simhash(t + " extra token appended")
+            ham = bin(s1 ^ s2).count("1")
+            eq = sum(
+                1 for c in range(4)
+                if (s1 >> (16 * c)) & 0xFFFF == (s2 >> (16 * c)) & 0xFFFF
+            )
+            rows.append((d, ham, eq, 1 if ham <= SIMHASH_MAX_HAMMING else 0))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "hamming", "n_chunks_equal", "caught"]
+        ).astype({"doc_id": "int64", "hamming": "int64",
+                  "n_chunks_equal": "int64", "caught": "int64"})
+
+    return docs.map_batches(audit, batch_format="pyarrow")

@@ -4683,3 +4683,51 @@ def scd2_intervals(
         edges, ["user_id"], stitch, num_buckets=min(nb, 64)
     )
     return interior.union(stitched)
+
+
+# --- weekday × hour activity profile ---------------------------------------------
+
+WEEKDAY_HOUR_PROFILE_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def weekday_hour_profile(sf_dir: str) -> ray.data.Dataset:
+    """Weekday × hour-of-day activity heat grid (event count + value
+    mass) — the seasonality profile behind capacity planning and
+    anomaly baselines. Scale shape: the 7×24 cell domain is structurally
+    bounded, so per-batch crosstab partials + ONE merge task; dow uses
+    DuckDB's Sunday=0 convention (pandas' Monday=0 shifted by
+    (wd + 1) % 7 — the cross-engine calendar detail the oracle pins)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dow = ((b["ts"].dt.weekday + 1) % 7).astype("int64")  # Sunday=0
+        f = pd.DataFrame(
+            {"dow": dow, "hod": b["ts"].dt.hour.astype("int64"),
+             "n_events": np.int64(1),
+             "value_c": np.floor(
+                 b["value"].to_numpy() * 100 + 0.5).astype("int64")}
+        )
+        return f.groupby(["dow", "hod"], as_index=False).agg(
+            n_events=("n_events", "sum"), value_c=("value_c", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(["dow", "hod"], as_index=False).agg(
+            n_events=("n_events", "sum"), value_c=("value_c", "sum")
+        )
+        return s.astype({"dow": "int64", "hod": "int64",
+                         "n_events": "int64", "value_c": "int64"})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

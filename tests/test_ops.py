@@ -3536,3 +3536,89 @@ def test_embedding_power_iteration_matches_integer_recurrence(
         )
     out = embedding_power_iteration(str(tmp_path))
     assert [int(x) for x in out["component"]] == [int(x) for x in v]
+
+
+def test_simhash_calibration_pairs_and_rule(ray_session, tmp_path):
+    """Audit rows exist exactly for doc_id % 10 == 0; hamming /
+    chunk-agreement / caught match a local replay of the same simhash;
+    and the pigeonhole invariant holds (caught=1 -> >=1 chunk equal)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _simhash,
+        simhash_calibration,
+    )
+
+    texts = {0: "alpha beta gamma delta", 1: "ignored row",
+             10: "one two three four five six"}
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[d] for d in sorted(texts)])}),
+        tmp_path / "documents.parquet",
+    )
+    out = simhash_calibration(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 10]
+    for r in out.itertuples():
+        s1 = _simhash(texts[r.doc_id])
+        s2 = _simhash(texts[r.doc_id] + " extra token appended")
+        assert r.hamming == bin(s1 ^ s2).count("1")
+        eq = sum(1 for c in range(4)
+                 if (s1 >> (16 * c)) & 0xFFFF == (s2 >> (16 * c)) & 0xFFFF)
+        assert r.n_chunks_equal == eq
+        assert r.caught == (1 if r.hamming <= SIMHASH_MAX_HAMMING else 0)
+        if r.caught:
+            assert r.n_chunks_equal >= 1  # pigeonhole at hamming <= 3
+
+
+def test_script_mix_byte_vs_char(ray_session, tmp_path):
+    """non_ascii_ppm = (bytes - chars) * 1e6 // bytes with the sums taken
+    BEFORE the division (per-batch ratio averaging would be wrong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.curation import script_mix
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["abc", "héé", "plain"]),
+            "lang": pa.array(["fr", "fr", "en"]),
+            "source": pa.array(["w"] * 3),
+            "n_chars": pa.array([3, 3, 5], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = script_mix(str(tmp_path)).to_pandas()
+    got = {r.lang: (r.n_docs, r.n_chars, r.n_bytes, r.non_ascii_ppm)
+           for r in out.itertuples()}
+    # fr: chars 6, bytes 3 + 5 = 8 -> (8-6)*1e6//8 = 250000
+    assert got == {"fr": (2, 6, 8, 250_000), "en": (1, 5, 5, 0)}
+
+
+def test_weekday_hour_profile_sunday_zero(ray_session, tmp_path):
+    """dow uses DuckDB's Sunday=0 convention (pandas Monday=0 shifted)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_serve_ray.ops.relational import weekday_hour_profile
+
+    ts = [pd.Timestamp("2020-01-05 13:30"),   # Sunday -> dow 0
+          pd.Timestamp("2020-01-06 07:10"),   # Monday -> dow 1
+          pd.Timestamp("2020-01-05 13:59")]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(3), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }),
+        tmp_path / "events.parquet",
+    )
+    out = weekday_hour_profile(str(tmp_path)).to_pandas()
+    got = {(r.dow, r.hod): (r.n_events, r.value_c) for r in out.itertuples()}
+    assert got == {(0, 13): (2, 400), (1, 7): (1, 200)}
