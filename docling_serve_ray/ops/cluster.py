@@ -959,7 +959,9 @@ QUALIFY row_number() OVER (ORDER BY clustering_ppm DESC, node) <= {{K}}
 """.format(TRIANGLE_MIN_SUPPORT=TRIANGLE_MIN_SUPPORT, K=NODE_CLUSTERING_TOP_K)
 
 
-def node_clustering(sf_dir: str) -> ray.data.Dataset:
+def node_clustering(
+    sf_dir: str, *, local_max_bytes: int = 128 << 20
+) -> ray.data.Dataset:
     """Top-20 nodes of the co-purchase graph by LOCAL clustering
     coefficient (2·tri / deg·(deg−1), exact integer ppm) — the
     community-tightness ranking behind recommender neighborhoods and
@@ -967,15 +969,19 @@ def node_clustering(sf_dir: str) -> ray.data.Dataset:
     per node.
 
     Scale shape: the edge derivation is triangle_count's (basket
-    co-location, in-reduce support filter); per-node attribution needs
-    the wedge SOURCE, so wedges stay explicit (u, v, w) rows — the
-    Σ C(deg_oriented, 2) enumeration cost that multiplicity compression
-    avoided, paid deliberately because closure must credit all three
-    corners. Closure is a tag-union bucketed group on (v, w) — an edge
-    tag present turns every wedge row into one triangle's three credit
-    rows (no hash join, per the join fixed-tax lesson). Credits and
-    endpoint-degree rows then share ONE node-keyed reduce; per-bucket
-    top-k candidates make the final merge k·buckets rows."""
+    co-location, in-reduce support filter) and always distributed. The
+    CLOSE is size-gated exactly like pagerank's power iteration: a
+    support-filtered co-purchase edge list is tiny relative to the
+    corpus (3.6k edges at sf0.1), so under ``local_max_bytes`` the
+    wedge/closure/credit stages run as ONE local pandas task (saving 3
+    bucketed exchanges of pure fixed tax, ~6 s at sf0.1×32); past the
+    gate — or test-forced via ``local_max_bytes=0`` — the fully
+    distributed path runs: explicit (u, v, w) wedge rows (the
+    Σ C(deg_oriented, 2) enumeration cost, paid because closure must
+    credit all three corners), a tag-union bucketed closure on (v, w)
+    (no hash join, per the join fixed-tax lesson), and credits +
+    endpoint degrees sharing ONE node-keyed reduce with per-bucket
+    top-k candidates."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     path = f"{sf_dir}/lineitem.parquet"
@@ -1002,6 +1008,49 @@ def node_clustering(sf_dir: str) -> ray.data.Dataset:
     edges = bucketed_group_agg(
         pair_partials, ["pa", "pb"], support_filter, num_buckets=nb
     ).materialize()
+
+    if (edges.size_bytes() or 0) <= local_max_bytes:
+        e = edges.to_pandas()
+
+        def local_close(_: pd.DataFrame) -> pd.DataFrame:
+            w = e.merge(e, on="pa", suffixes=("_x", "_y"))
+            w = w.loc[w["pb_x"] < w["pb_y"]]
+            tri = w.merge(
+                e.rename(columns={"pa": "pb_x", "pb": "pb_y"}),
+                on=["pb_x", "pb_y"],
+            )
+            nodes = np.concatenate(
+                [tri["pa"].to_numpy(), tri["pb_x"].to_numpy(),
+                 tri["pb_y"].to_numpy()]
+            )
+            tcnt = pd.Series(nodes).value_counts()
+            deg = pd.Series(
+                np.concatenate([e["pa"].to_numpy(), e["pb"].to_numpy()])
+            ).value_counts()
+            out = pd.DataFrame(
+                {"node": deg.index.to_numpy().astype("int64"),
+                 "deg": deg.to_numpy().astype("int64")}
+            )
+            out = out.loc[out["deg"] >= 2]
+            out["n_tri"] = out["node"].map(tcnt).fillna(0).astype("int64")
+            out["clustering_ppm"] = (
+                out["n_tri"] * 2_000_000 // (out["deg"] * (out["deg"] - 1))
+            ).astype("int64")
+            top = out.sort_values(
+                ["clustering_ppm", "node"], ascending=[False, True]
+            ).head(NODE_CLUSTERING_TOP_K)
+            return pd.DataFrame(
+                {"node": top["node"].to_numpy(),
+                 "deg": top["deg"].to_numpy(),
+                 "n_tri": top["n_tri"].to_numpy(),
+                 "clustering_ppm": top["clustering_ppm"].to_numpy(),
+                 "rank": np.arange(1, len(top) + 1, dtype="int64")}
+            )
+
+        one = ray.data.from_pandas(pd.DataFrame({"x": [0]}))
+        return one.map_batches(
+            local_close, batch_format="pandas", batch_size=None
+        )
 
     # explicit oriented wedges (u, wa, wb) from per-source adjacency
     def adj_wedges(g: pd.DataFrame) -> pd.DataFrame:
@@ -1112,21 +1161,28 @@ QUALIFY row_number() OVER (ORDER BY jaccard_ppm DESC, pa, pb) <= {JACCARD_ITEMS_
 """
 
 
-def jaccard_item_similarity(sf_dir: str) -> ray.data.Dataset:
+def jaccard_item_similarity(
+    sf_dir: str, *, local_max_bytes: int = 128 << 20
+) -> ray.data.Dataset:
     """Top-20 item pairs by exact basket-set Jaccard (|A∩B| / |A∪B| in
     integer ppm) — item-item collaborative filtering's similarity core
     (the Amazon-style 'customers who bought X' neighbor table), with the
     co-occurrence floor pruning the long tail before any ratio is taken.
 
     Scale shape: co-occurrence counts ride the basket-pairs machinery
-    (one orderkey co-location shuffle, in-reduce min-co filter); item
-    order-degrees come from a thin per-batch value_counts reduce; the
-    degree attach is a tag-union bucketed group keyed on ITEM — each
-    surviving pair row visits the buckets of BOTH its endpoints (two
-    thin rows per pair), picks up the local degree, and a second
-    bucketed reduce on the pair key folds the two halves into the ppm —
-    no hash join, no broadcast (degrees are item-cardinality, corpus-
-    scaled). Per-bucket top-k candidates bound the final merge."""
+    (one orderkey co-location shuffle, in-reduce min-co filter; exact
+    per-item order-degree partials come from the SAME complete-order
+    reduce). The fold is size-gated like pagerank / node_clustering:
+    the min-co-filtered pair list is tiny relative to the corpus, and
+    only the degrees of items APPEARING in it matter (≤ 2·|pairs|), so
+    under ``local_max_bytes`` the surviving pairs collect once, the
+    relevant degrees reduce through a broadcast-filtered thin pass, and
+    ONE task computes the ppm + top-k (saving two bucketed exchanges of
+    fixed tax). Past the gate — or test-forced via ``local_max_bytes=0``
+    — the fully distributed fold runs: each pair visits BOTH endpoints'
+    item buckets (two thin rows per pair) to pick up degrees, a
+    pair-keyed reduce folds the halves, per-bucket top-k candidates
+    bound the final merge — no hash join, no unbounded broadcast."""
     from .shuffle import bucketed_group_agg, input_bytes_estimate, scaled_num_buckets
 
     path = f"{sf_dir}/lineitem.parquet"
@@ -1172,6 +1228,52 @@ def jaccard_item_similarity(sf_dir: str) -> ray.data.Dataset:
     co = bucketed_group_agg(
         pair_partials, ["pa", "pb"], co_filter, num_buckets=nb
     ).materialize()
+
+    if (co.size_bytes() or 0) <= local_max_bytes:
+        co_pd = co.to_pandas()
+        items = np.unique(
+            np.concatenate([co_pd["pa"].to_numpy(), co_pd["pb"].to_numpy()])
+        )
+        items_ref = ray.put(items)
+
+        def deg_of_interest(b: pd.DataFrame) -> pd.DataFrame:
+            it = ray.get(items_ref)
+            d = b.loc[b["kind"] == 1, ["item", "n"]]
+            pos = np.searchsorted(it, d["item"].to_numpy())
+            hit = (pos < len(it)) & (
+                it[np.minimum(pos, len(it) - 1)] == d["item"].to_numpy()
+            )
+            return d.loc[hit]
+
+        dsum = (
+            stage1.map_batches(deg_of_interest, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: b.groupby("item", as_index=False)["n"].sum(),
+                batch_format="pandas", batch_size=None,
+            )
+            .to_pandas()
+            .set_index("item")["n"]
+        )
+
+        f = co_pd.assign(
+            da=co_pd["pa"].map(dsum).astype("int64"),
+            db=co_pd["pb"].map(dsum).astype("int64"),
+        )
+        f["jaccard_ppm"] = (
+            f["c"] * 1_000_000 // (f["da"] + f["db"] - f["c"])
+        ).astype("int64")
+        top = f.rename(columns={"c": "n_co"}).sort_values(
+            ["jaccard_ppm", "pa", "pb"], ascending=[False, True, True]
+        ).head(JACCARD_ITEMS_TOP_K)
+        res = pd.DataFrame(
+            {"pa": top["pa"].to_numpy().astype("int64"),
+             "pb": top["pb"].to_numpy().astype("int64"),
+             "n_co": top["n_co"].to_numpy().astype("int64"),
+             "jaccard_ppm": top["jaccard_ppm"].to_numpy().astype("int64"),
+             "rank": np.arange(1, len(top) + 1, dtype="int64")}
+        )
+        return ray.data.from_pandas(res)
 
     degs = stage1.map_batches(
         lambda b: b.loc[b["kind"] == 1, ["item", "n"]].rename(

@@ -3462,14 +3462,16 @@ def test_node_clustering_k3_plus_pendant(ray_session, tmp_path):
                   "l_partkey": pa.array(pk, pa.int64())}),
         tmp_path / "lineitem.parquet",
     )
-    out = node_clustering(str(tmp_path)).to_pandas()
-    got = [(r.node, r.deg, r.n_tri, r.clustering_ppm, r.rank)
-           for r in out.itertuples()]
-    assert got == [
+    expected = [
         (2, 2, 1, 1_000_000, 1),
         (3, 2, 1, 1_000_000, 2),
         (1, 3, 1, 333_333, 3),
     ]
+    for lmb in (128 << 20, 0):  # gated local close AND forced distributed
+        out = node_clustering(str(tmp_path), local_max_bytes=lmb).to_pandas()
+        got = [(r.node, r.deg, r.n_tri, r.clustering_ppm, r.rank)
+               for r in out.itertuples()]
+        assert got == expected, lmb
 
 
 def test_jaccard_item_similarity_exact_ratio(ray_session, tmp_path):
@@ -3491,10 +3493,13 @@ def test_jaccard_item_similarity_exact_ratio(ray_session, tmp_path):
                   "l_partkey": pa.array(pk, pa.int64())}),
         tmp_path / "lineitem.parquet",
     )
-    out = jaccard_item_similarity(str(tmp_path)).to_pandas()
-    got = [(r.pa, r.pb, r.n_co, r.jaccard_ppm, r.rank)
-           for r in out.itertuples()]
-    assert got == [(1, 2, 2, 2 * 1_000_000 // 3, 1)]
+    for lmb in (128 << 20, 0):  # gated local fold AND forced distributed
+        out = jaccard_item_similarity(
+            str(tmp_path), local_max_bytes=lmb
+        ).to_pandas()
+        got = [(r.pa, r.pb, r.n_co, r.jaccard_ppm, r.rank)
+               for r in out.itertuples()]
+        assert got == [(1, 2, 2, 2 * 1_000_000 // 3, 1)], lmb
 
 
 def test_embedding_power_iteration_matches_integer_recurrence(
